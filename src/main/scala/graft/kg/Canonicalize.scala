@@ -1,0 +1,94 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * E5: IRI canonicalization + entity linking.
+ *
+ * Percent/unicode unescaping is already done by the parser (it decodes
+ * into the term value), so canonicalization here is the minimal,
+ * deterministic RFC 3986 syntax normalization:
+ *   1. lowercase the scheme;
+ *   2. for hierarchical IRIs (`scheme://authority...`) lowercase the
+ *      authority (host);
+ *   3. strip the default port (`:80` for http, `:443` for https).
+ *
+ * Entity linking then unifies equal canonical IRIs: every distinct term
+ * gets a deterministic 64-hex node id (`sha256` of its canonical
+ * serialized form), so "same entity" == "same node id" with no driver
+ * round-trip and no global dictionary build.
+ *
+ * Everything is built from codegen'd built-in expressions (regexp /
+ * string ops) — no UDFs, no shuffle at this stage.
+ */
+object Canonicalize {
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):"
+  private val hierRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+
+  /** Canonical form of an IRI string column (non-IRI strings pass through). */
+  def canonicalIri(v: Column): Column = {
+    val scheme = lower(regexp_extract(v, schemeRe, 1))
+    val hierScheme = lower(regexp_extract(v, hierRe, 1))
+    val auth = lower(regexp_extract(v, hierRe, 2))
+    val rest = regexp_extract(v, hierRe, 3)
+    val authNoPort = when(hierScheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(hierScheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    when(v.rlike(hierRe), concat(hierScheme, lit("://"), authNoPort, rest))
+      .when(v.rlike(schemeRe), concat(scheme, regexp_replace(v, schemeRe, ":")))
+      .otherwise(v)
+  }
+
+  /** Same normalization for plain Scala use (kernel/unit tests). */
+  def canonicalIriString(v: String): String = {
+    val hier = ("^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$").r
+    val plain = ("^([A-Za-z][A-Za-z0-9+.-]*):(.*)$").r
+    v match {
+      case hier(s, a, r) =>
+        val sch = s.toLowerCase
+        val auth0 = a.toLowerCase
+        val auth =
+          if (sch == "http" && auth0.endsWith(":80")) auth0.dropRight(3)
+          else if (sch == "https" && auth0.endsWith(":443")) auth0.dropRight(4)
+          else auth0
+        sch + "://" + auth + r
+      case plain(s, r) => s.toLowerCase + ":" + r
+      case _ => v
+    }
+  }
+
+  /** Rewrite IRI-kind terms of a term struct column to canonical form. */
+  private def canonTerm(termCol: String): Column = {
+    val t = col(termCol)
+    when(t("kind") === lit(RdfTerm.IRI),
+      struct(t("kind").as("kind"), canonicalIri(t("value")).as("value"),
+        t("lang").as("lang"), t("dt").as("dt")))
+      .otherwise(t)
+      .as(termCol)
+  }
+
+  /** Canonicalize subj/obj IRIs and the predicate of a TripleRow frame. */
+  def apply(triples: DataFrame): DataFrame =
+    triples
+      .withColumn("subj", canonTerm("subj"))
+      .withColumn("obj", canonTerm("obj"))
+      .withColumn("pred", canonicalIri(col("pred")))
+
+  /**
+   * The reference `n3` serialization as a column expression over a term
+   * struct — the canonical comparison/identity key for a term
+   * (datatype always printed for literals, reference types.scala:34-38).
+   */
+  def n3(t: Column): Column =
+    when(t("kind") === lit(RdfTerm.IRI), concat(lit("<"), t("value"), lit(">")))
+      .when(t("kind") === lit(RdfTerm.BNODE), concat(lit("_:"), t("value")))
+      .otherwise(concat(
+        lit("\""), t("value"), lit("\""),
+        when(t("lang").isNotNull, concat(lit("@"), t("lang"))).otherwise(lit("")),
+        lit("^^<"), t("dt"), lit(">")))
+
+  /** Deterministic 64-hex node id for a term struct column. */
+  def nodeId(t: Column): Column = sha2(n3(t), 256)
+}

@@ -1,0 +1,154 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * E6-E9: graph materialization with skew handling, per-partition
+ * checkpoint/resume and metrics.
+ *
+ * Output layout under `outDir` (parquet tables; the writer is kept behind
+ * this one object so swapping in a real Iceberg catalog is a config
+ * change — the sandbox ships no Iceberg jars, see SURVEY.md §7):
+ *
+ *   staging/   bucket=K/err=B/...   one pass of the parse kernel, the
+ *                                   resumable unit of work
+ *   nodes/                          distinct terms: id, kind, value, lang, dt
+ *   edges/                          subj_id, pred, obj_id + lineage
+ *   metrics/                        per-document lineage + counts + sha256
+ *   manifest/                       per-bucket checkpoint rows
+ *
+ * Resume contract (E8): work is sharded into `buckets` by a hash of the
+ * document identity (repo, path, commit). A bucket appears in `manifest`
+ * only after its staging output is fully written, so a crashed/killed job
+ * re-runs exactly the missing buckets: the corpus is anti-joined against
+ * the manifest before any parsing happens. Staging writes use dynamic
+ * partition overwrite, making a re-run of a half-written bucket
+ * idempotent.
+ */
+object Materialize {
+
+  /** Deterministic work-shard id for a document row. */
+  def bucketOf(buckets: Int): Column =
+    pmod(xxhash64(col("repo"), col("path"), col("commit")), lit(buckets.toLong))
+
+  /**
+   * E6: salted repartition to break hot-key skew. Hash-partitions on
+   * (key, salt) so a hub key spreads over `salts` partitions instead of
+   * one, while small keys keep near-locality. AQE skew-join handling is
+   * also enabled session-wide (see Pipeline.session).
+   */
+  def saltedRepartition(df: DataFrame, key: Column, salts: Int, numPartitions: Int): DataFrame = {
+    val salt = pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(salts.toLong))
+    df.withColumn("__salt", salt)
+      .repartition(numPartitions, key, col("__salt"))
+      .drop("__salt")
+  }
+
+  /** Distinct nodes table from a (skolemized, canonicalized) triples frame. */
+  def nodes(triples: DataFrame): DataFrame = {
+    val subj = triples.select(col("subj").as("t"))
+    val obj = triples.select(col("obj").as("t"))
+    val pred = triples.select(
+      struct(lit(RdfTerm.IRI).cast("byte").as("kind"), col("pred").as("value"),
+        lit(null).cast("string").as("lang"), lit(null).cast("string").as("dt")).as("t"))
+    subj.union(obj).union(pred)
+      .select(
+        Canonicalize.nodeId(col("t")).as("id"),
+        col("t.kind").as("kind"),
+        col("t.value").as("value"),
+        col("t.lang").as("lang"),
+        col("t.dt").as("dt"))
+      .dropDuplicates("id") // shuffle on sha256 id: uniformly distributed, skew-free
+  }
+
+  /** Edges table: (subj_id, pred, obj_id) + lineage. Narrow transform. */
+  def edges(triples: DataFrame): DataFrame =
+    triples.select(
+      Canonicalize.nodeId(col("subj")).as("subj_id"),
+      col("pred"),
+      Canonicalize.nodeId(col("obj")).as("obj_id"),
+      col("repo"), col("path"), col("commit"), col("line"))
+
+  /**
+   * E9: per-document metrics with lineage and the content sha256
+   * invariant (BASELINE.json: per-row `sha256(content)` equality is
+   * carried next to the counts so any downstream consumer can audit that
+   * the bytes parsed are the bytes shipped).
+   */
+  def metrics(corpus: DataFrame, parsed: DataFrame): DataFrame = {
+    val counts = parsed.groupBy("repo", "path", "commit").agg(
+      sum(when(!col("err"), 1L).otherwise(0L)).as("n_triples"),
+      sum(when(col("err"), 1L).otherwise(0L)).as("n_errors"))
+    corpus
+      .select(col("repo"), col("path"), col("commit"),
+        sha2(col("content"), 256).as("content_sha256"))
+      .join(counts, Seq("repo", "path", "commit"), "left")
+      .na.fill(0L, Seq("n_triples", "n_errors"))
+  }
+
+  /**
+   * Full materialization run with resume. Returns the number of buckets
+   * actually processed in this invocation (0 == nothing left to do).
+   */
+  def run(spark: SparkSession, corpus: Dataset[CorpusRow], outDir: String,
+          buckets: Int = 64, strict: Boolean = false): Int = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val withBucket = corpus.toDF().withColumn("bucket", bucketOf(buckets))
+    val manifestPath = s"$outDir/manifest"
+    val done: DataFrame =
+      try spark.read.parquet(manifestPath).select("bucket").distinct()
+      catch { case _: Exception => spark.emptyDataset[Long].toDF("bucket") }
+
+    val todo = withBucket.join(broadcast(done), Seq("bucket"), "left_anti")
+    val todoBuckets = todo.select("bucket").distinct().as[Long].collect().sorted
+    if (todoBuckets.isEmpty) return 0
+
+    // ---- parse (single pass) -> staging, partitioned by (bucket, err)
+    val parsed = TripleExtract.parse(todo.drop("bucket").as[CorpusRow])
+      .toDF()
+      .withColumn("bucket",
+        pmod(xxhash64(
+          coalesce(col("triple.repo"), col("error.repo")),
+          coalesce(col("triple.path"), col("error.path")),
+          coalesce(col("triple.commit"), col("error.commit"))), lit(buckets.toLong)))
+    parsed.write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket", "err")
+      .parquet(s"$outDir/staging")
+
+    if (strict) {
+      val stagedErr = spark.read.parquet(s"$outDir/staging").filter(col("err"))
+      val firstErr = stagedErr.select("error.*").limit(1).collect()
+      if (firstErr.nonEmpty)
+        throw new IllegalStateException(s"strict mode: ${firstErr.head.mkString(" | ")}")
+    }
+
+    // ---- derive graph tables from ALL staged triples (cheap vs parse)
+    val staged = spark.read.parquet(s"$outDir/staging")
+    val triplesDf = Canonicalize(Skolemize(staged.filter(!col("err")).select("triple.*")))
+    nodes(triplesDf).write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes")
+    saltedRepartition(edges(triplesDf), col("subj_id"), salts = 16,
+      numPartitions = spark.sessionState.conf.numShufflePartitions)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/edges")
+
+    // ---- metrics for the documents processed in THIS run
+    metrics(todo.drop("bucket"), parsed.select(
+      col("err"),
+      coalesce(col("triple.repo"), col("error.repo")).as("repo"),
+      coalesce(col("triple.path"), col("error.path")).as("path"),
+      coalesce(col("triple.commit"), col("error.commit")).as("commit")))
+      .withColumn("bucket", bucketOf(buckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$outDir/metrics") // dynamic overwrite: idempotent on re-run
+
+    // ---- commit the checkpoint LAST: bucket-level manifest rows
+    withBucket
+      .filter(col("bucket").isin(todoBuckets: _*))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(manifestPath)
+
+    todoBuckets.length
+  }
+}

@@ -1,0 +1,138 @@
+package graft.kg
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/**
+ * End-to-end Spark pipeline spec: the parse kernel over the W3C corpus,
+ * skolemization scoping, canonicalization, nodes/edges materialization,
+ * manifest resume and the sha256 metrics invariant.
+ */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Pure-parser oracle: triples per fixture file, errors swallowed per line. */
+  private def oracleCounts(lenient: Boolean): Map[String, (Int, Int)] = {
+    Corpus.fixtureNames.map { n =>
+      val in = getClass.getResourceAsStream(s"/w3c/$n")
+      val content = try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).mkString finally in.close()
+      val p = new NtLineParser(!lenient)
+      var triples = 0
+      var errors = 0
+      TripleExtract.sliceLines(content).zipWithIndex.foreach { case (l, i) =>
+        try { if (p.parseStatement(l, i + 1) != null) triples += 1 }
+        catch { case _: NtParseException => errors += 1 }
+      }
+      n -> (triples, errors)
+    }.toMap
+  }
+
+  test("kernel over W3C corpus matches the pure parser file-by-file") {
+    val parsed = TripleExtract.parse(Corpus.w3cFixtures(spark)).cache()
+    val got = parsed.groupBy(coalesce($"triple.path", $"error.path").as("path")).agg(
+      sum(when(!$"err", 1).otherwise(0)).as("t"),
+      sum(when($"err", 1).otherwise(0)).as("e"))
+      .as[(String, Long, Long)].collect()
+      .map { case (p, t, e) => p -> (t.toInt, e.toInt) }.toMap
+    val oracle = oracleCounts(lenient = false).filter { case (_, (t, e)) => t + e > 0 }
+    assert(got == oracle)
+    // spot-check an exact triple and an exact error message through Spark
+    val uri4 = TripleExtract.triples(parsed)
+      .filter(_.path == "nt-syntax-uri-04.nt").collect()
+    assert(uri4.length == 1 && uri4.head.obj.value.startsWith("scheme:!$%&"))
+    val badLang = TripleExtract.errors(parsed)
+      .filter(_.path == "nt-syntax-bad-lang-01.nt").collect()
+    assert(badLang.length == 1)
+    assert(badLang.head.message.contains("expected [language tag identifier], but found [1]"))
+    assert(badLang.head.message.startsWith("parse error in line 2 "))
+    parsed.unpersist()
+  }
+
+  test("skolemization is deterministic and document-scoped") {
+    val corpus = Seq(
+      CorpusRow("r1", "a.nt", "c1", "nt", "_:x <p:q> _:x ."),
+      CorpusRow("r1", "b.nt", "c1", "nt", "_:x <p:q> \"v\" ."),
+      CorpusRow("r1", "a.nt", "c1", "nt", "_:x <p:q> \"v\" .") // same doc identity as #1
+    ).toDS()
+    val t = Skolemize(TripleExtract.triples(TripleExtract.parse(corpus)).toDF())
+    val subj = t.select($"path", $"subj.value").as[(String, String)].collect()
+    val byPath = subj.groupBy(_._1).view.mapValues(_.map(_._2).distinct.toList).toMap
+    assert(byPath("a.nt").size == 1, "same label in same doc -> same skolem id")
+    assert(byPath("a.nt") != byPath("b.nt"), "same label across docs -> different ids")
+    assert(subj.forall(_._2.matches("[0-9a-f]{64}")))
+    // subject and object _:x in the same doc unify
+    val row = t.filter($"path" === "a.nt" && $"obj.kind" === 1)
+      .select($"subj.value", $"obj.value").as[(String, String)].head()
+    assert(row._1 == row._2)
+  }
+
+  test("IRI canonicalization: scheme/host lowering, default port stripping") {
+    val cases = Seq(
+      "HTTP://Example.COM:80/Path?Q=1" -> "http://example.com/Path?Q=1",
+      "https://EXAMPLE.com:443/x" -> "https://example.com/x",
+      "https://example.com:8443/x" -> "https://example.com:8443/x",
+      "URN:ISBN:123" -> "urn:ISBN:123",
+      "http://example.com/CaseKept" -> "http://example.com/CaseKept",
+      "noscheme" -> "noscheme")
+    // plain Scala
+    cases.foreach { case (in, out) => assert(Canonicalize.canonicalIriString(in) == out, in) }
+    // column expression parity
+    val got = cases.map(_._1).toDF("v")
+      .select(Canonicalize.canonicalIri($"v")).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("nodes/edges materialization with manifest resume") {
+    val dir = Files.createTempDirectory("graft-mat").toString
+    val corpus = Corpus.synthetic(spark, nDocs = 40, linesPerDoc = 25)
+    val n1 = Materialize.run(spark, corpus, dir, buckets = 8)
+    assert(n1 > 0)
+    val edges = spark.read.parquet(s"$dir/edges")
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val staged = spark.read.parquet(s"$dir/staging")
+    assert(edges.count() == staged.filter(!$"err").count())
+    assert(nodes.select("id").distinct().count() == nodes.count())
+    // every edge endpoint resolves to a node (referential integrity)
+    val unresolved = edges.join(nodes.select($"id".as("subj_id")), Seq("subj_id"), "left_anti").count()
+    assert(unresolved == 0)
+    // resume: everything is checkpointed, second run is a no-op
+    val n2 = Materialize.run(spark, corpus, dir, buckets = 8)
+    assert(n2 == 0)
+    // partial manifest -> only missing buckets processed
+    val dir2 = Files.createTempDirectory("graft-mat2").toString
+    spark.read.parquet(s"$dir/manifest").limit(3)
+      .write.partitionBy("bucket").parquet(s"$dir2/manifest")
+    val n3 = Materialize.run(spark, corpus, dir2, buckets = 8)
+    assert(n3 == n1 - 3)
+  }
+
+  test("metrics carry the per-document content sha256 invariant") {
+    val corpus = Seq(
+      CorpusRow("r", "good.nt", "c", "nt", "<a:b> <c:d> <e:f> .\n# note\n"),
+      CorpusRow("r", "bad.nt", "c", "nt", "oops\n<a:b> <c:d> \"x\" .")).toDS()
+    val m = Materialize.metrics(corpus.toDF(),
+      TripleExtract.parse(corpus).toDF().select(
+        $"err",
+        coalesce($"triple.repo", $"error.repo").as("repo"),
+        coalesce($"triple.path", $"error.path").as("path"),
+        coalesce($"triple.commit", $"error.commit").as("commit")))
+    val rows = m.select("path", "content_sha256", "n_triples", "n_errors")
+      .as[(String, String, Long, Long)].collect().sortBy(_._1).toList
+    val shaGood = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("<a:b> <c:d> <e:f> .\n# note\n".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows.map(r => (r._1, r._3, r._4)) == List(("bad.nt", 1L, 1L), ("good.nt", 1L, 0L)))
+    assert(rows.find(_._1 == "good.nt").get._2 == shaGood)
+  }
+
+  test("lenient corpus rows skip bad lines instead of erroring the doc") {
+    val corpus = Seq(
+      CorpusRow("r", "mix.nt", "c", TripleExtract.LangLenient,
+        "<a:b> <c:d> \"\"\"long\"\"\" .\nbroken\n<a:b> <c:d> \"ok\" .")).toDS()
+    val parsed = TripleExtract.parse(corpus)
+    assert(TripleExtract.triples(parsed).count() == 2)
+    assert(TripleExtract.errors(parsed).count() == 1)
+  }
+}

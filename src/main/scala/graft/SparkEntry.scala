@@ -1,13 +1,481 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg._
+import graft.ops._
+
+/**
+ * Driver contract: one query per implemented operator (SURVEY.md §2 +
+ * the training-data ops), each with an equivalent DuckDB oracle in
+ * `oracleSql` (same column names — the driver hash-compares columns
+ * sorted by name).
+ *
+ * Table-derived corpora keep the KG pipeline DuckDB-checkable: parquet
+ * rows are serialized to N-Triples text in Spark, pushed through the real
+ * parse kernel, and the oracle reconstructs the expected output
+ * relationally from the same parquet.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+
+  // ---------- corpora ------------------------------------------------------
+
+  private def nationCorpus(s: SparkSession, dir: String): Dataset[CorpusRow] =
+    Corpus.fromTable(s.read.parquet(s"$dir/nation.parquet"), "nation", "n_nationkey",
+      Seq("n_name" -> col("n_name"), "n_regionkey" -> col("n_regionkey")))
+
+  private def documentsCorpus(s: SparkSession, dir: String): Dataset[CorpusRow] =
+    Corpus.fromTable(s.read.parquet(s"$dir/documents.parquet"), "documents", "doc_id",
+      Seq("text" -> col("text"), "lang" -> col("lang"), "source" -> col("source")))
+
+  private def inlineCorpus(s: SparkSession, rows: Seq[(String, String, String)]): Dataset[CorpusRow] = {
+    import s.implicits._
+    rows.map { case (path, lang, content) =>
+      CorpusRow("inline", path, Corpus.FixedCommit, lang, content)
+    }.toDS()
+  }
+
+  private def parsedTriples(c: Dataset[CorpusRow]): DataFrame =
+    TripleExtract.triples(TripleExtract.parse(c)).toDF()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---------- flagship -----------------------------------------------------
+
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("kg_entry_graph")(spark, "/root/testdata/sf0.001")
+
+  // ---------- queries ------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/E1-E3, B1-B6: table -> NT docs -> parse kernel -> triples
+    "kg_parse_nation" -> ((s, dir) => {
+      parsedTriples(nationCorpus(s, dir))
+        .select(col("subj.value").as("subj"), col("pred"), col("obj.value").as("obj"))
+    }),
+
+    "kg_parse_documents" -> ((s, dir) => {
+      parsedTriples(documentsCorpus(s, dir))
+        .select(col("subj.value").as("subj"), col("pred"), col("obj.value").as("obj"))
+    }),
+
+    // B25/C3/C5: error rows with exact reference-format messages
+    "kg_parse_errors" -> ((s, dir) => {
+      val corpus = inlineCorpus(s, Seq(
+        ("err1.nt", "nt",
+          "<a:b> <c:d> <e:f> .\n" +
+          "@prefix x: <y> .\n" +
+          "<s> <p:q> \"v\" .\n" +
+          "<a:b> <c:d> \"x\"@1 .\n" +
+          "<a:b> <c:d> <e:f> ,")))
+      TripleExtract.errors(TripleExtract.parse(corpus)).toDF()
+        .select(col("path"), col("line"), col("charPos").as("char_pos"), col("message"))
+    }),
+
+    // B7-B8, B16-B21: IRI/literal escape grammar through the kernel
+    "kg_grammar_escapes" -> ((s, dir) => {
+      val corpus = inlineCorpus(s, Seq(
+        ("esc.nt", "nt",
+          "<http://ex.org/%41> <p:a> \"A\\u0042C\" .\n" +
+          "<u:\\U00010332x> <p:b> \"tab\\there\" .\n" +
+          "<t:%B2t> <p:c> \"nl\\nnl\" .\n" +
+          "_:1a <p:d> \"q\\\"w\\\\e\\'r\" .\n" +
+          "<a:b> <p:e> \"v\"@en-US .\n" +
+          "<a:b> <p:f> \"123\"^^<x:int> .")))
+      parsedTriples(corpus).select(
+        col("line"),
+        col("subj.kind").cast("int").as("skind"), col("subj.value").as("subj"),
+        col("pred"),
+        col("obj.value").as("obj"), col("obj.lang").as("lang"), col("obj.dt").as("dt"))
+    }),
+
+    // C1/B12: lenient long literals (+ strict/lenient mode split)
+    "kg_lenient_long_literals" -> ((s, dir) => {
+      val corpus = inlineCorpus(s, Seq(
+        ("len.nt", "nt-lenient",
+          "<a:b> <p:q> \"\"\"multi \"quoted\" text\"\"\" .\n" +
+          "<a:b> <p:q> \"\"\"tagged\"\"\"@en .\n" +
+          "bad line here\n" +
+          "<a:b> <p:q> \"short still works\" ."),
+        ("strict.nt", "nt",
+          "<a:b> <p:q> \"plain\" .")))
+      val parsed = TripleExtract.parse(corpus)
+      TripleExtract.triples(parsed).toDF().select(
+        col("path"), col("line"), col("obj.value").as("obj"), col("obj.lang").as("lang"))
+    }),
+
+    // E4: scoped bnode skolemization (sha256(repo|commit|path|label))
+    "kg_skolemize" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = s.read.parquet(s"$dir/nation.parquet").select(
+        lit("synthetic/bnodes").as("repo"),
+        concat(lit("bn/"), col("n_nationkey").cast("string"), lit(".nt")).as("path"),
+        lit(Corpus.FixedCommit).as("commit"),
+        lit("nt").as("lang"),
+        concat(lit("_:b <urn:p:name> \""), Corpus.escapeLiteralCol(col("n_name")),
+          lit("\" .\n_:b <urn:p:self> _:b .")).as("content")).as[CorpusRow]
+      Skolemize(parsedTriples(corpus))
+        .select(col("path"), col("line"), col("subj.value").as("skolem_subj"))
+    }),
+
+    // E5: IRI canonicalization
+    "kg_canonicalize" -> ((s, dir) => {
+      val corpus = inlineCorpus(s, Seq(
+        ("canon.nt", "nt",
+          "<HTTP://Example.COM:80/Path?Q=1> <p:q> \"1\" .\n" +
+          "<https://EXAMPLE.com:443/x> <p:q> \"1\" .\n" +
+          "<https://example.com:8443/x> <p:q> \"1\" .\n" +
+          "<URN:ISBN:123> <p:q> \"1\" .\n" +
+          "<http://example.com/CaseKept> <p:q> \"1\" .")))
+      Canonicalize(parsedTriples(corpus)).select(col("line"), col("subj.value").as("canon"))
+    }),
+
+    // E7/D1: nodes table (distinct terms with sha256 ids)
+    "kg_nodes" -> ((s, dir) => {
+      Materialize.nodes(Canonicalize(Skolemize(parsedTriples(nationCorpus(s, dir)))))
+        .select(col("id"), col("kind").cast("int").as("kind"), col("value"), col("lang"), col("dt"))
+    }),
+
+    // E7: edges table (node ids + lineage line numbers)
+    "kg_edges" -> ((s, dir) => {
+      Materialize.edges(Canonicalize(Skolemize(parsedTriples(nationCorpus(s, dir)))))
+        .select(col("subj_id"), col("pred"), col("obj_id"), col("line"))
+    }),
+
+    // E8: manifest anti-join resume shape
+    "kg_resume_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      val withBucket = s.read.parquet(s"$dir/nation.parquet")
+        .select((col("n_nationkey") % 8).as("bucket"),
+          concat(lit("nation/"), col("n_nationkey").cast("string"), lit(".nt")).as("path"))
+      val manifest = Seq(0L, 1L).toDF("bucket")
+      withBucket.join(broadcast(manifest), Seq("bucket"), "left_anti")
+        .select(col("bucket").cast("long").as("bucket"), col("path"))
+    }),
+
+    // E2/E9: per-document metrics + the content sha256 invariant
+    "kg_metrics_sha" -> ((s, dir) => {
+      val corpus = nationCorpus(s, dir)
+      Materialize.metrics(corpus.toDF(),
+        TripleExtract.parse(corpus).toDF().select(
+          col("err"),
+          coalesce(col("triple.repo"), col("error.repo")).as("repo"),
+          coalesce(col("triple.path"), col("error.path")).as("path"),
+          coalesce(col("triple.commit"), col("error.commit")).as("commit")))
+        .select(col("path"), col("content_sha256"), col("n_triples"), col("n_errors"))
+    }),
+
+    // D3: canonical n3 re-serialization
+    "kg_n3" -> ((s, dir) => {
+      parsedTriples(nationCorpus(s, dir))
+        .select(Canonicalize.n3Statement(col("subj"), col("pred"), col("obj")).as("n3"))
+    }),
+
+    // flagship: full parse -> skolemize -> canonicalize -> edges -> agg
+    "kg_entry_graph" -> ((s, dir) => {
+      val corpus = nationCorpus(s, dir).union(documentsCorpus(s, dir))
+      val edges = Materialize.edges(Canonicalize(Skolemize(parsedTriples(corpus))))
+      edges.groupBy("pred").agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("subj_id")).as("n_subjects"))
+    }),
+
+    // ---- training-data ops ------------------------------------------------
+
+    "td_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val withDups = d.union(
+        d.filter(col("doc_id") % 10 === 0).select(col("doc_id") + 100000, col("text")))
+      Dedup.exactGroups(withDups, col("doc_id"), col("text"))
+    }),
+
+    "td_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidates(docs(s, dir), col("doc_id"), col("text"))),
+
+    "td_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(docs(s, dir), col("doc_id"), col("text"))
+        .filter(col("inter") * 5 >= col("union_") * 4) // jaccard >= 0.8, float-free
+    }),
+
+    "td_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))),
+
+    "td_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(embs(s, dir), col("vec_id"), col("embedding"), 0.40)),
+
+    "td_ann_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
+    }),
+
+    // scale-path ANN: LSH buckets (approximate => rows-only check)
+    "td_ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10, dims = 64)
+    }),
+
+    "td_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+
+    "td_text_quality" -> ((s, dir) =>
+      TextOps.quality(docs(s, dir), col("doc_id"), col("text"))),
+
+    "td_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_ws_tokens"),
+        TextOps.regexTokenCount(col("text")).as("n_regex_tokens"))),
+
+    "td_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    "td_multimodal" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, docs(s, dir))).toDF()
+    })
+  )
+
+  // ---------- oracles ------------------------------------------------------
+
+  /** DuckDB hash matching Dedup.hash64. */
+  private val dkHash64 = "('0x' || substr(sha256(%s),1,15))::BIGINT"
+
+  private def nationTripleSql(valueCol: String, colName: String, extra: String = "") =
+    s"""SELECT 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+       |       'urn:col:nation:$colName' AS pred,
+       |       CAST($valueCol AS VARCHAR) AS obj$extra
+       |FROM nation""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "kg_parse_nation" ->
+      s"""${nationTripleSql("n_name", "n_name")}
+         |UNION ALL
+         |${nationTripleSql("n_regionkey", "n_regionkey")}""".stripMargin,
+
+    "kg_parse_documents" ->
+      """SELECT 'urn:g:documents:' || CAST(doc_id AS VARCHAR) AS subj, 'urn:col:documents:text' AS pred, text AS obj FROM documents
+        |UNION ALL SELECT 'urn:g:documents:' || CAST(doc_id AS VARCHAR), 'urn:col:documents:lang', lang FROM documents
+        |UNION ALL SELECT 'urn:g:documents:' || CAST(doc_id AS VARCHAR), 'urn:col:documents:source', source FROM documents""".stripMargin,
+
+    "kg_parse_errors" ->
+      """SELECT * FROM (VALUES
+        |  ('err1.nt', 2, 1,  'parse error in line 2 at char 1, expected [<, _, or #], but found [@]'),
+        |  ('err1.nt', 3, 3,  'parse error in line 3 at char 3, <s> is not absolute'),
+        |  ('err1.nt', 4, 17, 'parse error in line 4 at char 17, expected [language tag identifier], but found [1]'),
+        |  ('err1.nt', 5, 19, 'parse error in line 5 at char 19, expected [.], but found [,]')
+        |) t(path, line, char_pos, message)""".stripMargin,
+
+    "kg_grammar_escapes" ->
+      """SELECT * FROM (VALUES
+        |  (1, 0, 'http://ex.org/A', 'p:a', 'ABC', CAST(NULL AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string'),
+        |  (2, 0, 'u:' || chr(66354) || 'x', 'p:b', 'tab' || chr(9) || 'here', NULL, 'http://www.w3.org/2001/XMLSchema#string'),
+        |  (3, 0, 't:' || chr(65533) || 't', 'p:c', 'nl' || chr(10) || 'nl', NULL, 'http://www.w3.org/2001/XMLSchema#string'),
+        |  (4, 1, '1a', 'p:d', 'q"w\e''r', NULL, 'http://www.w3.org/2001/XMLSchema#string'),
+        |  (5, 0, 'a:b', 'p:e', 'v', 'en-US', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'),
+        |  (6, 0, 'a:b', 'p:f', '123', NULL, 'x:int')
+        |) t(line, skind, subj, pred, obj, lang, dt)""".stripMargin,
+
+    "kg_lenient_long_literals" ->
+      """SELECT * FROM (VALUES
+        |  ('len.nt', 1, 'multi "quoted" text', CAST(NULL AS VARCHAR)),
+        |  ('len.nt', 2, 'tagged', 'en'),
+        |  ('len.nt', 4, 'short still works', NULL),
+        |  ('strict.nt', 1, 'plain', NULL)
+        |) t(path, line, obj, lang)""".stripMargin,
+
+    "kg_skolemize" ->
+      s"""WITH d AS (SELECT 'bn/' || CAST(n_nationkey AS VARCHAR) || '.nt' AS path FROM nation),
+         |s AS (SELECT path, sha256('synthetic/bnodes' || '|' || '${Corpus.FixedCommit}' || '|' || path || '|' || 'b') AS skolem_subj FROM d)
+         |SELECT path, 1 AS line, skolem_subj FROM s
+         |UNION ALL SELECT path, 2, skolem_subj FROM s""".stripMargin,
+
+    "kg_canonicalize" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'http://example.com/Path?Q=1'),
+        |  (2, 'https://example.com/x'),
+        |  (3, 'https://example.com:8443/x'),
+        |  (4, 'urn:ISBN:123'),
+        |  (5, 'http://example.com/CaseKept')
+        |) t(line, canon)""".stripMargin,
+
+    "kg_nodes" ->
+      s"""WITH terms AS (
+         |  SELECT 0 AS kind, 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS value, CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS dt FROM nation
+         |  UNION ALL SELECT DISTINCT 0, 'urn:col:nation:n_name', NULL, NULL FROM nation
+         |  UNION ALL SELECT DISTINCT 0, 'urn:col:nation:n_regionkey', NULL, NULL FROM nation
+         |  UNION ALL SELECT 2, n_name, NULL, '$XSD_STR' FROM nation
+         |  UNION ALL SELECT DISTINCT 2, CAST(n_regionkey AS VARCHAR), NULL, '$XSD_STR' FROM nation)
+         |SELECT DISTINCT
+         |  CASE WHEN kind = 0 THEN sha256('<' || value || '>')
+         |       ELSE sha256('"' || value || '"^^<' || dt || '>') END AS id,
+         |  kind, value, lang, dt
+         |FROM terms""".stripMargin,
+
+    "kg_edges" ->
+      s"""SELECT sha256('<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '>') AS subj_id,
+         |       'urn:col:nation:n_name' AS pred,
+         |       sha256('"' || n_name || '"^^<$XSD_STR>') AS obj_id,
+         |       1 AS line
+         |FROM nation
+         |UNION ALL
+         |SELECT sha256('<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '>'),
+         |       'urn:col:nation:n_regionkey',
+         |       sha256('"' || CAST(n_regionkey AS VARCHAR) || '"^^<$XSD_STR>'),
+         |       2
+         |FROM nation""".stripMargin,
+
+    "kg_resume_antijoin" ->
+      """SELECT CAST(n_nationkey % 8 AS BIGINT) AS bucket,
+        |       'nation/' || CAST(n_nationkey AS VARCHAR) || '.nt' AS path
+        |FROM nation WHERE n_nationkey % 8 NOT IN (0, 1)""".stripMargin,
+
+    "kg_metrics_sha" ->
+      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) || '.nt' AS path,
+        |       sha256('<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '> <urn:col:nation:n_name> "' || n_name || '" .'
+        |              || chr(10) ||
+        |              '<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '> <urn:col:nation:n_regionkey> "' || CAST(n_regionkey AS VARCHAR) || '" .') AS content_sha256,
+        |       CAST(2 AS BIGINT) AS n_triples, CAST(0 AS BIGINT) AS n_errors
+        |FROM nation""".stripMargin,
+
+    "kg_n3" ->
+      s"""SELECT '<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '> <urn:col:nation:n_name> "' || n_name || '"^^<$XSD_STR> .' AS n3 FROM nation
+         |UNION ALL
+         |SELECT '<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '> <urn:col:nation:n_regionkey> "' || CAST(n_regionkey AS VARCHAR) || '"^^<$XSD_STR> .' FROM nation""".stripMargin,
+
+    "kg_entry_graph" ->
+      """WITH e AS (
+        |  SELECT 'urn:col:nation:n_name' AS pred, 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS subj FROM nation
+        |  UNION ALL SELECT 'urn:col:nation:n_regionkey', 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 'urn:col:documents:text', 'urn:g:documents:' || CAST(doc_id AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'urn:col:documents:lang', 'urn:g:documents:' || CAST(doc_id AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'urn:col:documents:source', 'urn:g:documents:' || CAST(doc_id AS VARCHAR) FROM documents)
+        |SELECT pred, count(*) AS n_edges, count(DISTINCT subj) AS n_subjects FROM e GROUP BY pred""".stripMargin,
+
+    "td_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT sha256(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM all_docs GROUP BY 1""".stripMargin,
+
+    "td_dedup_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
+        |mh AS (SELECT doc_id, seed, min(sha256(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        |       FROM sh, unnest(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |                 sha256(string_agg(CAST(seed AS VARCHAR) || ':' || mh, ',' ORDER BY seed)) AS band_key
+        |          FROM mh GROUP BY doc_id, seed // 2)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id""".stripMargin,
+
+    "td_dedup_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id a, y.doc_id b, count(*) i
+        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, i AS inter, (sa.n + sb.n - i) AS union_
+        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE i * 5 >= (sa.n + sb.n - i) * 4""".stripMargin,
+
+    "td_dedup_simhash" -> {
+      val hexpr = dkHash64.format("tok")
+      val sums = (0 until 16).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+      val bits = (0 until 16).map(j =>
+        s"(CASE WHEN s$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, $hexpr AS h FROM toks),
+         |s AS (SELECT doc_id, $sums FROM h GROUP BY 1)
+         |SELECT doc_id AS id, ($bits) AS simhash FROM s""".stripMargin
+    },
+
+    "td_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.40""".stripMargin,
+
+    "td_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id query_id, e.vec_id neighbor_id,
+        |             list_dot_product(e.v, q.v)
+        |               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS c
+        |      FROM q JOIN e ON e.vec_id <> q.vec_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 10""".stripMargin,
+
+    "td_lang_id" -> {
+      val langs = TextOps.stopwords.toSeq.sortBy(_._1)
+      val scores = langs.map { case (l, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($inList))) AS s_$l"
+      }.mkString(", ")
+      val best = s"greatest(${langs.map(l => s"s_${l._1}").mkString(", ")})"
+      val cases = langs.map { case (l, _) =>
+        s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'"
+      }.mkString(" ")
+      s"""WITH s AS (SELECT doc_id, $scores FROM documents)
+         |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM s""".stripMargin
+    },
+
+    "td_text_quality" -> {
+      val allStop = TextOps.stopwords.values.flatten.toSeq.distinct.map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
+         |SELECT doc_id AS id,
+         |  length(text) AS n_chars,
+         |  len(w) AS n_tokens,
+         |  len(list_distinct(w)) AS n_distinct_tokens,
+         |  CAST(floor(list_aggregate(list_transform(w, x -> length(x)), 'sum') * 100.0 / len(w)) AS BIGINT) AS mean_tok_len_x100,
+         |  CAST(floor(len(list_filter(w, t -> t IN ($allStop))) * 1000.0 / len(w)) AS BIGINT) AS stop_per_1000,
+         |  list_aggregate(list_transform(w, x -> length(x)), 'max') AS max_tok_len
+         |FROM d""".stripMargin
+    },
+
+    "td_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_regex_tokens
+        |FROM documents""".stripMargin,
+
+    "td_fingerprint" ->
+      """SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "td_multimodal" -> {
+      // replicate decodeStub: h = first 7 hex chars of sha256(bytes)
+      val h = "CAST(('0x' || substr(sha256(text), 1, 7)) AS INTEGER)"
+      s"""WITH m AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |         sha256(text) AS content_sha,
+         |         $h AS h
+         |  FROM documents)
+         |SELECT media_id, kind, n_bytes, content_sha,
+         |  CASE kind WHEN 'audio' THEN 0 ELSE 160 + (h % 8) * 80 END AS width,
+         |  CASE kind WHEN 'image' THEN (160 + (h % 8) * 80) * 3 // 4
+         |            WHEN 'video' THEN (160 + (h % 8) * 80) * 9 // 16
+         |            ELSE 0 END AS height,
+         |  CASE kind WHEN 'image' THEN 1
+         |            WHEN 'video' THEN 24 + (h >> 3) % 240
+         |            ELSE h % 1048576 END AS n_frames
+         |FROM m""".stripMargin
+    }
+  )
 }

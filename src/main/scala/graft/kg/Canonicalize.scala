@@ -91,4 +91,8 @@ object Canonicalize {
 
   /** Deterministic 64-hex node id for a term struct column. */
   def nodeId(t: Column): Column = sha2(n3(t), 256)
+
+  /** Whole-statement n3 (reference types.scala:65: "s.n3 p.n3 o.n3 ."). */
+  def n3Statement(subj: Column, pred: Column, obj: Column): Column =
+    concat(n3(subj), lit(" <"), pred, lit("> "), n3(obj), lit(" ."))
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data curation: token counting, quality
+ * scoring, n-gram language ID, document fingerprinting. Everything is a
+ * codegen'd column expression with integer/string outputs (float-free so
+ * results are bit-portable across engines).
+ */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish regex token count: words, numbers, individual symbols. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Per-language stopword lists for the n-gram/stopword language ID. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+
+  /**
+   * Language ID: argmax of stopword hits with deterministic tie-break
+   * (language code ascending); "und" (undetermined) when nothing hits.
+   */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, ws) => (lang, hitCount(toks, ws)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((lang, s), acc) =>
+      // fold from the right so earlier (alphabetically smaller) langs win ties
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /**
+   * Quality metrics, all integers:
+   *  n_chars, n_tokens, n_distinct_tokens, mean token length x100,
+   *  stopword hits per 1000 tokens, longest-token length.
+   */
+  def quality(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    docs.select(
+      id.as("id"),
+      length(text).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      (sum_chars(toks) * 100 / size(toks)).cast("long").as("mean_tok_len_x100"),
+      (hitCount(toks, allStop) * 1000 / size(toks)).cast("long").as("stop_per_1000"),
+      array_max(transform(toks, t => length(t))).as("max_tok_len"))
+  }
+
+  private def sum_chars(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+
+  /** Fingerprint: sha256 of case-folded, whitespace-collapsed text. */
+  def fingerprint(text: Column): Column =
+    sha2(trim(regexp_replace(lower(text), "\\s+", " ")), 256)
+}

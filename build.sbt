@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+) ++
+  // throughput GC: the parse kernel is allocation-heavy across 32 threads;
+  // a large young gen keeps the short-lived per-triple garbage out of the
+  // old gen (full GCs would otherwise dominate at local[32])
+  sys.env.getOrElse("SPARK_GC", "-XX:+UseParallelGC -Xmn12g").split(" ").toSeq

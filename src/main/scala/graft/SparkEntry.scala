@@ -163,12 +163,7 @@ object SparkEntry {
     // E2/E9: per-document metrics + the content sha256 invariant
     "kg_metrics_sha" -> ((s, dir) => {
       val corpus = nationCorpus(s, dir)
-      Materialize.metrics(corpus.toDF(),
-        TripleExtract.parse(corpus).toDF().select(
-          col("err"),
-          coalesce(col("triple.repo"), col("error.repo")).as("repo"),
-          coalesce(col("triple.path"), col("error.path")).as("path"),
-          coalesce(col("triple.commit"), col("error.commit")).as("commit")))
+      Materialize.metrics(corpus.toDF(), TripleExtract.parse(corpus).toDF())
         .select(col("path"), col("content_sha256"), col("n_triples"), col("n_errors"))
     }),
 
@@ -199,7 +194,10 @@ object SparkEntry {
       Dedup.lshCandidates(docs(s, dir), col("doc_id"), col("text"))),
 
     "td_dedup_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(docs(s, dir), col("doc_id"), col("text"))
+      // the scalable two-stage shape: LSH candidates -> exact verify
+      val d = docs(s, dir)
+      val cands = Dedup.lshCandidates(d, col("doc_id"), col("text"))
+      Dedup.jaccardPairs(d, col("doc_id"), col("text"), candidates = Some(cands))
         .filter(col("inter") * 5 >= col("union_") * 4) // jaccard >= 0.8, float-free
     }),
 
@@ -382,9 +380,20 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |       FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
+        |mh AS (SELECT doc_id, seed, min(sha256(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        |       FROM sh, unnest(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed // 2 AS band,
+        |                 sha256(string_agg(CAST(seed AS VARCHAR) || ':' || mh, ',' ORDER BY seed)) AS band_key
+        |          FROM mh GROUP BY doc_id, seed // 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        |inter AS (SELECT x.doc_id a, y.doc_id b, count(*) i
-        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |inter AS (SELECT cand.a, cand.b, count(*) i
+        |          FROM cand
+        |          JOIN sh x ON x.doc_id = cand.a
+        |          JOIN sh y ON y.doc_id = cand.b AND x.s = y.s
+        |          GROUP BY 1, 2)
         |SELECT a, b, i AS inter, (sa.n + sb.n - i) AS union_
         |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE i * 5 >= (sa.n + sb.n - i) * 4""".stripMargin,

@@ -109,36 +109,29 @@ object Materialize {
     // ---- parse (single pass) -> staging, partitioned by (bucket, err)
     val parsed = TripleExtract.parse(todo.drop("bucket").as[CorpusRow])
       .toDF()
-      .withColumn("bucket",
-        pmod(xxhash64(
-          coalesce(col("triple.repo"), col("error.repo")),
-          coalesce(col("triple.path"), col("error.path")),
-          coalesce(col("triple.commit"), col("error.commit"))), lit(buckets.toLong)))
+      .withColumn("bucket", bucketOf(buckets))
     parsed.write.mode(SaveMode.Overwrite)
       .partitionBy("bucket", "err")
       .parquet(s"$outDir/staging")
 
     if (strict) {
-      val stagedErr = spark.read.parquet(s"$outDir/staging").filter(col("err"))
-      val firstErr = stagedErr.select("error.*").limit(1).collect()
+      val firstErr = spark.read.parquet(s"$outDir/staging").filter(col("err"))
+        .select("repo", "path", "commit", "line", "charPos", "message")
+        .limit(1).collect()
       if (firstErr.nonEmpty)
         throw new IllegalStateException(s"strict mode: ${firstErr.head.mkString(" | ")}")
     }
 
     // ---- derive graph tables from ALL staged triples (cheap vs parse)
     val staged = spark.read.parquet(s"$outDir/staging")
-    val triplesDf = Canonicalize(Skolemize(staged.filter(!col("err")).select("triple.*")))
+    val triplesDf = Canonicalize(Skolemize(TripleExtract.assembleTriples(staged)))
     nodes(triplesDf).write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes")
     saltedRepartition(edges(triplesDf), col("subj_id"), salts = 16,
       numPartitions = spark.sessionState.conf.numShufflePartitions)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/edges")
 
     // ---- metrics for the documents processed in THIS run
-    metrics(todo.drop("bucket"), parsed.select(
-      col("err"),
-      coalesce(col("triple.repo"), col("error.repo")).as("repo"),
-      coalesce(col("triple.path"), col("error.path")).as("path"),
-      coalesce(col("triple.commit"), col("error.commit")).as("commit")))
+    metrics(todo.drop("bucket"), parsed)
       .withColumn("bucket", bucketOf(buckets))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/metrics") // dynamic overwrite: idempotent on re-run

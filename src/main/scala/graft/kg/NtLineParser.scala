@@ -35,10 +35,22 @@ import java.nio.charset.StandardCharsets
 final class NtLineParser(strict: Boolean) {
 
   private[this] var line: String = ""
-  private[this] var len = 0
-  private[this] var at = 0 // 0-based index of the current char
+  private[this] var base = 0 // offset of the current line inside `line`
+  private[this] var len = 0  // end offset (exclusive) of the current line
+  private[this] var at = 0   // absolute index of the current char
   private[this] var lineNo = -1
   private[this] val buf = new java.lang.StringBuilder(128)
+
+  // term slots, filled by one successful tripleLine() — allocation-free
+  // output surface for the Spark kernel (mirrors the reference's three
+  // parsedSubject/Predicate/Object slots, NtParser.scala:58-60)
+  var subjKind: Byte = -1
+  var subjValue: String = _
+  var predValue: String = _
+  var objKind: Byte = -1
+  var objValue: String = _
+  var objLang: String = _
+  var objDt: String = _
 
   import NtLineParser._
 
@@ -48,40 +60,54 @@ final class NtLineParser(strict: Boolean) {
    * `lineNumber = -1` means "unknown" and is omitted from error messages.
    */
   def parseStatement(text: String, lineNumber: Int = -1): NtStatement = {
+    if (!parseSlice(text, 0, text.length, lineNumber)) null
+    else NtStatement(
+      RdfTerm(subjKind, subjValue, null, null),
+      predValue,
+      RdfTerm(objKind, objValue, objLang, objDt))
+  }
+
+  /**
+   * Allocation-frugal entry: parse `text[from, until)` as one line, filling
+   * the term slots. Returns false for empty/blank/comment lines. No
+   * per-line substring is taken; error paths (rare) do the slicing.
+   */
+  def parseSlice(text: String, from: Int, until: Int, lineNumber: Int): Boolean = {
     lineNo = lineNumber
-    if (text.isEmpty) return null
+    subjKind = -1
+    if (from >= until) return false
     line = text
-    len = text.length
-    at = 0
+    base = from
+    len = until
+    at = from
     buf.setLength(0)
     skipWs()
     cur match {
-      case '<' | '_'  => tripleLine()
-      case '#'        => null // comment line
-      case '\u0000'   => null // blank line (or raw NUL == END sentinel)
+      case '<' | '_'  => tripleLine(); true
+      case '#'        => false // comment line
+      case '\u0000'   => false // blank line (or raw NUL == END sentinel)
       case _          => fail("<, _, or #")
     }
   }
 
   // ---- productions -------------------------------------------------------
 
-  private def tripleLine(): NtStatement = {
-    val s = cur match {
-      case '<' => RdfTerm.iri(iriBody())
-      case '_' => RdfTerm.bnode(bnodeLabel())
+  private def tripleLine(): Unit = {
+    cur match {
+      case '<' => subjKind = RdfTerm.IRI; subjValue = iriBody()
+      case '_' => subjKind = RdfTerm.BNODE; subjValue = bnodeLabel()
       case _   => fail("<, or _")
     }
-    val p = iriBody()
-    val o = cur match {
-      case '<' => RdfTerm.iri(iriBody())
-      case '_' => RdfTerm.bnode(bnodeLabel())
+    predValue = iriBody()
+    cur match {
+      case '<' => objKind = RdfTerm.IRI; objValue = iriBody(); objLang = null; objDt = null
+      case '_' => objKind = RdfTerm.BNODE; objValue = bnodeLabel(); objLang = null; objDt = null
       case '"' => literalNode()
       case _   => fail("<, _, or \"")
     }
     skipWs()
     if (!eat('.')) fail(".")
     // anything after the terminating '.' is ignored (trailing comments)
-    NtStatement(s, p, o)
   }
 
   /** `<` scheme `:` body `>` with absolute-IRI validation; skips trailing ws. */
@@ -126,12 +152,12 @@ final class NtLineParser(strict: Boolean) {
     take()
   }
 
-  private def literalNode(): RdfTerm = {
+  private def literalNode(): Unit = {
     if (strict || peek(1) != '"' || peek(2) != '"') shortLiteral()
     else longLiteral()
   }
 
-  private def shortLiteral(): RdfTerm = {
+  private def shortLiteral(): Unit = {
     if (!eat('"')) fail("\"")
     var open = true
     while (open) {
@@ -147,7 +173,7 @@ final class NtLineParser(strict: Boolean) {
   }
 
   /** Lenient-only Turtle `"""..."""`; raw newlines and quotes allowed inside. */
-  private def longLiteral(): RdfTerm = {
+  private def longLiteral(): Unit = {
     eatString("\"\"\"")
     var open = true
     while (open) {
@@ -164,37 +190,40 @@ final class NtLineParser(strict: Boolean) {
     literalSuffix()
   }
 
-  private def literalSuffix(): RdfTerm = {
-    val lex = take()
-    val term = cur match {
-      case '@' => langTagged(lex)
-      case '^' => typed(lex)
-      case _   => RdfTerm.simpleLiteral(lex)
+  private def literalSuffix(): Unit = {
+    objKind = RdfTerm.LITERAL
+    objValue = take()
+    objLang = null
+    cur match {
+      case '@' => langTagged()
+      case '^' => typed()
+      case _   => objDt = RdfTerm.XsdString
     }
     skipWs()
-    term
   }
 
-  private def langTagged(lex: String): RdfTerm = {
+  private def langTagged(): Unit = {
     if (!eat('@')) fail("@")
     captureWhile(isAlpha)
     cur match {
-      case ' ' | '\t' => RdfTerm.taggedLiteral(lex, take())
+      case ' ' | '\t' =>
+        objLang = take(); objDt = RdfTerm.RdfLangString
       case '-' =>
         step()
         buf.append('-')
         captureWhile(isNameChar)
         cur match {
-          case ' ' | '\t' => RdfTerm.taggedLiteral(lex, take())
-          case _          => fail("language tag identifier")
+          case ' ' | '\t' =>
+            objLang = take(); objDt = RdfTerm.RdfLangString
+          case _ => fail("language tag identifier")
         }
       case _ => fail("language tag identifier")
     }
   }
 
-  private def typed(lex: String): RdfTerm = {
+  private def typed(): Unit = {
     if (!eat('^') || !eat('^')) fail("^")
-    RdfTerm.typedLiteral(lex, iriBody())
+    objDt = iriBody()
   }
 
   // ---- escapes -----------------------------------------------------------
@@ -313,10 +342,12 @@ final class NtLineParser(strict: Boolean) {
   private def failValidation(detail: String): Nothing = raise(detail)
 
   private def raise(detail: String): Nothing = {
+    val rel = at - base
     val lineHint = if (lineNo == -1) " " else s" in line $lineNo "
-    val head = s"parse error${lineHint}at char ${at + 1}, $detail"
-    val caret = " " * at + "^"
-    throw new NtParseException(head, at + 1, head + "\n" + line + "\n" + caret)
+    val head = s"parse error${lineHint}at char ${rel + 1}, $detail"
+    val caret = " " * rel + "^"
+    throw new NtParseException(head, rel + 1,
+      head + "\n" + line.substring(base, len) + "\n" + caret)
   }
 }
 

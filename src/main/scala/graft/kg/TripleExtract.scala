@@ -1,6 +1,7 @@
 package graft.kg
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 
 /**
  * E2+E3: line slicing + triple extraction as one typed Dataset transform.
@@ -12,94 +13,114 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
  * NtParserRegressionSpec.scala:75-96), rows streamed through without
  * materializing a document's lines.
  *
- * Scale notes:
- *  - the stage is narrow (no shuffle); partition count is inherited from
- *    the corpus scan, so `spark.sql.files.maxPartitionBytes` controls
- *    work granularity at 100 TB;
- *  - the typed flatMap is an object-serde boundary Catalyst cannot see
- *    through, but column pruning of the corpus scan still happens because
- *    the kernel is typed on the narrow CorpusRow case class;
- *  - errors ride along in the same pass (ParseOutcome union row) instead
- *    of a second scan.
+ * Scale/allocation notes:
+ *  - narrow stage (no shuffle); partition granularity comes from the
+ *    corpus scan (`spark.sql.files.maxPartitionBytes` at 100 TB);
+ *  - lines are parsed IN PLACE over the content string (offset windows,
+ *    no per-line substring) and the parser exposes term slots, so the
+ *    per-triple garbage is only the output row itself — GC pressure is
+ *    what caps local[32] scaling;
+ *  - the kernel emits a FLAT row (ParsedLine); nested TripleRow structs
+ *    are assembled afterwards with codegen'd `struct()` expressions,
+ *    which is much cheaper than a nested case-class encoder;
+ *  - errors ride along in the same pass (err flag) instead of a second
+ *    scan.
  */
 object TripleExtract {
 
   final val LangStrict = "nt"
   final val LangLenient = "nt-lenient"
 
-  /**
-   * Split content into lines with `BufferedReader.readLine` semantics
-   * (what the reference sees through `Source.getLines`): `\n`, `\r` and
-   * `\r\n` all terminate a line; no trailing empty line after a final
-   * terminator. Zero-copy iterator over the content string.
-   */
-  private[kg] def sliceLines(content: String): Iterator[String] = {
-    new Iterator[String] {
-      private var start = 0
-      def hasNext: Boolean = start < content.length
-      def next(): String = {
-        var i = start
-        while (i < content.length && { val c = content.charAt(i); c != '\n' && c != '\r' }) i += 1
-        val s = content.substring(start, i)
-        if (i < content.length) {
-          // swallow \r\n as one terminator
-          i = if (content.charAt(i) == '\r' && i + 1 < content.length && content.charAt(i + 1) == '\n') i + 2
-              else i + 1
-        }
-        start = i
-        s
-      }
-    }
-  }
-
-  /** Parse a whole corpus into triples + error rows in a single pass. */
-  def parse(corpus: Dataset[CorpusRow]): Dataset[ParseOutcome] = {
+  /** Parse a whole corpus into flat triple/error rows in a single pass. */
+  def parse(corpus: Dataset[CorpusRow]): Dataset[ParsedLine] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     corpus.mapPartitions { docs =>
       // one parser pair per partition, reused across all rows
       val strictParser = NtLineParser.strict
       val lenientParser = NtLineParser.lenient
-      docs.flatMap { doc =>
-        val p = if (doc.lang == LangLenient) lenientParser else strictParser
-        sliceLines(doc.content).zipWithIndex.flatMap { case (lineText, idx) =>
-          val lineNo = idx + 1
+      docs.flatMap { doc => parseDoc(doc, strictParser, lenientParser) }
+    }
+  }
+
+  /** Streaming per-document line scan; 0 or 1 output rows per line. */
+  private def parseDoc(doc: CorpusRow, strictParser: NtLineParser,
+                       lenientParser: NtLineParser): Iterator[ParsedLine] = {
+    val p = if (doc.lang == LangLenient) lenientParser else strictParser
+    val content = doc.content
+    val n = content.length
+    new scala.collection.AbstractIterator[ParsedLine] {
+      private[this] var pos = 0
+      private[this] var lineNo = 0
+      private[this] var ready: ParsedLine = _
+
+      private def fetch(): ParsedLine = {
+        while (pos < n) {
+          // line window [start, end) with \n, \r, \r\n terminators
+          val start = pos
+          var e = start
+          while (e < n && { val c = content.charAt(e); c != '\n' && c != '\r' }) e += 1
+          pos =
+            if (e < n && content.charAt(e) == '\r' && e + 1 < n && content.charAt(e + 1) == '\n') e + 2
+            else e + 1
+          lineNo += 1
           try {
-            val st = p.parseStatement(lineText, lineNo)
-            if (st eq null) Iterator.empty
-            else Iterator.single(ParseOutcome(err = false,
-              TripleRow(st.subj, st.pred, st.obj, doc.repo, doc.path, doc.commit, lineNo), null))
+            if (p.parseSlice(content, start, e, lineNo))
+              return ParsedLine(err = false, doc.repo, doc.path, doc.commit, lineNo,
+                p.subjKind, p.subjValue, p.predValue,
+                p.objKind, p.objValue, p.objLang, p.objDt, 0, null)
           } catch {
-            case e: NtParseException =>
-              Iterator.single(ParseOutcome(err = true, null,
-                ParseErrorRow(doc.repo, doc.path, doc.commit, lineNo, e.charPos, e.shortMessage)))
+            case ex: NtParseException =>
+              return ParsedLine(err = true, doc.repo, doc.path, doc.commit, lineNo,
+                -1, null, null, -1, null, null, null, ex.charPos, ex.shortMessage)
           }
         }
+        null
+      }
+
+      def hasNext: Boolean = {
+        if (ready == null) ready = fetch()
+        ready != null
+      }
+      def next(): ParsedLine = {
+        if (!hasNext) Iterator.empty.next()
+        val r = ready; ready = null; r
       }
     }
   }
 
-  def triples(parsed: Dataset[ParseOutcome]): Dataset[TripleRow] = {
-    val spark = parsed.sparkSession
-    import spark.implicits._
-    parsed.filter(!_.err).map(_.triple)
+  /** Assemble the nested TripleRow schema from flat parsed rows. */
+  def assembleTriples(flat: DataFrame): DataFrame = {
+    def term(kind: Column, value: Column, lang: Column, dt: Column) =
+      struct(kind.cast("byte").as("kind"), value.as("value"), lang.as("lang"), dt.as("dt"))
+    flat.filter(!col("err")).select(
+      term(col("skind"), col("subj"), lit(null).cast("string"), lit(null).cast("string")).as("subj"),
+      col("pred"),
+      term(col("okind"), col("obj"), col("lang"), col("dt")).as("obj"),
+      col("repo"), col("path"), col("commit"), col("line"))
   }
 
-  def errors(parsed: Dataset[ParseOutcome]): Dataset[ParseErrorRow] = {
+  def triples(parsed: Dataset[ParsedLine]): Dataset[TripleRow] = {
     val spark = parsed.sparkSession
     import spark.implicits._
-    parsed.filter(_.err).map(_.error)
+    assembleTriples(parsed.toDF()).as[TripleRow]
+  }
+
+  def errors(parsed: Dataset[ParsedLine]): Dataset[ParseErrorRow] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.toDF().filter(col("err"))
+      .select(col("repo"), col("path"), col("commit"), col("line"),
+        col("charPos"), col("message"))
+      .as[ParseErrorRow]
   }
 
   /**
    * Strict-job gate (reference C4 semantics, StrictNtParser): fail the job
-   * if any strict-mode document produced a parse error. Uses `isEmpty`
-   * (limit-1 under the hood), not a full count.
+   * on the first parse error. Uses take(1), not a full count.
    */
-  def failOnErrors(parsed: Dataset[ParseOutcome]): Unit = {
-    val spark = parsed.sparkSession
-    import spark.implicits._
-    val firstErr = parsed.filter(_.err).map(_.error).take(1)
+  def failOnErrors(parsed: Dataset[ParsedLine]): Unit = {
+    val firstErr = errors(parsed).take(1)
     if (firstErr.nonEmpty) {
       val e = firstErr.head
       throw new NtParseException(e.message, e.charPos,

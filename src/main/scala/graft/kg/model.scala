@@ -34,9 +34,26 @@ final case class ParseErrorRow(
     message: String)
 
 /**
- * Union row emitted by the parse kernel so triples AND errors come out of
- * a single pass over the corpus (exactly one of `triple` / `error` is
- * non-null). At scale the staging write partitions on `err` so the two
- * sides land in separate parquet directories without a second scan.
+ * Flat union row emitted by the parse kernel so triples AND errors come
+ * out of a single pass over the corpus. Flat (no nested structs) because
+ * the nested case-class encoder allocates an InternalRow per term; the
+ * nested TripleRow shape is assembled afterwards with codegen'd
+ * `struct()` (TripleExtract.assembleTriples). At scale the staging write
+ * partitions on `err` so the two sides land in separate parquet
+ * directories without a second scan.
  */
-final case class ParseOutcome(err: Boolean, triple: TripleRow, error: ParseErrorRow)
+final case class ParsedLine(
+    err: Boolean,
+    repo: String,
+    path: String,
+    commit: String,
+    line: Int,
+    skind: Byte,
+    subj: String,
+    pred: String,
+    okind: Byte,
+    obj: String,
+    lang: String,
+    dt: String,
+    charPos: Int,
+    message: String)

@@ -90,10 +90,21 @@ object Dedup {
                    shingleWords: Int = 3, candidates: Option[DataFrame] = None): DataFrame = {
     val sh = wordShingles(docs, id, text, shingleWords)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val joined = sh.as("sa").join(sh.as("sb"),
-      col("sa.shingle") === col("sb.shingle") && col("sa.id") < col("sb.id"))
-      .select(col("sa.id").as("a"), col("sb.id").as("b"))
-    val paired = candidates.fold(joined)(c => joined.join(c, Seq("a", "b"), "left_semi"))
+    val paired = candidates match {
+      case None =>
+        // all-pairs: only for small verification scales — hot shingles
+        // make this quadratic
+        sh.as("sa").join(sh.as("sb"),
+          col("sa.shingle") === col("sb.shingle") && col("sa.id") < col("sb.id"))
+          .select(col("sa.id").as("a"), col("sb.id").as("b"))
+      case Some(c) =>
+        // candidate-bounded (the 100 TB path): join shingles to the
+        // candidate pair list FIRST so compute is O(|candidates| * doc
+        // size), never all-pairs
+        c.join(sh.as("sa"), c("a") === col("sa.id"))
+          .join(sh.as("sb"), c("b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
+          .select(col("a"), col("b"))
+    }
     paired.groupBy("a", "b").agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")

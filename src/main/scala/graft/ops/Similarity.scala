@@ -78,7 +78,7 @@ object Similarity {
    */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
-              k: Int, dims: Int, tables: Int = 8, planesPerTable: Int = 6): DataFrame = {
+              k: Int, dims: Int, tables: Int = 12, planesPerTable: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, id: Column, vec: Column, idName: String) = {
       val dv = asDouble(vec)
       df.select(id.as(idName), dv.as(s"v_$idName"),

@@ -21,7 +21,7 @@ class PipelineSpec extends AnyFunSuite {
       val p = new NtLineParser(!lenient)
       var triples = 0
       var errors = 0
-      TripleExtract.sliceLines(content).zipWithIndex.foreach { case (l, i) =>
+      scala.io.Source.fromString(content).getLines().zipWithIndex.foreach { case (l, i) =>
         try { if (p.parseStatement(l, i + 1) != null) triples += 1 }
         catch { case _: NtParseException => errors += 1 }
       }
@@ -31,7 +31,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("kernel over W3C corpus matches the pure parser file-by-file") {
     val parsed = TripleExtract.parse(Corpus.w3cFixtures(spark)).cache()
-    val got = parsed.groupBy(coalesce($"triple.path", $"error.path").as("path")).agg(
+    val got = parsed.groupBy($"path").agg(
       sum(when(!$"err", 1).otherwise(0)).as("t"),
       sum(when($"err", 1).otherwise(0)).as("e"))
       .as[(String, Long, Long)].collect()
@@ -112,12 +112,7 @@ class PipelineSpec extends AnyFunSuite {
     val corpus = Seq(
       CorpusRow("r", "good.nt", "c", "nt", "<a:b> <c:d> <e:f> .\n# note\n"),
       CorpusRow("r", "bad.nt", "c", "nt", "oops\n<a:b> <c:d> \"x\" .")).toDS()
-    val m = Materialize.metrics(corpus.toDF(),
-      TripleExtract.parse(corpus).toDF().select(
-        $"err",
-        coalesce($"triple.repo", $"error.repo").as("repo"),
-        coalesce($"triple.path", $"error.path").as("path"),
-        coalesce($"triple.commit", $"error.commit").as("commit")))
+    val m = Materialize.metrics(corpus.toDF(), TripleExtract.parse(corpus).toDF())
     val rows = m.select("path", "content_sha256", "n_triples", "n_errors")
       .as[(String, String, Long, Long)].collect().sortBy(_._1).toList
     val shaGood = java.security.MessageDigest.getInstance("SHA-256")

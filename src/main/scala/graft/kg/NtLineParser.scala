@@ -67,6 +67,19 @@ final class NtLineParser(strict: Boolean) {
       RdfTerm(objKind, objValue, objLang, objDt))
   }
 
+  /** C3 surface parity: Some(statement) or None (swallows nothing). */
+  def parseOpt(text: String, lineNumber: Int = -1): Option[NtStatement] =
+    Option(parseOrNull(text, lineNumber))
+
+  /** C3 surface parity: Success(Option) or Failure(parse error). */
+  def parseTry(text: String, lineNumber: Int = -1): scala.util.Try[Option[NtStatement]] =
+    scala.util.Try(Option(parseStatement(text, lineNumber)))
+
+  /** C3/C5 surface parity: swallow parse errors, return null (lenient-file mode). */
+  def parseOrNull(text: String, lineNumber: Int = -1): NtStatement =
+    try parseStatement(text, lineNumber)
+    catch { case _: NtParseException => null }
+
   /**
    * Allocation-frugal entry: parse `text[from, until)` as one line, filling
    * the term slots. Returns false for empty/blank/comment lines. No

@@ -1,0 +1,56 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/**
+ * Structured Streaming front-end for the same kernel (beyond the
+ * reference, which is a pull iterator — SURVEY.md §1.4 notes the flatMap
+ * kernel is stateless per line, so it lifts to `readStream` unchanged).
+ *
+ * Shape: a stream of CorpusRow micro-batches (files landing in a corpus
+ * directory, Kafka, ...) -> parse kernel -> append-mode sink of flat
+ * parsed rows; windowed per-repo triple/error rates via a processing-time
+ * window over an ingest timestamp.
+ */
+object NtStream {
+
+  /** Streaming corpus from parquet files landing under `dir`. */
+  def corpusStream(spark: SparkSession, dir: String): Dataset[CorpusRow] = {
+    import spark.implicits._
+    spark.readStream
+      .schema("repo STRING, path STRING, commit STRING, lang STRING, content STRING")
+      .parquet(dir)
+      .as[CorpusRow]
+  }
+
+  /** The SAME batch kernel applied to a streaming Dataset. */
+  def parsedStream(corpus: Dataset[CorpusRow]): Dataset[ParsedLine] =
+    TripleExtract.parse(corpus)
+
+  /**
+   * Windowed per-repo metrics over the parsed stream: triples/errors per
+   * repo per 10-second ingest window, with a watermark so state is
+   * bounded.
+   */
+  def windowedMetrics(parsed: Dataset[ParsedLine]): DataFrame =
+    parsed.toDF()
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", "30 seconds")
+      .groupBy(window(col("ingest_ts"), "10 seconds"), col("repo"))
+      .agg(
+        sum(when(!col("err"), 1L).otherwise(0L)).as("n_triples"),
+        sum(when(col("err"), 1L).otherwise(0L)).as("n_errors"))
+
+  /** Append-mode writer of parsed rows to a parquet sink directory. */
+  def writer(parsed: Dataset[ParsedLine], outDir: String,
+             checkpointDir: String): DataStreamWriter[Row] =
+    parsed.toDF().writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+}

@@ -73,7 +73,7 @@ object Bench {
     // dispatch, JIT) must be noise relative to real work or the scaling
     // number measures overhead, not the pipeline
     val corpusPath = "/tmp/graft_bench_corpus.parquet"
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000").toLong
     val linesPerDoc = sys.env.getOrElse("SPARK_GRAFT_BENCH_LINES", "1000").toInt
     if (!new java.io.File(corpusPath).exists()) {
       val s = session(cpus)

@@ -74,10 +74,19 @@ object Dedup {
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy("id", "band")
       .agg(sha2(concat_ws(",", sort_array(collect_list(concat(col("seed"), lit(":"), col("mh"))))), 256).as("band_key"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+    // bucket-grouped pair generation instead of a self-join: the minhash
+    // sub-plan (the expensive part) is computed ONCE, buckets collect
+    // their (few) member ids, and in-bucket pairs come from a
+    // higher-order-function expression — one extra shuffle, no recompute
+    val ids = sort_array(collect_list(col("id")))
+    val pairs = flatten(transform(sequence(lit(1), size(col("ids")) - 1), i =>
+      transform(sequence(i + 1, size(col("ids"))), j =>
+        struct(element_at(col("ids"), i).as("a"), element_at(col("ids"), j).as("b")))))
+    banded
+      .groupBy("band", "band_key").agg(ids.as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg.TestSpark
+
+/** Unit behavior of the training-data operators on small inline frames. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup groups and keeps the minimum id") {
+    val d = docsDf(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val groups = Dedup.exactGroups(d, $"doc_id", $"text").collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 1L)
+    assert(Dedup.exactDedup(d, "doc_id", "text").count() == 2)
+  }
+
+  test("word shingles: distinct, guarded for short docs") {
+    val sh = Dedup.wordShingles(docsDf(1L -> "a b c d", 2L -> "a b"), $"doc_id", $"text", 3)
+      .as[(Long, String)].collect().toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("minhash LSH finds near-identical docs, not unrelated ones") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w40", "w40x")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val cands = Dedup.lshCandidates(docsDf(1L -> base, 2L -> nearDup, 3L -> other),
+      $"doc_id", $"text").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard pairs compute exact set sizes") {
+    val d = docsDf(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "q r s t u")
+    val j = Dedup.jaccardPairs(d, $"doc_id", $"text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // shingles(1): {a b c, b c d, c d e}; shingles(2): {a b c, b c d, c d f}
+    assert(j == Set((1L, 2L, 2L, 4L)))
+  }
+
+  test("simhash: identical docs same signature; disjoint docs differ") {
+    val d = docsDf(1L -> "a b c", 2L -> "c b a", 3L -> "p q r s t u v w")
+    val s = Dedup.simhash16(d, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(s(1L) == s(2L)) // token-set based: order-invariant
+    assert(s.values.forall(v => v >= 0 && v < (1 << 16)))
+  }
+
+  test("cosine + brute-force top-k ranks an identical vector first") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(e, $"vec_id", $"embedding",
+      e.filter($"vec_id" === 0), $"vec_id", $"embedding", k = 2)
+      .orderBy("rank").as[(Long, Int, Long)].collect().toList
+    assert(top.map(_._3) == List(1L, 3L))
+  }
+
+  test("LSH top-k returns a subset consistent with exact cosine order") {
+    val e = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(e, $"vec_id", $"embedding",
+      e.filter($"vec_id" < 2), $"vec_id", $"embedding", k = 5, dims = 8)
+      .as[(Long, Int, Long)].collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.groupBy(_._1).values.forall(_.length <= 5))
+  }
+
+  test("language id picks the stopword-dominant language deterministically") {
+    val d = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "der Hund und die Katze ist"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextOps.langId($"text").as("l")).as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("quality metrics are integer-exact") {
+    val q = TextOps.quality(docsDf(1L -> "the aa bbb"), $"doc_id", $"text").collect().head
+    assert(q.getAs[Int]("n_chars") == 10)
+    assert(q.getAs[Int]("n_tokens") == 3)
+    assert(q.getAs[Int]("n_distinct_tokens") == 3)
+    assert(q.getAs[Long]("mean_tok_len_x100") == 266) // floor(8*100/3)
+    assert(q.getAs[Int]("max_tok_len") == 3)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = Seq("A  b\tC", "a b c").toDF("text")
+      .select(TextOps.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("multimodal feature extraction is deterministic over binary blobs") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      Seq((0L, "hello"), (1L, "world"), (2L, "data")).toDF("doc_id", "text"))
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f.map(_.kind).toList == List("image", "audio", "video"))
+    assert(f.forall(_.n_bytes == 5 || f.exists(_.n_bytes == 4)))
+    assert(f.forall(_.content_sha.length == 64))
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f.toList == again.toList)
+    val img = f(0)
+    assert(img.width >= 160 && img.height == img.width * 3 / 4 && img.n_frames == 1)
+  }
+}

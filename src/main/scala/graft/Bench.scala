@@ -36,10 +36,10 @@ object Bench {
   /** parse -> skolemize -> canonicalize -> edges over a corpus path. */
   private def parseLinkTriples(spark: SparkSession, corpusPath: String,
                                warmup: Boolean = false): Long = {
-    import spark.implicits._
     val raw = spark.read.parquet(corpusPath)
-    val corpus = (if (warmup) raw.sample(0.02, seed = 7) else raw).as[CorpusRow]
-    val triples = TripleExtract.triples(TripleExtract.parse(corpus)).toDF()
+    val corpus = if (warmup) raw.sample(0.02, seed = 7) else raw
+    // native ParseNtLines generator: no object-serde boundary
+    val triples = TripleExtract.assembleTriples(TripleExtract.parseExpr(corpus))
     Materialize.edges(Canonicalize(Skolemize(triples))).count()
   }
 

@@ -10,8 +10,11 @@ object GcProbe {
       s.sparkContext.setLogLevel("ERROR")
       import s.implicits._
       def job(): Long = {
-        val corpus = s.read.parquet(corpusPath).as[CorpusRow]
-        val t = TripleExtract.triples(TripleExtract.parse(corpus)).toDF()
+        val t =
+          if (sys.env.get("PROBE_EXPR").isDefined)
+            TripleExtract.assembleTriples(TripleExtract.parseExpr(s.read.parquet(corpusPath)))
+          else
+            TripleExtract.triples(TripleExtract.parse(s.read.parquet(corpusPath).as[CorpusRow])).toDF()
         if (sys.env.get("PROBE_PARSE_ONLY").isDefined) t.count()
         else Materialize.edges(Canonicalize(Skolemize(t))).count()
       }

@@ -107,8 +107,8 @@ object Materialize {
     if (todoBuckets.isEmpty) return 0
 
     // ---- parse (single pass) -> staging, partitioned by (bucket, err)
-    val parsed = TripleExtract.parse(todo.drop("bucket").as[CorpusRow])
-      .toDF()
+    // native generator path: no object-serde boundary (see ParseNtLines)
+    val parsed = TripleExtract.parseExpr(todo.drop("bucket"))
       .withColumn("bucket", bucketOf(buckets))
     parsed.write.mode(SaveMode.Overwrite)
       .partitionBy("bucket", "err")

@@ -1,0 +1,108 @@
+package graft.kg
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst table-generating expression for the parse kernel
+ * (SURVEY.md §4.3 "phase 2" path): `parse_nt(content, lang)` explodes one
+ * corpus row into its parsed line rows WITHOUT the typed-Dataset
+ * object-serde boundary (no DeserializeToObject / CorpusRow / ParsedLine
+ * instances / SerializeFromObject) — the generator builds InternalRows
+ * directly, and lineage columns ride along as ordinary projected columns
+ * of the same GenerateExec, pruned by Catalyst like any other column.
+ *
+ * Semantics are identical to TripleExtract.parse (same NtLineParser).
+ */
+case class ParseNtLines(content: Expression, lang: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(content, lang)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("err", BooleanType, nullable = false),
+    StructField("line", IntegerType, nullable = false),
+    StructField("skind", ByteType, nullable = false),
+    StructField("subj", StringType),
+    StructField("pred", StringType),
+    StructField("okind", ByteType, nullable = false),
+    StructField("obj", StringType),
+    StructField("lang", StringType),
+    StructField("dt", StringType),
+    StructField("charPos", IntegerType, nullable = false),
+    StructField("message", StringType)))
+
+  // one parser pair per deserialized expression instance (== per task)
+  @transient private lazy val strictParser = NtLineParser.strict
+  @transient private lazy val lenientParser = NtLineParser.lenient
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val c = content.eval(input)
+    if (c == null) return Iterator.empty
+    val text = c.asInstanceOf[UTF8String].toString
+    val langV = lang.eval(input)
+    val lenient = langV != null &&
+      langV.asInstanceOf[UTF8String].toString == TripleExtract.LangLenient
+    val p = if (lenient) lenientParser else strictParser
+    val n = text.length
+
+    new Iterator[InternalRow] {
+      private[this] var pos = 0
+      private[this] var lineNo = 0
+      private[this] var ready: InternalRow = _
+
+      private def utf8(s: String): UTF8String =
+        if (s == null) null else UTF8String.fromString(s)
+
+      private def fetch(): InternalRow = {
+        while (pos < n) {
+          val start = pos
+          var e = start
+          while (e < n && { val ch = text.charAt(e); ch != '\n' && ch != '\r' }) e += 1
+          pos =
+            if (e < n && text.charAt(e) == '\r' && e + 1 < n && text.charAt(e + 1) == '\n') e + 2
+            else e + 1
+          lineNo += 1
+          try {
+            if (p.parseSlice(text, start, e, lineNo)) {
+              return InternalRow(false, lineNo, p.subjKind, utf8(p.subjValue),
+                utf8(p.predValue), p.objKind, utf8(p.objValue),
+                utf8(p.objLang), utf8(p.objDt), 0, null)
+            }
+          } catch {
+            case ex: NtParseException =>
+              return InternalRow(true, lineNo, (-1).toByte, null, null, (-1).toByte,
+                null, null, null, ex.charPos, utf8(ex.shortMessage))
+          }
+        }
+        null
+      }
+
+      def hasNext: Boolean = {
+        if (ready == null) ready = fetch()
+        ready != null
+      }
+      def next(): InternalRow = {
+        if (!hasNext) Iterator.empty.next()
+        val r = ready; ready = null; r
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(content = newChildren(0), lang = newChildren(1))
+}
+
+object ParseNtLines {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column wrapper: use in select() like explode(). */
+  def parseNt(content: Column, lang: Column): Column =
+    ColumnShim.column(
+      ParseNtLines(ColumnShim.expression(content), ColumnShim.expression(lang)))
+}

@@ -89,6 +89,24 @@ object TripleExtract {
     }
   }
 
+  /**
+   * Expression-based variant of `parse` (same kernel semantics, same flat
+   * schema): uses the native ParseNtLines Catalyst generator, so the plan
+   * has no object-serde boundary — GenerateExec streams InternalRows and
+   * lineage columns are ordinary pruned projections. Prefer this path for
+   * throughput-critical jobs; `parse` remains the typed-API shape.
+   */
+  def parseExpr(corpus: DataFrame): DataFrame = {
+    corpus.select(
+      col("repo"), col("path"), col("commit"),
+      ParseNtLines.parseNt(col("content"), col("lang")).as(Seq(
+        "err", "line", "skind", "subj", "pred", "okind", "obj", "lang_", "dt",
+        "charPos", "message")))
+      .withColumnRenamed("lang_", "lang")
+      .select("err", "repo", "path", "commit", "line", "skind", "subj", "pred",
+        "okind", "obj", "lang", "dt", "charPos", "message")
+  }
+
   /** Assemble the nested TripleRow schema from flat parsed rows. */
   def assembleTriples(flat: DataFrame): DataFrame = {
     def term(kind: Column, value: Column, lang: Column, dt: Column) =

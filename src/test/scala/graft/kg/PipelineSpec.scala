@@ -122,6 +122,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.find(_._1 == "good.nt").get._2 == shaGood)
   }
 
+  test("native ParseNtLines generator matches the Dataset kernel exactly") {
+    val corpus = Corpus.w3cFixtures(spark).union(Seq(
+      CorpusRow("r", "len.nt", "c", TripleExtract.LangLenient,
+        "<a:b> <p:q> \"\"\"long \"lit\"\"\"\" .\nbad\n<a:b> <p:q> \"ok\" .")).toDS())
+    val viaKernel = TripleExtract.parse(corpus).toDF()
+    val viaExpr = TripleExtract.parseExpr(corpus.toDF())
+    assert(viaExpr.schema.fieldNames.toSeq == viaKernel.schema.fieldNames.toSeq)
+    val k = viaKernel.collect().map(_.toSeq).toSet
+    val e = viaExpr.collect().map(_.toSeq).toSet
+    assert(e == k)
+    // and the plan has no object serde boundary
+    val plan = viaExpr.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && plan.contains("Generate"))
+  }
+
   test("lenient corpus rows skip bad lines instead of erroring the doc") {
     val corpus = Seq(
       CorpusRow("r", "mix.nt", "c", TripleExtract.LangLenient,

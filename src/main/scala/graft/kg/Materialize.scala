@@ -33,6 +33,15 @@ object Materialize {
     pmod(xxhash64(col("repo"), col("path"), col("commit")), lit(buckets.toLong))
 
   /**
+   * Read the staging table back with `err` re-typed: partition-column
+   * type inference has no boolean case, so `err=true/false` directory
+   * values come back as strings.
+   */
+  def readStaging(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/staging")
+      .withColumn("err", col("err").cast("boolean"))
+
+  /**
    * E6: salted repartition to break hot-key skew. Hash-partitions on
    * (key, salt) so a hub key spreads over `salts` partitions instead of
    * one, while small keys keep near-locality. AQE skew-join handling is
@@ -115,7 +124,7 @@ object Materialize {
       .parquet(s"$outDir/staging")
 
     if (strict) {
-      val firstErr = spark.read.parquet(s"$outDir/staging").filter(col("err"))
+      val firstErr = readStaging(spark, outDir).filter(col("err"))
         .select("repo", "path", "commit", "line", "charPos", "message")
         .limit(1).collect()
       if (firstErr.nonEmpty)
@@ -123,7 +132,7 @@ object Materialize {
     }
 
     // ---- derive graph tables from ALL staged triples (cheap vs parse)
-    val staged = spark.read.parquet(s"$outDir/staging")
+    val staged = readStaging(spark, outDir)
     val triplesDf = Canonicalize(Skolemize(TripleExtract.assembleTriples(staged)))
     nodes(triplesDf).write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes")
     saltedRepartition(edges(triplesDf), col("subj_id"), salts = 16,

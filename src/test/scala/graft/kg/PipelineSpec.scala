@@ -91,7 +91,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(n1 > 0)
     val edges = spark.read.parquet(s"$dir/edges")
     val nodes = spark.read.parquet(s"$dir/nodes")
-    val staged = spark.read.parquet(s"$dir/staging")
+    val staged = Materialize.readStaging(spark, dir)
     assert(edges.count() == staged.filter(!$"err").count())
     assert(nodes.select("id").distinct().count() == nodes.count())
     // every edge endpoint resolves to a node (referential integrity)
@@ -135,6 +135,43 @@ class PipelineSpec extends AnyFunSuite {
     // and the plan has no object serde boundary
     val plan = viaExpr.queryExecution.executedPlan.toString
     assert(!plan.contains("DeserializeToObject") && plan.contains("Generate"))
+  }
+
+  test("salted repartition spreads hub subjects across partitions") {
+    // skewed edges: one hub subject owns 70% of rows
+    val rows = (1 to 2000).map { i =>
+      val subj = if (i % 10 < 7) "hub" else s"s$i"
+      (subj, s"p$i")
+    }
+    val df = rows.toDF("subj_id", "pred")
+    def maxPartitionShare(d: org.apache.spark.sql.DataFrame): Double = {
+      val counts = d.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+      counts.max.toDouble / counts.sum
+    }
+    val unsalted = df.repartition(8, $"subj_id")
+    val salted = Materialize.saltedRepartition(df, $"subj_id", salts = 16, numPartitions = 8)
+    val u = maxPartitionShare(unsalted)
+    val s = maxPartitionShare(salted)
+    assert(u > 0.5, s"unsalted should be skewed, was $u")
+    assert(s < 0.35, s"salted should be balanced, was $s")
+    assert(salted.count() == 2000)
+  }
+
+  test("strict gate fails fast on the first parse error (C4)") {
+    val bad = Seq(
+      CorpusRow("r", "ok.nt", "c", "nt", "<a:b> <c:d> <e:f> ."),
+      CorpusRow("r", "bad.nt", "c", "nt", "nope")).toDS()
+    val e = intercept[NtParseException] {
+      TripleExtract.failOnErrors(TripleExtract.parse(bad))
+    }
+    assert(e.getMessage.contains("strict mode") && e.getMessage.contains("bad.nt"))
+    // clean corpus passes
+    TripleExtract.failOnErrors(TripleExtract.parse(bad.filter(_.path == "ok.nt")))
+    // Materialize strict mode refuses too
+    val dir = Files.createTempDirectory("graft-strict").toString
+    intercept[IllegalStateException] {
+      Materialize.run(spark, bad, dir, buckets = 2, strict = true)
+    }
   }
 
   test("lenient corpus rows skip bad lines instead of erroring the doc") {

@@ -43,6 +43,27 @@ object Bench {
     Materialize.edges(Canonicalize(Skolemize(triples))).count()
   }
 
+  /**
+   * Raw single-thread kernel throughput (no Spark): the apples-to-apples
+   * number against the reference's single-threaded parser. Reference
+   * publishes no numbers (BASELINE.md), so this is the recorded baseline.
+   */
+  private def kernelSingleThread(): Double = {
+    val parser = NtLineParser.strict
+    val lines = Array.tabulate(500000) { i =>
+      s"""<http://kg.example/entity/${i % 100000}> <http://kg.example/prop/p${i % 7}> "value $i with \\u00E9scapes %41" ."""
+    }
+    def pass(): Unit = {
+      var i = 0
+      while (i < lines.length) { parser.parseSlice(lines(i), 0, lines(i).length, i + 1); i += 1 }
+    }
+    pass(); pass() // JIT warm
+    val best = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); pass(); (System.nanoTime() - t0) / 1e9
+    }.min
+    lines.length / best
+  }
+
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -124,6 +145,7 @@ object Bench {
       s""""efficiency":${"%.3f".format(efficiency)},"triples":$triplesN,""" +
       s""""pair_2_to_8":{"triples_per_sec_n":${"%.0f".format(thr2)},"sec_n":${"%.2f".format(sec2)},""" +
       s""""triples_per_sec_4n":${"%.0f".format(thrN)},"efficiency":${"%.3f".format(efficiency2to8)}},""" +
+      s""""kernel_single_thread_triples_per_sec":${"%.0f".format(kernelSingleThread())},""" +
       s""""hw_bandwidth_efficiency_8_to_32":0.57}"""
     println(
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","parse_link_scaling":$scaling}""")

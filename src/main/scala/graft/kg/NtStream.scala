@@ -44,6 +44,32 @@ object NtStream {
         sum(when(!col("err"), 1L).otherwise(0L)).as("n_triples"),
         sum(when(col("err"), 1L).otherwise(0L)).as("n_errors"))
 
+  /**
+   * Stateful streaming exact-dedup: keep the FIRST document per content
+   * fingerprint across micro-batches (KeyValueGroupedDataset +
+   * flatMapGroupsWithState keyed by sha256(content); state = seen flag).
+   * The streaming face of ops.Dedup.exactDedup for continuously landing
+   * corpora.
+   */
+  def dedupStream(corpus: Dataset[CorpusRow]): Dataset[CorpusRow] = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    corpus
+      .withColumn("fp", sha2(col("content"), 256))
+      .as[(String, String, String, String, String, String)]
+      .groupByKey(_._6) // fingerprint is the appended last column
+      .flatMapGroupsWithState[Boolean, CorpusRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1).map(r => CorpusRow(r._1, r._2, r._3, r._4, r._5))
+          }
+      }
+  }
+
   /** Append-mode writer of parsed rows to a parquet sink directory. */
   def writer(parsed: Dataset[ParsedLine], outDir: String,
              checkpointDir: String): DataStreamWriter[Row] =

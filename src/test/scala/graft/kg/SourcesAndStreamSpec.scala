@@ -52,6 +52,52 @@ class SourcesAndStreamSpec extends AnyFunSuite {
     assert(errs.length == 1 && errs.head.message.contains("expected [<, _, or #]"))
   }
 
+  test("CRLF and lone-CR line terminators slice like BufferedReader") {
+    val corpus = Seq(CorpusRow("r", "crlf.nt", "c", "nt",
+      "<a:b> <c:d> \"one\" .\r\n<a:b> <c:d> \"two\" .\r<a:b> <c:d> \"three\" .")).toDS()
+    val t = TripleExtract.triples(TripleExtract.parse(corpus)).collect().sortBy(_.line)
+    assert(t.map(_.obj.value).toList == List("one", "two", "three"))
+    assert(t.map(_.line).toList == List(1, 2, 3))
+  }
+
+  test("java-facing iterator parse surface (A5)") {
+    import scala.jdk.CollectionConverters._
+    val lines = List("<a:b> <c:d> \"x\" .", "# c", "bad", "<a:b> <c:d> \"y\" .")
+    val lenient = javadsl.NtParsing.parseLenient(lines.iterator.asJava).asScala.toList
+    assert(lenient.map(_.obj.value) == List("x", "y"))
+    intercept[NtParseException] {
+      javadsl.NtParsing.parseStrict(lines.iterator.asJava).asScala.toList
+    }
+  }
+
+  test("stateful streaming dedup keeps first doc per fingerprint across batches") {
+    val in = java.nio.file.Files.createTempDirectory("graft-dedup-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-dedup-out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-dedup-chk").toString
+    Seq(CorpusRow("r", "a.nt", "c", "nt", "same text"),
+        CorpusRow("r", "b.nt", "c", "nt", "same text"),
+        CorpusRow("r", "c.nt", "c", "nt", "other")).toDS()
+      .write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = NtStream.dedupStream(NtStream.corpusStream(spark, in))
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    val first = spark.read.parquet(out)
+    assert(first.count() == 2) // one per distinct content
+    // batch 2: duplicate of "other" + a new doc
+    Seq(CorpusRow("r", "d.nt", "c", "nt", "other"),
+        CorpusRow("r", "e.nt", "c", "nt", "brand new")).toDS()
+      .write.mode("append").parquet(in)
+    runOnce()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3) // "other" dup suppressed by state, "brand new" kept
+  }
+
   test("streaming kernel over a file stream matches the batch kernel") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     val out = Files.createTempDirectory("graft-stream-out").toString

@@ -181,6 +181,40 @@ object SparkEntry {
         countDistinct(col("subj_id")).as("n_subjects"))
     }),
 
+    // B9/B22-B24: bnode label charset + minimal whitespace
+    "kg_grammar_minimal_ws" -> ((s, dir) => {
+      val corpus = inlineCorpus(s, Seq(
+        ("minws.nt", "nt",
+          "<a:b><c:d><e:f>.\n" +
+          "<a:b><c:d>\"lit\".\n" +
+          "_:s9<c:d>_:1a.\n" +
+          "\t <a:b>\t<c:d> \"pad\"  . # trailing")))
+      parsedTriples(corpus).select(
+        col("line"), col("subj.kind").cast("int").as("skind"),
+        col("subj.value").as("subj"), col("obj.kind").cast("int").as("okind"),
+        col("obj.value").as("obj"))
+    }),
+
+    // SQL surface: the same kernel through LATERAL VIEW parse_nt(...)
+    "kg_sql_lateral_parse" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      nationCorpus(s, dir).createOrReplaceTempView("corpus_v")
+      s.sql(
+        """SELECT path, p.line, p.subj, p.pred, p.obj
+          |FROM corpus_v
+          |LATERAL VIEW parse_nt(content, lang) p
+          |WHERE NOT p.err""".stripMargin)
+    }),
+
+    // windowed temporal aggregation over the events stream table
+    "td_event_windows" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+        .select(col("w.start").as("w"), col("event_type"), col("n"), col("sv"))
+    }),
+
     // ---- training-data ops ------------------------------------------------
 
     "td_dedup_exact" -> ((s, dir) => {
@@ -355,6 +389,28 @@ object SparkEntry {
         |  UNION ALL SELECT 'urn:col:documents:lang', 'urn:g:documents:' || CAST(doc_id AS VARCHAR) FROM documents
         |  UNION ALL SELECT 'urn:col:documents:source', 'urn:g:documents:' || CAST(doc_id AS VARCHAR) FROM documents)
         |SELECT pred, count(*) AS n_edges, count(DISTINCT subj) AS n_subjects FROM e GROUP BY pred""".stripMargin,
+
+    "kg_grammar_minimal_ws" ->
+      """SELECT * FROM (VALUES
+        |  (1, 0, 'a:b', 0, 'e:f'),
+        |  (2, 0, 'a:b', 2, 'lit'),
+        |  (3, 1, 's9', 1, '1a'),
+        |  (4, 0, 'a:b', 2, 'pad')
+        |) t(line, skind, subj, okind, obj)""".stripMargin,
+
+    "kg_sql_lateral_parse" ->
+      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) || '.nt' AS path, 1 AS line,
+        |       'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+        |       'urn:col:nation:n_name' AS pred, n_name AS obj FROM nation
+        |UNION ALL
+        |SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) || '.nt', 2,
+        |       'urn:g:nation:' || CAST(n_nationkey AS VARCHAR),
+        |       'urn:col:nation:n_regionkey', CAST(n_regionkey AS VARCHAR) FROM nation""".stripMargin,
+
+    "td_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS n,
+        |       sum(value::DECIMAL(18,2)) AS sv
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "td_dedup_exact" ->
       """WITH all_docs AS (

@@ -110,7 +110,7 @@ object Bench {
     // interleaved across levels and we take the best per level, because
     // the sandbox VM sees neighbor CPU steal that can inflate a single
     // timing 2-3x.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     def once(n: Int): (Long, Double) = {
       val s = session(n)
       val r = timed(parseLinkTriples(s, corpusPath))

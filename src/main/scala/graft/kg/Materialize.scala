@@ -80,6 +80,20 @@ object Materialize {
       col("repo"), col("path"), col("commit"), col("line"))
 
   /**
+   * E7+: bucketed (hash-clustered, sorted) edges table in the session
+   * catalog. Bucketing on subj_id means every downstream self-join /
+   * graph-traversal join on subject is SHUFFLE-FREE (bucket pruning +
+   * sort-merge without Exchange) — at 100 TB this converts the dominant
+   * repeated traversal shuffles into one write-time clustering. With a
+   * real Iceberg catalog this maps to `bucket(N, subj_id)` partition
+   * transforms.
+   */
+  def saveBucketedEdges(edgesDf: DataFrame, table: String, buckets: Int = 64): Unit =
+    edgesDf.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "subj_id").sortBy("subj_id")
+      .format("parquet").saveAsTable(table)
+
+  /**
    * E9: per-document metrics with lineage and the content sha256
    * invariant (BASELINE.json: per-row `sha256(content)` equality is
    * carried next to the counts so any downstream consumer can audit that

@@ -174,6 +174,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed edges table: subject self-join plans without a shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = Corpus.synthetic(spark, nDocs = 20, linesPerDoc = 20)
+      val triples = Canonicalize(Skolemize(
+        TripleExtract.triples(TripleExtract.parse(corpus)).toDF()))
+      Materialize.saveBucketedEdges(Materialize.edges(triples), "edges_b", buckets = 4)
+      val e = spark.table("edges_b")
+      val joined = e.as("x").join(e.as("y"), "subj_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed self-join must be shuffle-free:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS edges_b")
+    }
+  }
+
   test("lenient corpus rows skip bad lines instead of erroring the doc") {
     val corpus = Seq(
       CorpusRow("r", "mix.nt", "c", TripleExtract.LangLenient,

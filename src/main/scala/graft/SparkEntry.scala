@@ -270,6 +270,42 @@ object SparkEntry {
 
     "td_multimodal" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, docs(s, dir))).toDF()
+    }),
+
+    // gopher-style repetition quality filters
+    "td_repetition" -> ((s, dir) =>
+      Curation.repetitionMetrics(docs(s, dir), col("doc_id"), col("text"))),
+
+    // document -> training-sample chunking (50-token windows, stride 40)
+    "td_chunking" -> ((s, dir) =>
+      Curation.chunk(docs(s, dir), col("doc_id"), col("text"))),
+
+    // deterministic stratified sampling by stable id hash
+    "td_sample" -> ((s, dir) =>
+      Curation.sampleDeterministic(docs(s, dir), col("doc_id"), keepOutOf10 = 3)
+        .select(col("doc_id"), col("lang"))),
+
+    // PII scrubbing over synthetic-augmented text
+    "td_pii_scrub" -> ((s, dir) => {
+      val augmented = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com ref 12345678"))
+      docs(s, dir).select(col("doc_id"), Curation.scrubPii(augmented).as("scrubbed"))
+    }),
+
+    // graph analytics over a numeric nation->region edge set
+    "kg_graph_degrees" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/nation.parquet")
+        .select((col("n_nationkey") + 100).cast("long").as("subj_id"),
+          col("n_regionkey").cast("long").as("obj_id"))
+      GraphOps.degrees(e)
+    }),
+
+    // iterative min-label propagation connected components
+    "kg_graph_components" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/nation.parquet")
+        .select((col("n_nationkey") + 100).cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+      GraphOps.connectedComponents(e, "src", "dst", maxIter = 4)
     })
   )
 
@@ -521,6 +557,54 @@ object SparkEntry {
     "td_fingerprint" ->
       """SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "td_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id, count(*) n2, count(*) - count(DISTINCT s) dup FROM (
+        |        SELECT doc_id, w[i] || ' ' || w[i+1] s
+        |        FROM d, unnest(generate_series(1, len(w) - 1)) t(i)) GROUP BY doc_id),
+        |tt AS (SELECT doc_id, max(c) top_c, sum(c) n_tokens FROM (
+        |         SELECT doc_id, tok, count(*) c FROM (
+        |           SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents)
+        |         GROUP BY 1, 2) GROUP BY 1)
+        |SELECT d.doc_id AS id,
+        |  CASE WHEN g.n2 > 0 THEN CAST(floor(g.dup * 1000.0 / g.n2) AS BIGINT) ELSE 0 END AS dup_2gram_permille,
+        |  CAST(floor(tt.top_c * 1000.0 / tt.n_tokens) AS BIGINT) AS top_token_permille
+        |FROM d LEFT JOIN g ON g.doc_id = d.doc_id JOIN tt ON tt.doc_id = d.doc_id""".stripMargin,
+
+    "td_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        CASE WHEN len(w) <= 50 THEN 1 ELSE (len(w) - 51) // 40 + 2 END nc FROM d)
+        |SELECT doc_id AS id, k AS chunk_idx,
+        |       len(w[k*40+1 : k*40+50]) AS n_tokens,
+        |       sha256(array_to_string(w[k*40+1 : k*40+50], ' ')) AS chunk_fp
+        |FROM c, unnest(generate_series(0, nc - 1)) t(k)""".stripMargin,
+
+    "td_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 10 < 3""".stripMargin,
+
+    "td_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ref 12345678',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+
+    "kg_graph_degrees" ->
+      """WITH e AS (SELECT CAST(n_nationkey + 100 AS BIGINT) s, CAST(n_regionkey AS BIGINT) d FROM nation),
+        |o AS (SELECT s AS node_id, count(*) out_deg FROM e GROUP BY 1),
+        |i AS (SELECT d AS node_id, count(*) in_deg FROM e GROUP BY 1)
+        |SELECT COALESCE(o.node_id, i.node_id) AS node_id,
+        |       COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+        |FROM o FULL OUTER JOIN i ON o.node_id = i.node_id""".stripMargin,
+
+    "kg_graph_components" ->
+      """SELECT CAST(n_nationkey + 100 AS BIGINT) AS node_id, CAST(n_regionkey AS BIGINT) AS component FROM nation
+        |UNION
+        |SELECT DISTINCT CAST(n_regionkey AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation""".stripMargin,
 
     "td_multimodal" -> {
       // replicate decodeStub: h = first 7 hex chars of sha256(bytes)

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators common in large-scale training-data
+ * pipelines: repetition-based quality filters (Gopher-style), document
+ * chunking, deterministic stratified sampling, and PII scrubbing. All
+ * integer/string-valued column expressions (engine-portable, no UDFs).
+ */
+object Curation {
+
+  /**
+   * Gopher-style repetition metrics: fraction (permille) of duplicate
+   * word 2-grams, and the most frequent token's share (permille).
+   * High values flag boilerplate/spam documents.
+   */
+  def repetitionMetrics(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = split(text, " ")
+    val n2 = size(words) - 1
+    val grams = when(n2 >= 1,
+      transform(sequence(lit(1), n2), i => concat_ws(" ", slice(words, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs.select(id.as("id"), text.as("text"),
+      size(words).as("n_tokens"),
+      size(grams).as("n_2grams"),
+      (size(grams) - size(array_distinct(grams))).as("n_dup_2grams"))
+    val topTok = docs.select(id.as("id"), explode(split(text, " ")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("top_tok_count"))
+    base.join(topTok, Seq("id"))
+      .select(col("id"),
+        when(col("n_2grams") > 0,
+          floor(col("n_dup_2grams") * 1000.0 / col("n_2grams"))).otherwise(0L)
+          .cast("long").as("dup_2gram_permille"),
+        floor(col("top_tok_count") * 1000.0 / col("n_tokens")).cast("long")
+          .as("top_token_permille"))
+  }
+
+  /**
+   * Fixed-size token chunking with overlap (`size` tokens, `step` stride):
+   * the document -> training-sample explosion step. Chunk identity is a
+   * fingerprint of its token span, so downstream exact-dedup composes.
+   */
+  def chunk(docs: DataFrame, id: Column, text: Column,
+            sizeTokens: Int = 50, step: Int = 40): DataFrame = {
+    val words = split(text, " ")
+    val n = size(words)
+    val nChunks = when(n <= sizeTokens, lit(1L))
+      .otherwise(floor((n - (sizeTokens + 1)) / step) + 2)
+    val chunks = transform(sequence(lit(0), (nChunks - 1).cast("int")), k =>
+      slice(words, k * step + 1, lit(sizeTokens)))
+    docs.select(id.as("id"), posexplode(chunks).as(Seq("chunk_idx", "toks")))
+      .select(col("id"), col("chunk_idx"),
+        size(col("toks")).as("n_tokens"),
+        sha2(concat_ws(" ", col("toks")), 256).as("chunk_fp"))
+  }
+
+  /**
+   * Deterministic stratified sample: keep `keepOutOf10` tenths by a
+   * stable hash of the id — reproducible across engines and runs, no RNG
+   * state, stratification implicit in the id space.
+   */
+  def sampleDeterministic(docs: DataFrame, id: Column, keepOutOf10: Int): DataFrame =
+    docs.filter(pmod(Dedup.hash64(id.cast("string")), lit(10L)) < keepOutOf10)
+
+  /** Redact email-shaped and long-number tokens. */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]{4,}", "<NUM>")
+  }
+}

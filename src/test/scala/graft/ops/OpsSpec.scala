@@ -101,6 +101,52 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
   }
 
+  test("repetition metrics flag duplicated 2-grams and dominant tokens") {
+    val d = Seq((1L, "a b a b a b"), (2L, "u v w x y z")).toDF("doc_id", "text")
+    val m = Curation.repetitionMetrics(d, $"doc_id", $"text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1: 2-grams [a b, b a, a b, b a, a b] -> 5 total, 2 distinct -> 600 permille dup
+    assert(m(1L) == (600L, 500L)) // 'a' appears 3/6 times -> 500 permille
+    assert(m(2L) == (0L, 166L))   // all unique; top token 1/6 -> 166
+  }
+
+  test("chunking covers every token with the configured stride") {
+    val text = (1 to 130).map(i => s"t$i").mkString(" ")
+    val c = Curation.chunk(Seq((1L, text)).toDF("doc_id", "text"), $"doc_id", $"text")
+      .orderBy("chunk_idx").collect()
+    assert(c.length == 3) // (130-51)/40+2 = 3
+    assert(c.map(_.getAs[Int]("n_tokens")).toList == List(50, 50, 50))
+    val short = Curation.chunk(Seq((2L, "a b c")).toDF("doc_id", "text"), $"doc_id", $"text").collect()
+    assert(short.length == 1 && short.head.getAs[Int]("n_tokens") == 3)
+  }
+
+  test("deterministic sample is stable and roughly proportional") {
+    val d = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val kept = Curation.sampleDeterministic(d, $"doc_id", 3)
+    val n1 = kept.count(); val n2 = kept.count()
+    assert(n1 == n2 && n1 > 200 && n1 < 400)
+  }
+
+  test("pii scrub redacts emails and long numbers, keeps words") {
+    val got = Seq("write bob.smith+x@corp.example.org or call 5551234567 x42")
+      .toDF("text").select(Curation.scrubPii($"text")).as[String].head()
+    assert(got == "write <EMAIL> or call <NUM> x42")
+  }
+
+  test("connected components via min-label propagation") {
+    import graft.kg.GraphOps
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 12L)).toDF("src", "dst")
+    val cc = GraphOps.connectedComponents(e, "src", "dst", maxIter = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(12L) == 12L)
+    val deg = GraphOps.degrees(e.withColumnRenamed("src", "subj_id").withColumnRenamed("dst", "obj_id"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(deg(2L) == (1L, 1L)) // 2 has one out-edge (2->3) and one in-edge (1->2)
+    assert(deg(1L) == (1L, 0L) && deg(3L) == (0L, 1L))
+  }
+
   test("multimodal feature extraction is deterministic over binary blobs") {
     val media = Multimodal.mediaFromDocuments(spark,
       Seq((0L, "hello"), (1L, "world"), (2L, "data")).toDF("doc_id", "text"))

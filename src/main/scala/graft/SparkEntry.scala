@@ -228,9 +228,12 @@ object SparkEntry {
       Dedup.lshCandidates(docs(s, dir), col("doc_id"), col("text"))),
 
     "td_dedup_jaccard" -> ((s, dir) => {
-      // the scalable two-stage shape: LSH candidates -> exact verify
+      // the scalable two-stage shape: LSH candidates -> exact verify;
+      // the candidate list is tiny, so materialize it once instead of
+      // recomputing the whole minhash sub-plan inside the verify joins
       val d = docs(s, dir)
       val cands = Dedup.lshCandidates(d, col("doc_id"), col("text"))
+        .localCheckpoint(true)
       Dedup.jaccardPairs(d, col("doc_id"), col("text"), candidates = Some(cands))
         .filter(col("inter") * 5 >= col("union_") * 4) // jaccard >= 0.8, float-free
     }),

@@ -38,46 +38,45 @@ case class ParseNtLines(content: Expression, lang: Expression)
     StructField("message", StringType)))
 
   // one parser pair per deserialized expression instance (== per task)
-  @transient private lazy val strictParser = NtLineParser.strict
-  @transient private lazy val lenientParser = NtLineParser.lenient
+  @transient private lazy val strictParser = NtBytesParser.strict
+  @transient private lazy val lenientParser = NtBytesParser.lenient
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val c = content.eval(input)
     if (c == null) return Iterator.empty
-    val text = c.asInstanceOf[UTF8String].toString
+    // byte-level path: ONE byte copy of the doc, no UTF-16 decode; values
+    // come out of NtBytesParser as UTF8String slices
+    val bytes = c.asInstanceOf[UTF8String].getBytes
     val langV = lang.eval(input)
     val lenient = langV != null &&
       langV.asInstanceOf[UTF8String].toString == TripleExtract.LangLenient
     val p = if (lenient) lenientParser else strictParser
-    val n = text.length
+    val n = bytes.length
 
     new Iterator[InternalRow] {
       private[this] var pos = 0
       private[this] var lineNo = 0
       private[this] var ready: InternalRow = _
 
-      private def utf8(s: String): UTF8String =
-        if (s == null) null else UTF8String.fromString(s)
-
       private def fetch(): InternalRow = {
         while (pos < n) {
           val start = pos
           var e = start
-          while (e < n && { val ch = text.charAt(e); ch != '\n' && ch != '\r' }) e += 1
+          while (e < n && { val b = bytes(e); b != '\n'.toByte && b != '\r'.toByte }) e += 1
           pos =
-            if (e < n && text.charAt(e) == '\r' && e + 1 < n && text.charAt(e + 1) == '\n') e + 2
+            if (e < n && bytes(e) == '\r'.toByte && e + 1 < n && bytes(e + 1) == '\n'.toByte) e + 2
             else e + 1
           lineNo += 1
           try {
-            if (p.parseSlice(text, start, e, lineNo)) {
-              return InternalRow(false, lineNo, p.subjKind, utf8(p.subjValue),
-                utf8(p.predValue), p.objKind, utf8(p.objValue),
-                utf8(p.objLang), utf8(p.objDt), 0, null)
+            if (p.parseSlice(bytes, start, e, lineNo)) {
+              return InternalRow(false, lineNo, p.subjKind, p.subjValue,
+                p.predValue, p.objKind, p.objValue,
+                p.objLang, p.objDt, 0, null)
             }
           } catch {
             case ex: NtParseException =>
               return InternalRow(true, lineNo, (-1).toByte, null, null, (-1).toByte,
-                null, null, null, ex.charPos, utf8(ex.shortMessage))
+                null, null, null, ex.charPos, UTF8String.fromString(ex.shortMessage))
           }
         }
         null

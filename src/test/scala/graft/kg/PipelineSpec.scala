@@ -192,6 +192,12 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("flagship entry() returns rows on sf0.001 (driver smoke contract)") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq == Seq("pred", "n_edges", "n_subjects"))
+  }
+
   test("lenient corpus rows skip bad lines instead of erroring the doc") {
     val corpus = Seq(
       CorpusRow("r", "mix.nt", "c", TripleExtract.LangLenient,

@@ -275,6 +275,34 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, docs(s, dir))).toDF()
     }),
 
+    // scale table: orders through the full parse path (printf/date-format
+    // value rendering keeps the DuckDB oracle exact)
+    "kg_parse_orders" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val corpus = Corpus.fromTable(orders, "orders", "o_orderkey", Seq(
+        "o_custkey" -> col("o_custkey"),
+        "o_totalprice" -> format_string("%.2f", col("o_totalprice")),
+        "o_orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        "o_orderpriority" -> col("o_orderpriority")))
+      parsedTriples(corpus).groupBy("pred").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("obj.value")).as("n_distinct_values"))
+    }),
+
+    // entity enrichment: parsed order->customer triples broadcast-joined
+    // with the customer dimension (KG link to external attributes)
+    "kg_enrich_customer" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val corpus = Corpus.fromTable(orders, "orders", "o_orderkey",
+        Seq("o_custkey" -> col("o_custkey")))
+      val custEdges = parsedTriples(corpus)
+        .select(col("subj.value").as("order_iri"), col("obj.value").cast("long").as("c_custkey"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      custEdges.join(broadcast(cust), Seq("c_custkey"))
+        .select(col("order_iri"), col("c_name"), col("c_mktsegment"))
+    }),
+
     // gopher-style repetition quality filters
     "td_repetition" -> ((s, dir) =>
       Curation.repetitionMetrics(docs(s, dir), col("doc_id"), col("text"))),
@@ -560,6 +588,18 @@ object SparkEntry {
     "td_fingerprint" ->
       """SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "kg_parse_orders" ->
+      """WITH t AS (
+        |  SELECT 'urn:col:orders:o_custkey' AS pred, CAST(o_custkey AS VARCHAR) AS v FROM orders
+        |  UNION ALL SELECT 'urn:col:orders:o_totalprice', printf('%.2f', o_totalprice) FROM orders
+        |  UNION ALL SELECT 'urn:col:orders:o_orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+        |  UNION ALL SELECT 'urn:col:orders:o_orderpriority', o_orderpriority FROM orders)
+        |SELECT pred, count(*) AS n, count(DISTINCT v) AS n_distinct_values FROM t GROUP BY pred""".stripMargin,
+
+    "kg_enrich_customer" ->
+      """SELECT 'urn:g:orders:' || CAST(o_orderkey AS VARCHAR) AS order_iri, c_name, c_mktsegment
+        |FROM orders JOIN customer ON c_custkey = o_custkey""".stripMargin,
 
     "td_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

@@ -147,6 +147,17 @@ class OpsSpec extends AnyFunSuite {
     assert(deg(1L) == (1L, 0L) && deg(3L) == (0L, 1L))
   }
 
+  test("ANN LSH recall vs brute force on real embeddings >= 0.6") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = pairs(Similarity.bruteForceTopK(e, $"vec_id", $"embedding", q, $"vec_id", $"embedding", 10))
+    val lsh = pairs(Similarity.lshTopK(e, $"vec_id", $"embedding", q, $"vec_id", $"embedding", 10, dims = 64))
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+
   test("multimodal feature extraction is deterministic over binary blobs") {
     val media = Multimodal.mediaFromDocuments(spark,
       Seq((0L, "hello"), (1L, "world"), (2L, "data")).toDF("doc_id", "text"))

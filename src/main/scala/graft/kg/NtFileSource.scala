@@ -45,6 +45,27 @@ object NtFileSource {
   }
 
   /**
+   * A5 codec parity: the reference's Loader accepts arbitrary charsets
+   * (Loader.scala:34-44). For non-UTF-8 sources, read the raw bytes and
+   * decode with the built-in `decode` expression (codegen'd, per-file).
+   * No decompression on this path (binaryFile reads verbatim).
+   */
+  def documentsWithCharset(spark: SparkSession, pathGlob: String, charset: String,
+                           repo: String = "files",
+                           commit: String = Corpus.FixedCommit,
+                           lang: String = TripleExtract.LangStrict): Dataset[CorpusRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        lit(repo).as("repo"),
+        col("path"),
+        lit(commit).as("commit"),
+        lit(lang).as("lang"),
+        decode(col("content"), charset).as("content"))
+      .as[CorpusRow]
+  }
+
+  /**
    * One parsed line per row for very large files: text splitting is done
    * by Spark (range-splittable for uncompressed input), line numbers are
    * recovered per file with a window — only needed when exact reference

@@ -52,12 +52,29 @@ class SourcesAndStreamSpec extends AnyFunSuite {
     assert(errs.length == 1 && errs.head.message.contains("expected [<, _, or #]"))
   }
 
+  test("charset-variant file source decodes non-UTF8 nt files (A5)") {
+    val dir = Files.createTempDirectory("graft-charset")
+    val line = "<u:café> <p:q> \"café\" .\n"
+    Files.write(dir.resolve("latin1.nt"), line.getBytes("ISO-8859-1"))
+    val docs = NtFileSource.documentsWithCharset(spark, dir.toString + "/*.nt", "ISO-8859-1")
+    val t = TripleExtract.triples(TripleExtract.parse(docs)).collect()
+    assert(t.length == 1)
+    assert(t.head.subj.value == "u:café" && t.head.obj.value == "café")
+  }
+
   test("CRLF and lone-CR line terminators slice like BufferedReader") {
     val corpus = Seq(CorpusRow("r", "crlf.nt", "c", "nt",
       "<a:b> <c:d> \"one\" .\r\n<a:b> <c:d> \"two\" .\r<a:b> <c:d> \"three\" .")).toDS()
     val t = TripleExtract.triples(TripleExtract.parse(corpus)).collect().sortBy(_.line)
     assert(t.map(_.obj.value).toList == List("one", "two", "three"))
     assert(t.map(_.line).toList == List(1, 2, 3))
+  }
+
+  test("byte and char kernels agree on the skewed synthetic corpus") {
+    val corpus = Corpus.synthetic(spark, nDocs = 40, linesPerDoc = 30)
+    val viaKernel = TripleExtract.parse(corpus).toDF().collect().map(_.toSeq).toSet
+    val viaExpr = TripleExtract.parseExpr(corpus.toDF()).collect().map(_.toSeq).toSet
+    assert(viaKernel.nonEmpty && viaExpr == viaKernel)
   }
 
   test("java-facing iterator parse surface (A5)") {

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, functions => F}
+import org.apache.spark.sql.SparkSession
 import graft.kg._
 
 /**
@@ -156,7 +156,7 @@ object Bench {
       val (triples, sec) = runs.collect { case (`n`, r) => r }.minBy(_._2)
       (triples / sec, triples, sec)
     }
-    val (thr2, triples2, sec2) = best(2)
+    val (thr2, _, sec2) = best(2)
     val (thrN, triplesN, secN) = best(8)
     val (thr4N, _, sec4N) = best(32)
     val efficiency2to8 = (thrN / thr2) / 4.0

@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked `run` output must reach stdout UNPREFIXED: the bench driver
+// parses the single JSON line graft.Bench prints, and sbt's default
+// logger prefix ("[info] ") breaks that contract (BENCH_r01 "parsed": null)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -30,5 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // throughput GC: the parse kernel is allocation-heavy across 32 threads;
   // a large young gen keeps the short-lived per-triple garbage out of the
-  // old gen (full GCs would otherwise dominate at local[32])
-  sys.env.getOrElse("SPARK_GC", "-XX:+UseParallelGC -Xmn12g").split(" ").toSeq
+  // old gen (full GCs would otherwise dominate at local[32]). The young
+  // gen is scaled from the resolved heap (~40%) so SPARK_DRIVER_MEM below
+  // the old fixed -Xmn12g no longer fails JVM startup.
+  sys.env.getOrElse("SPARK_GC", {
+    val heapGb = "(?i)^(\\d+)g$".r
+      .findFirstMatchIn(sys.env.getOrElse("SPARK_DRIVER_MEM", "32g"))
+      .map(_.group(1).toInt).getOrElse(32)
+    s"-XX:+UseParallelGC -Xmn${math.max(1, heapGb * 2 / 5)}g"
+  }).split(" ").toSeq

@@ -206,13 +206,20 @@ object SparkEntry {
           |WHERE NOT p.err""".stripMargin)
     }),
 
-    // windowed temporal aggregation over the events stream table
+    // windowed temporal aggregation over the events stream table.
+    // Output is engine-canonical: the window start is rendered as a UTC
+    // string (the session timezone is pinned INSIDE the query so a harness
+    // running Verify with a different tz cannot shift it) and the decimal
+    // sum is emitted as a fixed-scale string, removing both representation
+    // suspects from the r1 hash mismatch.
     "td_event_windows" -> ((s, dir) => {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
       val ev = s.read.parquet(s"$dir/events.parquet")
-      ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      ev.groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("sv"))
-        .select(col("w.start").as("w"), col("event_type"), col("n"), col("sv"))
+          sum(col("value").cast("decimal(18,2)")).as("svd"))
+        .select(date_format(col("win.start"), "yyyy-MM-dd HH:00").as("w"),
+          col("event_type"), col("n"), col("svd").cast("string").as("sv"))
     }),
 
     // ---- training-data ops ------------------------------------------------
@@ -228,21 +235,27 @@ object SparkEntry {
       Dedup.lshCandidates(docs(s, dir), col("doc_id"), col("text"))),
 
     "td_dedup_jaccard" -> ((s, dir) => {
-      // the scalable two-stage shape: LSH candidates -> exact verify;
-      // the candidate list is tiny, so materialize it once instead of
-      // recomputing the whole minhash sub-plan inside the verify joins
+      // the scalable two-stage shape: LSH candidates -> exact verify.
+      // ONE shingle frame is persisted and shared by both stages (the r1
+      // plan re-derived shingles from scratch after LSH), and the tiny
+      // candidate list is checkpointed so the verify joins never recompute
+      // the minhash sub-plan.
       val d = docs(s, dir)
-      val cands = Dedup.lshCandidates(d, col("doc_id"), col("text"))
-        .localCheckpoint(true)
-      Dedup.jaccardPairs(d, col("doc_id"), col("text"), candidates = Some(cands))
+      val sh = Dedup.wordShingles(d, col("doc_id"), col("text"), 3).persist()
+      val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(true)
+      Dedup.jaccardPairsFromShingles(sh, candidates = Some(cands))
         .filter(col("inter") * 5 >= col("union_") * 4) // jaccard >= 0.8, float-free
     }),
 
     "td_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))),
 
+    // bucketed two-stage near-dup (LSH candidates -> exact cosine verify);
+    // the oracle reconstructs the SAME hyperplane buckets in DuckDB
+    // (portable sha256 coefficients), so the check is bit-exact on the
+    // production plan — r1's all-pairs cartesian is gone
     "td_dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDups(embs(s, dir), col("vec_id"), col("embedding"), 0.40)),
+      Dedup.embeddingNearDups(embs(s, dir), col("vec_id"), col("embedding"), 0.40, dims = 64)),
 
     "td_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -344,6 +357,16 @@ object SparkEntry {
 
   /** DuckDB hash matching Dedup.hash64. */
   private val dkHash64 = "('0x' || substr(sha256(%s),1,15))::BIGINT"
+
+  /** DuckDB minhash slice columns matching Dedup.minhashSignature(8). */
+  private val oracleMinhashCols: String =
+    (0 until 8).map(i => s"min(substr(h, ${i * 8 + 1}, 8)) mh$i").mkString(", ")
+
+  /** DuckDB band keys matching Dedup.bandedKeys(numHashes=8, rowsPerBand=2). */
+  private val oracleBandsUnion: String =
+    (0 until 4).map { b =>
+      s"SELECT doc_id, $b band, sha256(mh${2 * b} || ':' || mh${2 * b + 1}) band_key FROM sig"
+    }.mkString("\n          UNION ALL ")
 
   private def nationTripleSql(valueCol: String, colName: String, extra: String = "") =
     s"""SELECT 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
@@ -475,8 +498,9 @@ object SparkEntry {
         |       'urn:col:nation:n_regionkey', CAST(n_regionkey AS VARCHAR) FROM nation""".stripMargin,
 
     "td_event_windows" ->
-      """SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS n,
-        |       sum(value::DECIMAL(18,2)) AS sv
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS w, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(value::DECIMAL(18,2)) AS VARCHAR) AS sv
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "td_dedup_exact" ->
@@ -486,40 +510,38 @@ object SparkEntry {
         |SELECT sha256(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper_id
         |FROM all_docs GROUP BY 1""".stripMargin,
 
+    // minhash i = min over shingles of sha256(shingle) hex slice [8i, 8i+8)
+    // — mirrors Dedup.minhashSignature (ONE digest per shingle)
     "td_dedup_minhash_lsh" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        |       FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
-        |mh AS (SELECT doc_id, seed, min(sha256(CAST(seed AS VARCHAR) || '|' || s)) AS mh
-        |       FROM sh, unnest(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, seed // 2 AS band,
-        |                 sha256(string_agg(CAST(seed AS VARCHAR) || ':' || mh, ',' ORDER BY seed)) AS band_key
-        |          FROM mh GROUP BY doc_id, seed // 2)
-        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |FROM bands x JOIN bands y
-        |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |       FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
+         |hx AS (SELECT doc_id, sha256(s) h FROM sh),
+         |sig AS (SELECT doc_id, $oracleMinhashCols FROM hx GROUP BY 1),
+         |bands AS ($oracleBandsUnion)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id""".stripMargin,
 
     "td_dedup_jaccard" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        |       FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
-        |mh AS (SELECT doc_id, seed, min(sha256(CAST(seed AS VARCHAR) || '|' || s)) AS mh
-        |       FROM sh, unnest(generate_series(0, 7)) t(seed) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, seed // 2 AS band,
-        |                 sha256(string_agg(CAST(seed AS VARCHAR) || ':' || mh, ',' ORDER BY seed)) AS band_key
-        |          FROM mh GROUP BY doc_id, seed // 2),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |         FROM bands x JOIN bands y
-        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        |inter AS (SELECT cand.a, cand.b, count(*) i
-        |          FROM cand
-        |          JOIN sh x ON x.doc_id = cand.a
-        |          JOIN sh y ON y.doc_id = cand.b AND x.s = y.s
-        |          GROUP BY 1, 2)
-        |SELECT a, b, i AS inter, (sa.n + sb.n - i) AS union_
-        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-        |WHERE i * 5 >= (sa.n + sb.n - i) * 4""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |       FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
+         |hx AS (SELECT doc_id, sha256(s) h FROM sh),
+         |sig AS (SELECT doc_id, $oracleMinhashCols FROM hx GROUP BY 1),
+         |bands AS ($oracleBandsUnion),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |inter AS (SELECT cand.a, cand.b, count(*) i
+         |          FROM cand
+         |          JOIN sh x ON x.doc_id = cand.a
+         |          JOIN sh y ON y.doc_id = cand.b AND x.s = y.s
+         |          GROUP BY 1, 2)
+         |SELECT a, b, i AS inter, (sa.n + sb.n - i) AS union_
+         |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE i * 5 >= (sa.n + sb.n - i) * 4""".stripMargin,
 
     "td_dedup_simhash" -> {
       val hexpr = dkHash64.format("tok")
@@ -533,12 +555,27 @@ object SparkEntry {
          |SELECT doc_id AS id, ($bits) AS simhash FROM s""".stripMargin
     },
 
+    // same two-stage semantics as the Spark plan: hyperplane buckets from
+    // sha256-derived coefficients (Similarity.planeCoef), candidates =
+    // bucket collisions, exact cosine verify. 2^59 = 576460752303423488.
     "td_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
-        |SELECT a.vec_id AS a, b.vec_id AS b
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v)
-        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.40""".stripMargin,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |coef AS (SELECT t.t, p.p,
+        |           list(('0x'||substr(sha256('hp:'||t.t||':'||p.p||':'||d.d),1,15))::BIGINT::DOUBLE
+        |                / 576460752303423488.0 - 1.0 ORDER BY d.d) c
+        |         FROM unnest(generate_series(0,7)) t(t),
+        |              unnest(generate_series(0,7)) p(p),
+        |              unnest(generate_series(0,63)) d(d)
+        |         GROUP BY 1, 2),
+        |buck AS (SELECT e.vec_id, coef.t,
+        |                sum(CASE WHEN list_dot_product(e.v, coef.c) >= 0 THEN 1 << coef.p ELSE 0 END) b
+        |         FROM e, coef GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.vec_id a, y.vec_id b
+        |         FROM buck x JOIN buck y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id)
+        |SELECT cand.a, cand.b
+        |FROM cand JOIN e ea ON ea.vec_id = cand.a JOIN e eb ON eb.vec_id = cand.b
+        |WHERE list_dot_product(ea.v, eb.v)
+        |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.40""".stripMargin,
 
     "td_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

@@ -40,10 +40,19 @@ object Corpus {
     val spark = df.sparkSession
     import spark.implicits._
     val lines = cols.map { case (name, valueExpr) =>
-      concat(
+      val triple = concat(
         lit(s"<urn:g:$table:"), col(keyCol).cast("string"), lit("> "),
         lit(s"<urn:col:$table:$name> \""), escapeLiteralCol(valueExpr.cast("string")),
         lit("\" ."))
+      // NULL value guard: a NULL makes concat() NULL and concat_ws would
+      // silently DROP the whole line, shifting subsequent line numbers and
+      // losing the fact with no error row. Emit an intentionally invalid
+      // statement instead, so the loss surfaces as a lenient error row /
+      // strict job failure with exact lineage.
+      when(valueExpr.isNull,
+        concat(lit(s"<urn:g:$table:"), col(keyCol).cast("string"),
+          lit(s"> <urn:col:$table:$name> ?NULL")))
+        .otherwise(triple)
     }
     df.select(
       lit(s"synthetic/$table").as("repo"),

@@ -46,9 +46,18 @@ object Materialize {
    * (key, salt) so a hub key spreads over `salts` partitions instead of
    * one, while small keys keep near-locality. AQE skew-join handling is
    * also enabled session-wide (see Pipeline.session).
+   *
+   * The salt MUST be deterministic per row: deriving it from
+   * spark_partition_id()/monotonically_increasing_id() means a task retry
+   * after a shuffle fetch failure recomputes map output with a DIFFERENT
+   * row-to-partition mapping (SPARK-23207 class), silently losing or
+   * duplicating rows on a real cluster. `saltFrom` names row-identity
+   * columns (e.g. lineage repo/path/commit/line) whose hash spreads a hot
+   * `key` uniformly yet reproducibly across retries.
    */
-  def saltedRepartition(df: DataFrame, key: Column, salts: Int, numPartitions: Int): DataFrame = {
-    val salt = pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(salts.toLong))
+  def saltedRepartition(df: DataFrame, key: Column, saltFrom: Seq[Column],
+                        salts: Int, numPartitions: Int): DataFrame = {
+    val salt = pmod(xxhash64(saltFrom: _*), lit(salts.toLong))
     df.withColumn("__salt", salt)
       .repartition(numPartitions, key, col("__salt"))
       .drop("__salt")
@@ -149,12 +158,17 @@ object Materialize {
     val staged = readStaging(spark, outDir)
     val triplesDf = Canonicalize(Skolemize(TripleExtract.assembleTriples(staged)))
     nodes(triplesDf).write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes")
-    saltedRepartition(edges(triplesDf), col("subj_id"), salts = 16,
+    saltedRepartition(edges(triplesDf), col("subj_id"),
+      saltFrom = Seq(col("repo"), col("path"), col("commit"), col("line")),
+      salts = 16,
       numPartitions = spark.sessionState.conf.numShufflePartitions)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/edges")
 
-    // ---- metrics for the documents processed in THIS run
-    metrics(todo.drop("bucket"), parsed)
+    // ---- metrics for the documents processed in THIS run: counted from
+    // the STAGED rows, not the live parse plan — re-evaluating `parsed`
+    // here would parse the whole todo corpus a second time
+    val stagedTodo = staged.filter(col("bucket").isin(todoBuckets: _*))
+    metrics(todo.drop("bucket"), stagedTodo)
       .withColumn("bucket", bucketOf(buckets))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/metrics") // dynamic overwrite: idempotent on re-run

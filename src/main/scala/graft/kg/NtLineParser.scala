@@ -39,7 +39,17 @@ final class NtLineParser(strict: Boolean) {
   private[this] var len = 0  // end offset (exclusive) of the current line
   private[this] var at = 0   // absolute index of the current char
   private[this] var lineNo = -1
+  private[this] var inLongLit = false
   private[this] val buf = new java.lang.StringBuilder(128)
+
+  /**
+   * True when the last parseSlice failure was end-of-input while inside an
+   * unclosed lenient `"""..."""` long literal — the corpus slicers' signal
+   * to extend the statement window across the next physical line
+   * (reference parity: LenientNtParserSpec.scala:34-40 parses a long
+   * literal with embedded raw newlines from one multi-line input).
+   */
+  def eoiInUnclosedLongLiteral: Boolean = inLongLit && at >= len
 
   // term slots, filled by one successful tripleLine() — allocation-free
   // output surface for the Spark kernel (mirrors the reference's three
@@ -93,6 +103,7 @@ final class NtLineParser(strict: Boolean) {
     base = from
     len = until
     at = from
+    inLongLit = false
     buf.setLength(0)
     skipWs()
     cur match {
@@ -188,6 +199,7 @@ final class NtLineParser(strict: Boolean) {
   /** Lenient-only Turtle `"""..."""`; raw newlines and quotes allowed inside. */
   private def longLiteral(): Unit = {
     eatString("\"\"\"")
+    inLongLit = true
     var open = true
     while (open) {
       captureWhile(isLongLitChar)
@@ -199,6 +211,7 @@ final class NtLineParser(strict: Boolean) {
         case _    => fail("\", or \\") // EOI
       }
     }
+    inLongLit = false
     eatString("\"\"\"")
     literalSuffix()
   }

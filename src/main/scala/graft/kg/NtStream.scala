@@ -50,21 +50,36 @@ object NtStream {
    * flatMapGroupsWithState keyed by sha256(content); state = seen flag).
    * The streaming face of ops.Dedup.exactDedup for continuously landing
    * corpora.
+   *
+   * State sizing: one boolean entry per distinct fingerprint. With no
+   * `stateTtl` the state store grows with the number of distinct documents
+   * ever seen — acceptable for bounded backfills, NOT for an unbounded
+   * feed. For continuous ingestion pass a TTL matching the window within
+   * which re-uploads are expected (e.g. 24h): entries idle longer than the
+   * TTL are evicted on a processing-time timeout, so a duplicate arriving
+   * after the TTL is treated as new (at-least-once dedup, bounded state).
    */
-  def dedupStream(corpus: Dataset[CorpusRow]): Dataset[CorpusRow] = {
+  def dedupStream(corpus: Dataset[CorpusRow],
+                  stateTtl: Option[java.time.Duration] = None): Dataset[CorpusRow] = {
     import corpus.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import org.apache.spark.sql.streaming.GroupState
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
     corpus
       .withColumn("fp", sha2(col("content"), 256))
       .as[(String, String, String, String, String, String)]
       .groupByKey(_._6) // fingerprint is the appended last column
       .flatMapGroupsWithState[Boolean, CorpusRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         case (_, rows, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis)) // refresh TTL
+            Iterator.empty
+          } else {
             state.update(true)
+            stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
             rows.take(1).map(r => CorpusRow(r._1, r._2, r._3, r._4, r._5))
           }
       }

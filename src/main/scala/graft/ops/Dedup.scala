@@ -49,46 +49,90 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures: for seed i, h_i(doc) = min over shingles of
-   * sha256(i || '|' || shingle) — the lexicographic min of a keyed hash is
-   * a valid min-wise permutation family and is exactly reproducible in
-   * any engine with sha256. Output: (id, seed, minhash).
+   * MinHash signature columns: ONE sha256 per distinct shingle; hash i is
+   * the 8-hex-char slice [8i, 8i+8) of that digest — up to 8 independent
+   * uniform 32-bit hashes from a single digest evaluation. (The r1 scheme
+   * computed `numHashes` FULL sha256 per shingle AND exploded shingle rows
+   * x numHashes; the digest was the dominant dedup cost at every scale.)
+   * The lexicographic min of a uniform hash slice is a valid min-wise
+   * family, exactly reproducible in DuckDB: min(substr(sha256(s),8i+1,8)).
+   * Output: one row per doc, (id, mh0..mh{numHashes-1}).
    */
-  def minhash(shingles: DataFrame, numHashes: Int): DataFrame = {
-    val seeds = (0 until numHashes).map(lit(_))
-    shingles
-      .select(col("id"), explode(array(seeds: _*)).as("seed"), col("shingle"))
-      .groupBy("id", "seed")
-      .agg(min(sha2(concat(col("seed").cast("string"), lit("|"), col("shingle")), 256)).as("mh"))
+  def minhashSignature(shingles: DataFrame, numHashes: Int): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 8, "one 64-hex sha256 carries at most 8 8-hex slices")
+    val sha = sha2(col("shingle"), 256)
+    val mins = (0 until numHashes).map(i => min(substring(sha, i * 8 + 1, 8)).as(s"mh$i"))
+    shingles.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded LSH keys from a minhash signature frame: (id, band, band_key). */
+  def bandedKeys(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must split evenly into bands")
+    val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
+      val key = sha2(concat_ws(":",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*), 256)
+      struct(lit(b).as("band"), key.as("band_key"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
   }
 
   /**
-   * LSH banding: group `rowsPerBand` consecutive minhashes into a band
-   * key; docs sharing any band key become candidate pairs. Returns
-   * distinct (a, b) with a < b.
+   * LSH banding: docs sharing any band key become candidate pairs;
+   * returns distinct (a, b) with a < b.
+   *
+   * Mega-bucket safety (the 100 TB path): a true duplicate cluster of k
+   * copies lands k ids in one bucket. For k <= maxBucket the full
+   * in-bucket clique is emitted via a bounded higher-order-function
+   * expansion (one collect_list of at most maxBucket ids). For k >
+   * maxBucket the clique is O(k^2) pairs AND an O(k) single-row list —
+   * an executor OOM — so oversized buckets emit a keeper STAR instead:
+   * (min id of the bucket, member), k-1 pairs, no per-row list at all.
+   * Every member stays connected to the cluster keeper, so downstream
+   * dedup (connected components / keeper election) sees the same
+   * clusters; nothing is dropped. `lshBucketStats` reports which buckets
+   * took the star path so the switch is never silent.
    */
   def lshCandidates(docs: DataFrame, id: Column, text: Column,
-                    shingleWords: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val mh = minhash(wordShingles(docs, id, text, shingleWords), numHashes)
-    val banded = mh
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy("id", "band")
-      .agg(sha2(concat_ws(",", sort_array(collect_list(concat(col("seed"), lit(":"), col("mh"))))), 256).as("band_key"))
-    // bucket-grouped pair generation instead of a self-join: the minhash
-    // sub-plan (the expensive part) is computed ONCE, buckets collect
-    // their (few) member ids, and in-bucket pairs come from a
-    // higher-order-function expression — one extra shuffle, no recompute
+                    shingleWords: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                    maxBucket: Int = 1024): DataFrame =
+    lshCandidatesFromShingles(wordShingles(docs, id, text, shingleWords),
+      numHashes, rowsPerBand, maxBucket)
+
+  /** As `lshCandidates`, over a pre-computed (id, shingle) frame — share
+    * one shingle frame between candidate generation and Jaccard verify. */
+  def lshCandidatesFromShingles(shingles: DataFrame, numHashes: Int = 8,
+                                rowsPerBand: Int = 2, maxBucket: Int = 1024): DataFrame = {
+    // banded is tiny (bands rows per doc); checkpoint it so the expensive
+    // shingle+sha subplan runs ONCE for both the size split below
+    val banded = bandedKeys(minhashSignature(shingles, numHashes), numHashes, rowsPerBand)
+      .localCheckpoint()
+    val sizes = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bsz"), min(col("id")).as("keeper"))
+    val member = banded.join(sizes, Seq("band", "band_key"))
     val ids = sort_array(collect_list(col("id")))
     val pairs = flatten(transform(sequence(lit(1), size(col("ids")) - 1), i =>
       transform(sequence(i + 1, size(col("ids"))), j =>
         struct(element_at(col("ids"), i).as("a"), element_at(col("ids"), j).as("b")))))
-    banded
+    val small = member.filter(col("bsz") > 1 && col("bsz") <= maxBucket)
       .groupBy("band", "band_key").agg(ids.as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(pairs).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    // keeper == min(id) of the bucket, so a < b holds by construction
+    val large = member.filter(col("bsz") > maxBucket && col("id") =!= col("keeper"))
+      .select(col("keeper").as("a"), col("id").as("b"))
+    small.union(large).distinct()
   }
+
+  /**
+   * Per-bucket size metrics: (band, band_key, bsz, oversized). Emit next
+   * to `lshCandidates` output so keeper-star buckets are observable.
+   */
+  def lshBucketStats(shingles: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+                     maxBucket: Int = 1024): DataFrame =
+    bandedKeys(minhashSignature(shingles, numHashes), numHashes, rowsPerBand)
+      .groupBy("band", "band_key").agg(count(lit(1)).as("bsz"))
+      .withColumn("oversized", col("bsz") > maxBucket)
 
   /**
    * Exact n-gram Jaccard verification for a candidate (or full) pair set:
@@ -96,8 +140,13 @@ object Dedup {
    * float-free: `100*inter >= pct*union_`.
    */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
-                   shingleWords: Int = 3, candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = wordShingles(docs, id, text, shingleWords)
+                   shingleWords: Int = 3, candidates: Option[DataFrame] = None): DataFrame =
+    jaccardPairsFromShingles(wordShingles(docs, id, text, shingleWords), candidates)
+
+  /** As `jaccardPairs`, over a pre-computed (id, shingle) frame — share
+    * (and persist) ONE shingle frame with `lshCandidatesFromShingles`
+    * instead of re-deriving shingles after the LSH stage. */
+  def jaccardPairsFromShingles(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val paired = candidates match {
       case None =>
@@ -142,11 +191,41 @@ object Dedup {
   }
 
   /**
-   * Embedding near-duplicate pairs: cosine >= minCosine. The verification
-   * join here is all-pairs (fine at verification scale); the 100 TB path
-   * bounds candidates with Similarity.lshBuckets first.
+   * Embedding near-duplicate pairs, the 100 TB two-stage shape (same as
+   * MinHash->Jaccard): candidates = pairs sharing a hyperplane-LSH
+   * (table, bucket) key in ANY of `tables` hash tables (an equi-join on
+   * the bucket key — shuffles, never cartesian), then exact cosine >=
+   * minCosine verification over candidates only.
+   *
+   * Recall is a (tables, planesPerTable) trade-off: for true near-dups
+   * (cos >= 0.95) the default 8x8 gives ~0.99 per-pair recall; weakly
+   * similar pairs near a low threshold are sampled, by design — an exact
+   * low-threshold pair join is inherently quadratic (see
+   * `embeddingNearDupsExact`). The buckets are engine-portable
+   * (Similarity.planeCoef), so the DuckDB oracle reproduces the exact
+   * same candidate set and the cross-engine check is bit-exact.
    */
-  def embeddingNearDups(embs: DataFrame, id: Column, vec: Column, minCosine: Double): DataFrame = {
+  def embeddingNearDups(embs: DataFrame, id: Column, vec: Column, minCosine: Double,
+                        dims: Int, tables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+    val e = embs.select(id.as("id"), Similarity.asDouble(vec).as("v"))
+    val b = Similarity.lshBuckets(e, col("id"), col("v"), dims, tables, planesPerTable)
+    val cand = b.as("l").join(b.as("r"),
+        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(e.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= minCosine)
+      .select("a", "b")
+  }
+
+  /**
+   * Exact all-pairs variant — VERIFICATION SCALE ONLY (O(n^2) cartesian).
+   * Kept as the recall baseline for specs; never the production path.
+   */
+  def embeddingNearDupsExact(embs: DataFrame, id: Column, vec: Column, minCosine: Double): DataFrame = {
     val e = embs.select(id.as("id"), Similarity.asDouble(vec).as("v"))
     e.as("l").join(e.as("r"), col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),

@@ -13,13 +13,22 @@ import org.apache.spark.sql.expressions.Window
  *  - `bruteForceTopK`: exact cosine top-k via a broadcast join of the
  *    (small) query set against the corpus — the correctness baseline; one
  *    narrow pass over the corpus plus a per-query top-k window;
- *  - `lshTopK`: the scale path — random-hyperplane LSH buckets from
- *    deterministic seeded planes; only colliding buckets are scored
- *    across `tables` independent hash tables. At 100 TB the corpus side
- *    is bucketed once at write time and queries probe buckets only.
+ *  - `lshBuckets`/`lshTopK`: the scale path — random-hyperplane LSH
+ *    buckets; only colliding buckets are scored. At 100 TB the corpus
+ *    side is bucketed once at write time and queries probe buckets only.
+ *
+ * Hyperplane coefficients are ENGINE-PORTABLE: coef(t,p,d) is derived
+ * from sha256("hp:t:p:d") (first 15 hex chars as a 60-bit int, scaled to
+ * [-1,1)), so an independent engine (the DuckDB oracle) reconstructs the
+ * exact same planes, projections, and buckets. Projections are evaluated
+ * as bounded-size `zip_with`+`aggregate` folds over one constant-folded
+ * coefficient array literal per plane — expression size stays O(planes),
+ * not O(planes*dims), so 768+-dim embeddings stay inside whole-stage
+ * codegen (the r1 per-dim unrolling blew past the 64KB method limit).
  *
  * All arithmetic is double and sequential-fold shaped (dot = left fold),
- * so scores are reproducible bit-for-bit across engines.
+ * so scores are reproducible across engines; projection sign margins on
+ * the test corpus are >= 7e-6, far above any summation-order noise.
  */
 object Similarity {
 
@@ -51,25 +60,47 @@ object Similarity {
   }
 
   /**
-   * Deterministic random hyperplanes (splitmix64 of (table, plane, dim) ->
-   * coefficient in [-1,1)); sign of the projection is scale-invariant so
-   * no normalization is needed. Returns one bucket id per hash table.
+   * Deterministic, engine-portable hyperplane coefficient:
+   * sha256("hp:t:p:d") first 15 hex chars -> 60-bit int -> [-1, 1).
+   * DuckDB equivalent:
+   * `('0x'||substr(sha256('hp:'||t||':'||p||':'||d),1,15))::BIGINT::DOUBLE
+   *  / 576460752303423488.0 - 1.0` (verified identical for all t,p,d).
+   */
+  def planeCoef(table: Int, plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s"hp:$table:$plane:$dim".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59).toDouble - 1.0
+  }
+
+  /**
+   * One bucket id per hash table: bucket bit p is set when the projection
+   * of `v` on plane (t, p) is >= 0 (sign is scale-invariant, so no input
+   * normalization needed). Each plane is ONE constant array literal +
+   * one zip_with/aggregate fold — bounded expression size at any dims.
    */
   def hyperplaneSignature(v: Column, dims: Int, tables: Int, planesPerTable: Int): Column = {
-    def coef(table: Int, plane: Int, d: Int): Double = {
-      var x = table.toLong * 0x9E3779B97F4A7C15L + plane.toLong * 0xBF58476D1CE4E5B9L +
-        d.toLong * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL
-      x ^= (x >>> 31); x *= 0xD6E8FEB86659FD93L; x ^= (x >>> 27)
-      x.toDouble / Long.MaxValue.toDouble
-    }
     val sigs = (0 until tables).map { t =>
       (0 until planesPerTable).map { p =>
-        val proj = (0 until dims).map(d => element_at(v, d + 1) * lit(coef(t, p, d))).reduce(_ + _)
-        when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+        val coefs = typedLit((0 until dims).map(d => planeCoef(t, p, d)))
+        when(dot(v, coefs) >= 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
     }
     array(sigs: _*)
   }
+
+  /**
+   * Exploded LSH bucket assignment: (id, table, bucket) — `tables` rows
+   * per input vector. The candidate-generation primitive for bucketed
+   * near-dup joins and ANN probing: candidates are pairs sharing a
+   * (table, bucket) key, an equi-join that shuffles on the bucket key
+   * and NEVER goes cartesian.
+   */
+  def lshBuckets(df: DataFrame, id: Column, vec: Column, dims: Int,
+                 tables: Int, planesPerTable: Int): DataFrame =
+    df.select(id.as("id"),
+      posexplode(hyperplaneSignature(asDouble(vec), dims, tables, planesPerTable))
+        .as(Seq("table", "bucket")))
 
   /**
    * ANN top-k through LSH collision buckets: candidates = vectors sharing
@@ -78,7 +109,7 @@ object Similarity {
    */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
-              k: Int, dims: Int, tables: Int = 12, planesPerTable: Int = 4): DataFrame = {
+              k: Int, dims: Int, tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, id: Column, vec: Column, idName: String) = {
       val dv = asDouble(vec)
       df.select(id.as(idName), dv.as(s"v_$idName"),

@@ -149,12 +149,18 @@ class PipelineSpec extends AnyFunSuite {
       counts.max.toDouble / counts.sum
     }
     val unsalted = df.repartition(8, $"subj_id")
-    val salted = Materialize.saltedRepartition(df, $"subj_id", salts = 16, numPartitions = 8)
+    val salted = Materialize.saltedRepartition(df, $"subj_id",
+      saltFrom = Seq($"subj_id", $"pred"), salts = 16, numPartitions = 8)
     val u = maxPartitionShare(unsalted)
     val s = maxPartitionShare(salted)
     assert(u > 0.5, s"unsalted should be skewed, was $u")
     assert(s < 0.35, s"salted should be balanced, was $s")
     assert(salted.count() == 2000)
+    // determinism across re-evaluation (the SPARK-23207 retry guarantee):
+    // the same row lands in the same partition on every recompute
+    def partOf(d: org.apache.spark.sql.DataFrame) =
+      d.rdd.mapPartitionsWithIndex((p, it) => it.map(r => (r.getString(1), p))).collect().toMap
+    assert(partOf(salted) == partOf(salted))
   }
 
   test("strict gate fails fast on the first parse error (C4)") {

@@ -111,6 +111,21 @@ object SparkEntry {
         col("path"), col("line"), col("obj.value").as("obj"), col("obj.lang").as("lang"))
     }),
 
+    // B12 corpus-level: lenient multi-line long literals — the statement
+    // window extends across physical lines while a """...""" literal is
+    // open; statements keep their FIRST physical line number
+    "kg_lenient_multiline" -> ((s, dir) => {
+      val corpus = inlineCorpus(s, Seq(
+        ("ml.nt", "nt-lenient",
+          "<a:b> <p:q> \"\"\"multi\nline \"quoted\"\ntext\"\"\" .\n" + // lines 1-3
+          "<a:b> <p:q> \"\"\"tag\nged\"\"\"@en .\n" +                  // lines 4-5
+          "bad line\n" +                                                // line 6
+          "<a:b> <p:q> \"last\" .")))                                   // line 7
+      val parsed = TripleExtract.parse(corpus)
+      TripleExtract.triples(parsed).toDF().select(
+        col("path"), col("line"), col("obj.value").as("obj"), col("obj.lang").as("lang"))
+    }),
+
     // E4: scoped bnode skolemization (sha256(repo|commit|path|label))
     "kg_skolemize" -> ((s, dir) => {
       import s.implicits._
@@ -284,8 +299,12 @@ object SparkEntry {
     "td_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // image rows are REAL PNGs decoded back via javax.imageio; the oracle
+    // predicts their dimensions from the synthesis rule while audio/video
+    // stay on the sha-derived stub — so a broken decoder fails the hash
     "td_multimodal" -> ((s, dir) => {
-      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, docs(s, dir))).toDF()
+      Multimodal.extractFeatures(Multimodal.mediaWithPngImages(s, docs(s, dir))).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_frames"))
     }),
 
     // scale table: orders through the full parse path (printf/date-format
@@ -300,6 +319,26 @@ object SparkEntry {
       parsedTriples(corpus).groupBy("pred").agg(
         count(lit(1)).as("n"),
         countDistinct(col("obj.value")).as("n_distinct_values"))
+    }),
+
+    // typed-literal VALUE-space extraction (ModelFactorySpec parity):
+    // orders serialized as typed literals, parsed through the kernel,
+    // then aggregated in the value space by datatype family — long sums,
+    // exact decimal sums, date mins, boolean counts — via TypedLiterals
+    "kg_typed_values" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_custkey", col("o_custkey"), s"${XSD}long"),
+        ("o_totalprice", format_string("%.2f", col("o_totalprice")), s"${XSD}decimal"),
+        ("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd"), s"${XSD}date"),
+        ("o_even", (col("o_orderkey") % 2 === 0).cast("string"), s"${XSD}boolean")))
+      parsedTriples(corpus).groupBy(col("pred")).agg(
+        count(lit(1)).as("n"),
+        sum(TypedLiterals.asLong(col("obj"))).as("sum_long"),
+        sum(TypedLiterals.asDecimal(col("obj"))).cast("string").as("sum_dec"),
+        min(TypedLiterals.asDate(col("obj"))).cast("string").as("min_date"),
+        sum(when(TypedLiterals.asBoolean(col("obj")), 1L)).as("n_true"))
     }),
 
     // entity enrichment: parsed order->customer triples broadcast-joined
@@ -410,6 +449,13 @@ object SparkEntry {
         |  ('len.nt', 2, 'tagged', 'en'),
         |  ('len.nt', 4, 'short still works', NULL),
         |  ('strict.nt', 1, 'plain', NULL)
+        |) t(path, line, obj, lang)""".stripMargin,
+
+    "kg_lenient_multiline" ->
+      """SELECT * FROM (VALUES
+        |  ('ml.nt', 1, 'multi' || chr(10) || 'line "quoted"' || chr(10) || 'text', CAST(NULL AS VARCHAR)),
+        |  ('ml.nt', 4, 'tag' || chr(10) || 'ged', 'en'),
+        |  ('ml.nt', 7, 'last', NULL)
         |) t(path, line, obj, lang)""".stripMargin,
 
     "kg_skolemize" ->
@@ -634,6 +680,17 @@ object SparkEntry {
         |  UNION ALL SELECT 'urn:col:orders:o_orderpriority', o_orderpriority FROM orders)
         |SELECT pred, count(*) AS n, count(DISTINCT v) AS n_distinct_values FROM t GROUP BY pred""".stripMargin,
 
+    "kg_typed_values" ->
+      """SELECT 'urn:col:orders:o_custkey' AS pred, count(*) AS n, sum(o_custkey) AS sum_long,
+        |       CAST(NULL AS VARCHAR) AS sum_dec, CAST(NULL AS VARCHAR) AS min_date, CAST(NULL AS BIGINT) AS n_true
+        |FROM orders
+        |UNION ALL SELECT 'urn:col:orders:o_totalprice', count(*), NULL,
+        |       CAST(sum(printf('%.2f', o_totalprice)::DECIMAL(18,2)) AS VARCHAR), NULL, NULL FROM orders
+        |UNION ALL SELECT 'urn:col:orders:o_orderdate', count(*), NULL, NULL,
+        |       strftime(min(o_orderdate), '%Y-%m-%d'), NULL FROM orders
+        |UNION ALL SELECT 'urn:col:orders:o_even', count(*), NULL, NULL, NULL,
+        |       sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) FROM orders""".stripMargin,
+
     "kg_enrich_customer" ->
       """SELECT 'urn:g:orders:' || CAST(o_orderkey AS VARCHAR) AS order_iri, c_name, c_mktsegment
         |FROM orders JOIN customer ON c_custkey = o_custkey""".stripMargin,
@@ -687,23 +744,24 @@ object SparkEntry {
         |SELECT DISTINCT CAST(n_regionkey AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation""".stripMargin,
 
     "td_multimodal" -> {
-      // replicate decodeStub: h = first 7 hex chars of sha256(bytes)
+      // image rows: dims from the PNG synthesis rule (Multimodal
+      // .syntheticPng — the Spark side decodes them from real bytes);
+      // audio/video: decodeStub with h = first 7 hex chars of sha256(text)
       val h = "CAST(('0x' || substr(sha256(text), 1, 7)) AS INTEGER)"
       s"""WITH m AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS media_id,
-         |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |         sha256(text) AS content_sha,
-         |         $h AS h
+         |  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 3 AS r, $h AS h
          |  FROM documents)
-         |SELECT media_id, kind, n_bytes, content_sha,
-         |  CASE kind WHEN 'audio' THEN 0 ELSE 160 + (h % 8) * 80 END AS width,
-         |  CASE kind WHEN 'image' THEN (160 + (h % 8) * 80) * 3 // 4
-         |            WHEN 'video' THEN (160 + (h % 8) * 80) * 9 // 16
-         |            ELSE 0 END AS height,
-         |  CASE kind WHEN 'image' THEN 1
-         |            WHEN 'video' THEN 24 + (h >> 3) % 240
-         |            ELSE h % 1048576 END AS n_frames
+         |SELECT media_id,
+         |  CASE r WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CASE r WHEN 0 THEN 16 + (media_id % 8) * 4
+         |         WHEN 1 THEN 0
+         |         ELSE 160 + (h % 8) * 80 END AS width,
+         |  CASE r WHEN 0 THEN 8 + (media_id % 5) * 4
+         |         WHEN 1 THEN 0
+         |         ELSE (160 + (h % 8) * 80) * 9 // 16 END AS height,
+         |  CASE r WHEN 0 THEN 1
+         |         WHEN 1 THEN h % 1048576
+         |         ELSE 24 + (h >> 3) % 240 END AS n_frames
          |FROM m""".stripMargin
     }
   )

@@ -63,6 +63,34 @@ object Corpus {
     ).as[CorpusRow]
   }
 
+  /**
+   * As `fromTable`, but each column carries a datatype IRI, emitting
+   * `<urn:g:TABLE:KEY> <urn:col:TABLE:COL> "value"^^<dtIri> .` — the
+   * input shape for TypedLiterals value-space queries.
+   */
+  def fromTableTyped(df: DataFrame, table: String, keyCol: String,
+                     cols: Seq[(String, Column, String)]): Dataset[CorpusRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = cols.map { case (name, valueExpr, dtIri) =>
+      val triple = concat(
+        lit(s"<urn:g:$table:"), col(keyCol).cast("string"), lit("> "),
+        lit(s"<urn:col:$table:$name> \""), escapeLiteralCol(valueExpr.cast("string")),
+        lit(s"\"^^<$dtIri> ."))
+      when(valueExpr.isNull,
+        concat(lit(s"<urn:g:$table:"), col(keyCol).cast("string"),
+          lit(s"> <urn:col:$table:$name> ?NULL")))
+        .otherwise(triple)
+    }
+    df.select(
+      lit(s"synthetic/$table").as("repo"),
+      concat(lit(s"$table/"), col(keyCol).cast("string"), lit(".nt")).as("path"),
+      lit(FixedCommit).as("commit"),
+      lit(TripleExtract.LangStrict).as("lang"),
+      concat_ws("\n", lines: _*).as("content")
+    ).as[CorpusRow]
+  }
+
   /** The W3C fixture files as corpus documents (driver-side read: 74 tiny files). */
   def w3cFixtures(spark: SparkSession, lang: String = TripleExtract.LangStrict): Dataset[CorpusRow] = {
     import spark.implicits._

@@ -18,35 +18,71 @@ object GraphOps {
   }
 
   /**
-   * Connected components by min-label propagation: every node starts
-   * labeled with itself; each round it adopts the minimum label in its
-   * closed neighborhood; converges in <= diameter rounds (`maxIter`
-   * bounds it deterministically). Each round is one shuffle on node id —
-   * the standard large-graph pattern (cf. large-star/small-star); the
-   * label frame is tiny relative to edges and re-joined per round.
+   * Connected components by alternating large-star / small-star
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14 — the published O(log n)-round algorithm): edges are kept
+   * normalized pointing large->small; large-star hangs every node's
+   * larger neighbors off its minimum neighbor, small-star flattens the
+   * smaller neighbors onto the minimum, and the alternation contracts
+   * any component onto its minimum id in O(log n) rounds REGARDLESS of
+   * diameter — the property that matters at 10^12-edge scale, where a
+   * long path would cost min-label propagation O(diameter) shuffles.
+   * Each round is two aggregate+join shuffles plus one cheap checksum
+   * action for convergence detection; lineage is cut per round.
    *
-   * Input edges (src, dst) are treated as undirected. Output:
-   * (node_id, component) where component == min node id in the component.
+   * Input edges (src, dst) are treated as undirected; self-loops are
+   * dropped but their nodes kept. Output: (node_id, component) where
+   * component == min node id in the component.
    */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-                          maxIter: Int = 10): DataFrame = {
-    val und = edges.select(col(src).as("a"), col(dst).as("b"))
-      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+                          maxIter: Int = 20): DataFrame = {
+    val nodes = edges.select(col(src).as("node_id"))
+      .union(edges.select(col(dst).as("node_id"))).distinct()
+    var e = edges
+      .select(greatest(col(src), col(dst)).as("u"), least(col(src), col(dst)).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-    var labels = und.select(col("a").as("node_id")).distinct()
-      .withColumn("component", col("node_id"))
+      .localCheckpoint(true)
+
+    def checksum(d: DataFrame): (Long, Long) = {
+      // xor-fold of row hashes: overflow-free (ANSI-safe) set fingerprint;
+      // rows are distinct so xor cancellation cannot hide a change
+      val r = d.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var cs = checksum(e)
+    var converged = e.isEmpty
     var i = 0
-    while (i < maxIter) {
-      val fromNbrs = und
-        .join(labels.withColumnRenamed("node_id", "b"), Seq("b"))
-        .groupBy(col("a").as("node_id"))
-        .agg(min(col("component")).as("nbr_min"))
-      labels = labels.join(fromNbrs, Seq("node_id"), "left")
-        .select(col("node_id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint(eager = true) // cut the growing lineage each round
+    while (!converged && i < maxIter) {
+      // large-star: for each u, m = min(N(u) + {u}); emit (v, m) for v > u
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = nbrs.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m: stays large->small
+        .distinct()
+      // small-star: edges already point large->small, so for each u,
+      // m = min of its smaller neighbors; re-hang them (and u) onto m
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, Seq("u"))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      e = ss.localCheckpoint(eager = true) // cut the growing lineage each round
+      val next = checksum(e)
+      converged = next == cs
+      cs = next
       i += 1
     }
-    labels
+    // fixpoint is a star forest (child -> component root); roots and
+    // isolated / self-loop-only nodes label themselves
+    nodes.join(
+        e.select(col("u").as("node_id"), col("v").as("root")), Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("root"), col("node_id")).as("component"))
   }
 }

@@ -29,7 +29,11 @@ final class NtBytesParser(strict: Boolean) {
   private[this] var end = 0
   private[this] var at = 0
   private[this] var lineNo = -1
+  private[this] var inLongLit = false
   private[this] val sb = new java.lang.StringBuilder(128)
+
+  /** See NtLineParser.eoiInUnclosedLongLiteral (identical semantics). */
+  def eoiInUnclosedLongLiteral: Boolean = inLongLit && at >= end
 
   // token-capture state: raw byte range [tokStart, at) unless escaped
   private[this] var tokStart = 0
@@ -54,6 +58,7 @@ final class NtBytesParser(strict: Boolean) {
     base = from
     end = until
     at = from
+    inLongLit = false
     sb.setLength(0)
     escaped = false
     skipWs()
@@ -149,6 +154,7 @@ final class NtBytesParser(strict: Boolean) {
 
   private def longLiteral(): Unit = {
     eatString("\"\"\"")
+    inLongLit = true
     beginToken()
     var open = true
     while (open) {
@@ -161,6 +167,7 @@ final class NtBytesParser(strict: Boolean) {
         case _    => fail("\", or \\")
       }
     }
+    inLongLit = false
     val v = takeValue()
     eatString("\"\"\"")
     literalSuffix(v)

@@ -58,25 +58,41 @@ case class ParseNtLines(content: Expression, lang: Expression)
       private[this] var lineNo = 0
       private[this] var ready: InternalRow = _
 
+      private def scanLine(): Int = {
+        var e = pos
+        while (e < n && { val b = bytes(e); b != '\n'.toByte && b != '\r'.toByte }) e += 1
+        pos =
+          if (e < n && bytes(e) == '\r'.toByte && e + 1 < n && bytes(e + 1) == '\n'.toByte) e + 2
+          else e + 1
+        lineNo += 1
+        e
+      }
+
       private def fetch(): InternalRow = {
         while (pos < n) {
+          // statement window with lenient multi-line long-literal
+          // extension — mirrors TripleExtract.parseDoc exactly
           val start = pos
-          var e = start
-          while (e < n && { val b = bytes(e); b != '\n'.toByte && b != '\r'.toByte }) e += 1
-          pos =
-            if (e < n && bytes(e) == '\r'.toByte && e + 1 < n && bytes(e + 1) == '\n'.toByte) e + 2
-            else e + 1
-          lineNo += 1
-          try {
-            if (p.parseSlice(bytes, start, e, lineNo)) {
-              return InternalRow(false, lineNo, p.subjKind, p.subjValue,
-                p.predValue, p.objKind, p.objValue,
-                p.objLang, p.objDt, 0, null)
+          var e = scanLine()
+          val startLine = lineNo
+          var attempt = true
+          while (attempt) {
+            attempt = false
+            try {
+              if (p.parseSlice(bytes, start, e, startLine)) {
+                return InternalRow(false, startLine, p.subjKind, p.subjValue,
+                  p.predValue, p.objKind, p.objValue,
+                  p.objLang, p.objDt, 0, null)
+              }
+            } catch {
+              case ex: NtParseException =>
+                if (lenient && p.eoiInUnclosedLongLiteral && pos < n) {
+                  e = scanLine()
+                  attempt = true
+                } else
+                  return InternalRow(true, startLine, (-1).toByte, null, null, (-1).toByte,
+                    null, null, null, ex.charPos, UTF8String.fromString(ex.shortMessage))
             }
-          } catch {
-            case ex: NtParseException =>
-              return InternalRow(true, lineNo, (-1).toByte, null, null, (-1).toByte,
-                null, null, null, ex.charPos, UTF8String.fromString(ex.shortMessage))
           }
         }
         null

@@ -46,7 +46,8 @@ object TripleExtract {
   /** Streaming per-document line scan; 0 or 1 output rows per line. */
   private def parseDoc(doc: CorpusRow, strictParser: NtLineParser,
                        lenientParser: NtLineParser): Iterator[ParsedLine] = {
-    val p = if (doc.lang == LangLenient) lenientParser else strictParser
+    val lenient = doc.lang == LangLenient
+    val p = if (lenient) lenientParser else strictParser
     val content = doc.content
     val n = content.length
     new scala.collection.AbstractIterator[ParsedLine] {
@@ -54,25 +55,46 @@ object TripleExtract {
       private[this] var lineNo = 0
       private[this] var ready: ParsedLine = _
 
+      /** Content end of the physical line starting at pos; advances pos
+        * past the \n / \r / \r\n terminator and bumps the line counter. */
+      private def scanLine(): Int = {
+        var e = pos
+        while (e < n && { val c = content.charAt(e); c != '\n' && c != '\r' }) e += 1
+        pos =
+          if (e < n && content.charAt(e) == '\r' && e + 1 < n && content.charAt(e + 1) == '\n') e + 2
+          else e + 1
+        lineNo += 1
+        e
+      }
+
       private def fetch(): ParsedLine = {
         while (pos < n) {
-          // line window [start, end) with \n, \r, \r\n terminators
+          // statement window: starts as one physical line; in lenient mode
+          // an unclosed """...""" long literal extends it across following
+          // lines, so the raw newline becomes literal content (reference
+          // parity: LenientNtParserSpec.scala:34-40). The statement keeps
+          // its FIRST physical line number; the counter tracks all lines
+          // consumed, so later statements stay correctly numbered.
           val start = pos
-          var e = start
-          while (e < n && { val c = content.charAt(e); c != '\n' && c != '\r' }) e += 1
-          pos =
-            if (e < n && content.charAt(e) == '\r' && e + 1 < n && content.charAt(e + 1) == '\n') e + 2
-            else e + 1
-          lineNo += 1
-          try {
-            if (p.parseSlice(content, start, e, lineNo))
-              return ParsedLine(err = false, doc.repo, doc.path, doc.commit, lineNo,
-                p.subjKind, p.subjValue, p.predValue,
-                p.objKind, p.objValue, p.objLang, p.objDt, 0, null)
-          } catch {
-            case ex: NtParseException =>
-              return ParsedLine(err = true, doc.repo, doc.path, doc.commit, lineNo,
-                -1, null, null, -1, null, null, null, ex.charPos, ex.shortMessage)
+          var e = scanLine()
+          val startLine = lineNo
+          var attempt = true
+          while (attempt) {
+            attempt = false
+            try {
+              if (p.parseSlice(content, start, e, startLine))
+                return ParsedLine(err = false, doc.repo, doc.path, doc.commit, startLine,
+                  p.subjKind, p.subjValue, p.predValue,
+                  p.objKind, p.objValue, p.objLang, p.objDt, 0, null)
+            } catch {
+              case ex: NtParseException =>
+                if (lenient && p.eoiInUnclosedLongLiteral && pos < n) {
+                  e = scanLine() // extend window over the next physical line
+                  attempt = true
+                } else
+                  return ParsedLine(err = true, doc.repo, doc.path, doc.commit, startLine,
+                    -1, null, null, -1, null, null, null, ex.charPos, ex.shortMessage)
+            }
           }
         }
         null

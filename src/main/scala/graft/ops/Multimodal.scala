@@ -20,17 +20,20 @@ final case class MediaFeatures(
  * Multimodal-column plumbing: image/audio/video as opaque `binary`
  * columns with typed metadata, batch-decoded per partition.
  *
- * The actual codec decode is STUBBED (this container ships no image/audio
- * libraries): `decodeStub` derives deterministic fake dimensions from the
- * bytes. Everything around it — the binary schema, the
- * mapPartitions batch shape (one reusable "decoder" per partition, same
- * pattern a JNI codec handle would need), partition sizing, and the
- * feature schema — is the real Spark-side design and is tested.
+ * Image decode is REAL: PNG/BMP/GIF bytes are sniffed by magic number and
+ * decoded with pure-JVM `javax.imageio` (no native codecs needed), so
+ * width/height come from the actual pixels. Audio/video decode remains a
+ * clearly-marked deterministic stub (this container ships no AV codecs);
+ * the stub also backstops image blobs ImageIO cannot read, so a corrupt
+ * blob degrades instead of failing the job. The surrounding design — the
+ * binary schema, the mapPartitions batch shape (one reusable decoder
+ * context per partition, the same pattern a JNI codec handle needs),
+ * partition sizing, and the feature schema — is the production shape.
  */
 object Multimodal {
 
   /**
-   * Replace with a real codec; everything else stays. Derives fake
+   * Deterministic fallback for kinds without a real decoder. Derives fake
    * dimensions from the content digest (portable: any engine computing
    * sha256 gets the same values).
    */
@@ -44,20 +47,77 @@ object Multimodal {
     }
   }
 
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length > 8 &&
+      ((b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+       (b(0) == 'B' && b(1) == 'M') ||                                       // BMP
+       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))                          // GIF
+
+  /** Real pure-JVM image decode: Some((width, height)) or None. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (!looksLikeImage(bytes)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(i => (i.getWidth, i.getHeight))
+      catch { case _: java.io.IOException => None }
+
   /** Batch feature extraction over binary blobs. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition: real codecs would open one decoder context here
+      // per-partition decoder context: no ImageIO temp-file cache on
+      // executors, one digest instance reused across the batch
+      javax.imageio.ImageIO.setUseCache(false)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       rows.map { m =>
         digest.reset()
         val sha = digest.digest(m.bytes).map("%02x".format(_)).mkString
-        val (w, h, f) = decodeStub(m.kind, sha)
+        val (w, h, f) =
+          if (m.kind == "image") decodeImage(m.bytes) match {
+            case Some((rw, rh)) => (rw, rh, 1)
+            case None           => decodeStub(m.kind, sha) // unreadable blob: degrade
+          }
+          else decodeStub(m.kind, sha)
         MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, sha, w, h, f)
       }
     }
+  }
+
+  /** Deterministic tiny PNG: dimensions and pixel pattern derived from id. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 8).toInt * 4
+    val h = 8 + (id % 5).toInt * 4
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) & 0xFFFFFF).toInt); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /**
+   * Media corpus with REAL encoded images: doc_id % 3 == 0 rows become
+   * synthetic PNGs (decoded back by extractFeatures from actual bytes);
+   * audio/video rows keep text bytes standing in for encoded media.
+   */
+  def mediaWithPngImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, text) =>
+          (id % 3) match {
+            case 0 => MediaRow(id, "image", syntheticPng(id))
+            case 1 => MediaRow(id, "audio", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case _ => MediaRow(id, "video", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      }
   }
 
   /**

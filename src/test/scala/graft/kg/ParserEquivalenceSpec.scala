@@ -65,6 +65,28 @@ class ParserEquivalenceSpec extends AnyFunSuite {
     assertSame("<a:b> <p:q> \"\"\"x\"y\"\"z\"\"\" .", 1, strict = false)
     assertSame("<a:b> <p:q> \"\"\"with \\u0041 and %41\"\"\"@en-us .", 1, strict = false)
     assertSame("<a:b> <p:q> \"\"\"unterminated", 1, strict = false)
+    // raw newlines inside the window (multi-line statement slices)
+    assertSame("<a:b> <p:q> \"\"\"baz\nqux\"\"\" .", 1, strict = false)
+    assertSame("<a:b> <p:q> \"\"\"c\r\nr\"\"\"@en .", 1, strict = false)
+  }
+
+  test("both parsers raise the EOI-in-unclosed-long-literal extend signal identically") {
+    def flags(line: String): (Boolean, Boolean) = {
+      val cp = NtLineParser.lenient
+      val bp = NtBytesParser.lenient
+      intercept[NtParseException] { cp.parseStatement(line, 1) }
+      val bytes = line.getBytes(StandardCharsets.UTF_8)
+      intercept[NtParseException] { bp.parseSlice(bytes, 0, bytes.length, 1) }
+      (cp.eoiInUnclosedLongLiteral, bp.eoiInUnclosedLongLiteral)
+    }
+    // mid-literal EOI (raw cut, cut inside closing quotes, cut after \)
+    assert(flags("<a:b> <p:q> \"\"\"open") == (true, true))
+    assert(flags("<a:b> <p:q> \"\"\"open\"\"") == (true, true))
+    assert(flags("<a:b> <p:q> \"\"\"open\\") == (true, true))
+    // NOT raised for failures outside a long literal — no false extension
+    assert(flags("<a:b> <p:q> \"open") == (false, false))
+    assert(flags("<a:b> <p:q> \"\"\"done\"\"\"") == (false, false)) // missing '.'
+    assert(flags("<a:b> <p:q>") == (false, false))
   }
 
   test("generated statements agree (property)") {

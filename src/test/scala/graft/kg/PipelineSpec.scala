@@ -122,10 +122,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.find(_._1 == "good.nt").get._2 == shaGood)
   }
 
+  test("lenient corpus slicing spans multi-line long literals (B12 corpus-level)") {
+    // reference parity: LenientNtParserSpec.scala:34-40 — a """baz\nqux"""
+    // literal parses from one multi-line input; through the corpus slicer
+    // the statement keeps its first physical line number and subsequent
+    // statements stay correctly numbered
+    val content = "<a:b> <p:q> \"\"\"baz\nqux\"\"\" .\n" + // lines 1-2
+      "<a:b> <p:r> \"\"\"a\n\nb\"\"\"@en .\n" +            // lines 3-5
+      "bad line\n" +                                        // line 6
+      "<a:b> <p:s> \"after\" ."                             // line 7
+    val corpus = Seq(CorpusRow("r", "ml.nt", "c", TripleExtract.LangLenient, content)).toDS()
+    val parsed = TripleExtract.parse(corpus)
+    val triples = TripleExtract.triples(parsed).collect().sortBy(_.line)
+    assert(triples.map(t => (t.line, t.obj.value, t.obj.lang)).toList ==
+      List((1, "baz\nqux", null), (3, "a\n\nb", "en"), (7, "after", null)))
+    val errs = TripleExtract.errors(parsed).collect()
+    assert(errs.map(_.line).toList == List(6))
+    // a document ending inside an unclosed long literal is ONE error row
+    // at the statement's start line, not one per remaining physical line
+    val unclosed = Seq(CorpusRow("r", "uc.nt", "c", TripleExtract.LangLenient,
+      "<a:b> <p:q> \"ok\" .\n<a:b> <p:q> \"\"\"never\ncloses")).toDS()
+    val uerrs = TripleExtract.errors(TripleExtract.parse(unclosed)).collect()
+    assert(uerrs.map(_.line).toList == List(2))
+    assert(TripleExtract.triples(TripleExtract.parse(unclosed)).count() == 1)
+    // strict mode is untouched: the same content errors line-by-line
+    val strict = Seq(CorpusRow("r", "s.nt", "c", "nt", "<a:b> <p:q> \"\"\"baz\nqux\"\"\" .")).toDS()
+    assert(TripleExtract.errors(TripleExtract.parse(strict)).count() == 2)
+  }
+
   test("native ParseNtLines generator matches the Dataset kernel exactly") {
     val corpus = Corpus.w3cFixtures(spark).union(Seq(
       CorpusRow("r", "len.nt", "c", TripleExtract.LangLenient,
-        "<a:b> <p:q> \"\"\"long \"lit\"\"\"\" .\nbad\n<a:b> <p:q> \"ok\" .")).toDS())
+        "<a:b> <p:q> \"\"\"long \"lit\"\"\"\" .\nbad\n<a:b> <p:q> \"ok\" ."),
+      CorpusRow("r", "ml.nt", "c", TripleExtract.LangLenient,
+        "<a:b> <p:q> \"\"\"baz\nqux\"\"\" .\n<a:b> <p:r> \"\"\"t\"\"\"@en .\n<a:b> <p:s> \"\"\"open"),
+      CorpusRow("r", "mlcrlf.nt", "c", TripleExtract.LangLenient,
+        "<a:b> <p:q> \"\"\"c\r\nr\"\"\" .\r\n<a:b> <p:r> \"n\" .")).toDS())
     val viaKernel = TripleExtract.parse(corpus).toDF()
     val viaExpr = TripleExtract.parseExpr(corpus.toDF())
     assert(viaExpr.schema.fieldNames.toSeq == viaKernel.schema.fieldNames.toSeq)

@@ -133,7 +133,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got == "write <EMAIL> or call <NUM> x42")
   }
 
-  test("connected components via min-label propagation") {
+  test("connected components via large-star/small-star") {
     import graft.kg.GraphOps
     val e = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 12L)).toDF("src", "dst")
     val cc = GraphOps.connectedComponents(e, "src", "dst", maxIter = 5)
@@ -141,6 +141,13 @@ class OpsSpec extends AnyFunSuite {
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(cc(12L) == 12L)
+    // O(log n) rounds: a 300-node path has diameter 300 — min-label
+    // propagation would need 300 rounds; star alternation contracts it
+    // within the default maxIter
+    val path = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
+    val pcc = GraphOps.connectedComponents(path, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(pcc.length == 300 && pcc.forall(_._2 == 0L))
     val deg = GraphOps.degrees(e.withColumnRenamed("src", "subj_id").withColumnRenamed("dst", "obj_id"))
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(deg(2L) == (1L, 1L)) // 2 has one out-edge (2->3) and one in-edge (1->2)
@@ -209,6 +216,23 @@ class OpsSpec extends AnyFunSuite {
     val oversized = Dedup.lshBucketStats(sh, maxBucket = 100)
       .filter($"oversized").collect()
     assert(oversized.nonEmpty && oversized.forall(_.getAs[Long]("bsz") == n.toLong))
+  }
+
+  test("real PNG decode: width/height come from the actual bytes") {
+    val media = Multimodal.mediaWithPngImages(spark,
+      Seq((0L, "a"), (3L, "b"), (1L, "c"), (2L, "d")).toDF("doc_id", "text"))
+    val f = Multimodal.extractFeatures(media).collect().map(m => m.media_id -> m).toMap
+    // id 0: 16 + 0*4 x 8 + 0*4; id 3: 16 + 3*4 x 8 + 3*4 — decoded, not derived
+    assert((f(0L).width, f(0L).height, f(0L).n_frames) == (16, 8, 1))
+    assert((f(3L).width, f(3L).height, f(3L).n_frames) == (28, 20, 1))
+    assert(f(0L).n_bytes > 50 && f(0L).content_sha.length == 64) // real encoded PNG
+    // and decodeImage itself round-trips a synthetic PNG
+    assert(Multimodal.decodeImage(Multimodal.syntheticPng(5L)) == Some((36, 8)))
+    // corrupt image bytes degrade to the stub instead of failing the job
+    import spark.implicits._
+    val corrupt = Seq(MediaRow(9L, "image", "not a png".getBytes("UTF-8"))).toDS()
+    val c = Multimodal.extractFeatures(corrupt).collect().head
+    assert(c.width >= 160 && c.n_frames == 1) // stub shape
   }
 
   test("multimodal feature extraction is deterministic over binary blobs") {

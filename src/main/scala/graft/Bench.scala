@@ -44,14 +44,30 @@ object Bench {
     s
   }
 
-  /** parse -> skolemize -> canonicalize -> edges over a corpus path. */
-  private def parseLinkTriples(spark: SparkSession, corpusPath: String,
-                               warmup: Boolean = false): Long = {
+  /**
+   * parse -> skolemize -> canonicalize -> edges over a corpus path,
+   * FULLY MATERIALIZED through a noop sink. A count() here would let
+   * Catalyst prune every column — the optimized count plan contains no
+   * sha2/skolemize/canonicalize expressions at all (verified via
+   * optimizedPlan), i.e. it measures parse alone. The noop DataSource
+   * evaluates every output column (all three sha256 node ids + lineage)
+   * without disk I/O, so the timing covers the whole north-metric
+   * parse+link pipeline.
+   */
+  private def parseLinkMaterialize(spark: SparkSession, corpusPath: String,
+                                   warmup: Boolean = false): Unit = {
     val raw = spark.read.parquet(corpusPath)
     val corpus = if (warmup) raw.sample(0.02, seed = 7) else raw
     // native ParseNtLines generator: no object-serde boundary
     val triples = TripleExtract.assembleTriples(TripleExtract.parseExpr(corpus))
-    Materialize.edges(Canonicalize(Skolemize(triples))).count()
+    Materialize.edges(Canonicalize(Skolemize(triples)))
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  /** Triple count of the corpus — a fixed property, computed once untimed. */
+  private def countTriples(spark: SparkSession, corpusPath: String): Long = {
+    val corpus = spark.read.parquet(corpusPath)
+    TripleExtract.assembleTriples(TripleExtract.parseExpr(corpus)).count()
   }
 
   /**
@@ -180,11 +196,18 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     def once(n: Int): (Long, Double) = {
       val s = session(n)
-      val r = timed(parseLinkTriples(s, corpusPath))
+      val r = timed(parseLinkMaterialize(s, corpusPath))
       s.stop()
-      r
+      (0L, r._2)
     }
-    locally { val s = session(32); parseLinkTriples(s, corpusPath); s.stop() } // warmup
+    // JIT warmup + the untimed triple count (a fixed corpus property)
+    val nTriples = locally {
+      val s = session(32)
+      parseLinkMaterialize(s, corpusPath)
+      val c = countTriples(s, corpusPath)
+      s.stop()
+      c
+    }
     // Two N->4N pairs: 2->8 cores is the headline (per-core resources
     // constant at both levels, like adding executor nodes); 8->32 is
     // reported as evidence next to this box's measured hw ceilings
@@ -210,13 +233,14 @@ object Bench {
       extra.result()
     }
     val runs = baseRuns ++ adaptive(8, 4) ++ adaptive(32, 6)
-    def best(n: Int): (Double, Long, Double) = {
-      val (triples, sec) = runs.collect { case (`n`, r) => r }.minBy(_._2)
-      (triples / sec, triples, sec)
+    def best(n: Int): (Double, Double) = {
+      val sec = runs.collect { case (`n`, (_, s)) => s }.min
+      (nTriples / sec, sec)
     }
-    val (thr2, triplesN, sec2) = best(2)
-    val (thr8, _, sec8) = best(8)
-    val (thr32, _, sec32) = best(32)
+    val triplesN = nTriples
+    val (thr2, sec2) = best(2)
+    val (thr8, sec8) = best(8)
+    val (thr32, sec32) = best(32)
     val efficiency2to8 = (thr8 / thr2) / 4.0
     val efficiency8to32 = (thr32 / thr8) / 4.0
     val (aluEff, memEff) = hwCeilings()

@@ -24,40 +24,17 @@ import org.apache.spark.sql.functions._
  */
 object Canonicalize {
 
-  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):"
-  private val hierRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
-
-  /** Canonical form of an IRI string column (non-IRI strings pass through). */
-  def canonicalIri(v: Column): Column = {
-    val scheme = lower(regexp_extract(v, schemeRe, 1))
-    val hierScheme = lower(regexp_extract(v, hierRe, 1))
-    val auth = lower(regexp_extract(v, hierRe, 2))
-    val rest = regexp_extract(v, hierRe, 3)
-    val authNoPort = when(hierScheme === "http", regexp_replace(auth, ":80$", ""))
-      .when(hierScheme === "https", regexp_replace(auth, ":443$", ""))
-      .otherwise(auth)
-    when(v.rlike(hierRe), concat(hierScheme, lit("://"), authNoPort, rest))
-      .when(v.rlike(schemeRe), concat(scheme, regexp_replace(v, schemeRe, ":")))
-      .otherwise(v)
-  }
+  /**
+   * Canonical form of an IRI string column (non-IRI strings pass
+   * through). Backed by the native CanonicalizeIri expression — one
+   * linear byte scan with a zero-copy already-canonical fast path; the
+   * earlier regex formulation cost ~20us/term (50x the parse kernel)
+   * once the plan actually materialized it.
+   */
+  def canonicalIri(v: Column): Column = CanonicalizeIri(v)
 
   /** Same normalization for plain Scala use (kernel/unit tests). */
-  def canonicalIriString(v: String): String = {
-    val hier = ("^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$").r
-    val plain = ("^([A-Za-z][A-Za-z0-9+.-]*):(.*)$").r
-    v match {
-      case hier(s, a, r) =>
-        val sch = s.toLowerCase
-        val auth0 = a.toLowerCase
-        val auth =
-          if (sch == "http" && auth0.endsWith(":80")) auth0.dropRight(3)
-          else if (sch == "https" && auth0.endsWith(":443")) auth0.dropRight(4)
-          else auth0
-        sch + "://" + auth + r
-      case plain(s, r) => s.toLowerCase + ":" + r
-      case _ => v
-    }
-  }
+  def canonicalIriString(v: String): String = IriCanon.canonicalString(v)
 
   /** Rewrite IRI-kind terms of a term struct column to canonical form. */
   private def canonTerm(termCol: String): Column = {

@@ -1,0 +1,123 @@
+package graft.kg
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Single-pass byte-level IRI canonicalization (E5, RFC 3986 syntax
+ * normalization: lowercase scheme, lowercase authority for hierarchical
+ * IRIs, strip default ports :80/http and :443/https).
+ *
+ * Replaces the r2-profiled hot spot: the regex formulation (2x rlike +
+ * 4x regexp_extract + 2x regexp_replace per IRI) cost ~20us/term —
+ * 50x the parse kernel itself, invisible in r1 because count() pruned
+ * it. This expression is one linear byte scan with a ZERO-COPY fast
+ * path: an already-canonical IRI (the overwhelmingly common case at
+ * corpus scale) returns the input UTF8String unchanged, no allocation.
+ *
+ * Only ASCII A-Z bytes are lowercased (UTF-8-safe: multi-byte sequences
+ * never contain bytes < 0x80); RFC 3986 hosts are ASCII in practice, and
+ * scheme chars are ASCII by grammar.
+ *
+ * Codegen: a static method call inside whole-stage codegen (same
+ * pattern as Spark's own string built-ins) — no CodegenFallback, no UDF.
+ */
+case class CanonicalizeIri(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    IriCanon.canonical(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.kg.IriCanon.canonical($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IriCanon {
+
+  @inline private def isAlpha(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  @inline private def isSchemeChar(b: Byte): Boolean =
+    isAlpha(b) || (b >= '0' && b <= '9') || b == '+' || b == '.' || b == '-'
+  @inline private def isUpper(b: Byte): Boolean = b >= 'A' && b <= 'Z'
+  @inline private def toLower(b: Byte): Byte =
+    if (isUpper(b)) (b + 32).toByte else b
+
+  /** Canonical form; returns the INPUT REFERENCE when already canonical. */
+  def canonical(v: UTF8String): UTF8String = {
+    if (v == null) return null
+    val bytes = v.getBytes // zero-copy when the UTF8String is array-backed
+    val n = bytes.length
+    // scheme: [A-Za-z][A-Za-z0-9+.-]* ':'
+    if (n < 2 || !isAlpha(bytes(0))) return v
+    var i = 1
+    while (i < n && isSchemeChar(bytes(i))) i += 1
+    if (i >= n || bytes(i) != ':') return v // not scheme-shaped: pass through
+    val schemeEnd = i // exclusive; bytes(i) == ':'
+    // hierarchical? "//" after the colon
+    val hier = i + 2 < n && bytes(i + 1) == '/' && bytes(i + 2) == '/'
+    var authStart = -1
+    var authEnd = -1
+    if (hier) {
+      authStart = i + 3
+      var j = authStart
+      while (j < n && { val b = bytes(j); b != '/' && b != '?' && b != '#' }) j += 1
+      authEnd = j
+    }
+    // default port to strip, if any
+    val isHttp = schemeEnd == 4 &&
+      toLower(bytes(0)) == 'h' && toLower(bytes(1)) == 't' &&
+      toLower(bytes(2)) == 't' && toLower(bytes(3)) == 'p'
+    val isHttps = schemeEnd == 5 && isHttp0(bytes) && toLower(bytes(4)) == 's'
+    var portLen = 0
+    if (hier) {
+      if (isHttp && authEnd - authStart >= 3 &&
+        bytes(authEnd - 3) == ':' && bytes(authEnd - 2) == '8' && bytes(authEnd - 1) == '0')
+        portLen = 3
+      else if (isHttps && authEnd - authStart >= 4 &&
+        bytes(authEnd - 4) == ':' && bytes(authEnd - 3) == '4' &&
+        bytes(authEnd - 2) == '4' && bytes(authEnd - 1) == '3')
+        portLen = 4
+    }
+    // change detection: any uppercase in scheme/authority, or a port to drop
+    var changed = portLen > 0
+    i = 0
+    while (!changed && i < schemeEnd) { changed = isUpper(bytes(i)); i += 1 }
+    if (hier) {
+      i = authStart
+      while (!changed && i < authEnd) { changed = isUpper(bytes(i)); i += 1 }
+    }
+    if (!changed) return v // fast path: no allocation
+    val out = new Array[Byte](n - portLen)
+    var k = 0
+    i = 0
+    while (i < schemeEnd) { out(k) = toLower(bytes(i)); k += 1; i += 1 }
+    if (hier) {
+      while (i < authStart) { out(k) = bytes(i); k += 1; i += 1 } // "://"
+      while (i < authEnd - portLen) { out(k) = toLower(bytes(i)); k += 1; i += 1 }
+      i = authEnd // skip the stripped port
+    }
+    while (i < n) { out(k) = bytes(i); k += 1; i += 1 }
+    UTF8String.fromBytes(out)
+  }
+
+  @inline private def isHttp0(bytes: Array[Byte]): Boolean =
+    toLower(bytes(0)) == 'h' && toLower(bytes(1)) == 't' &&
+      toLower(bytes(2)) == 't' && toLower(bytes(3)) == 'p'
+
+  /** Plain-String twin (kernel/unit tests share one semantics). */
+  def canonicalString(v: String): String =
+    canonical(UTF8String.fromString(v)).toString
+}
+
+object CanonicalizeIri {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  def apply(c: Column): Column =
+    ColumnShim.column(CanonicalizeIri(ColumnShim.expression(c)))
+}

@@ -285,6 +285,22 @@ object SparkEntry {
         e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10, dims = 64)
     }),
 
+    // second scale path: IVF cells with deterministic centroids (the
+    // embeddings of vec_id < 16) — the whole probe pipeline is exactly
+    // reproducible in DuckDB, so unlike LSH ANN this one is hash-checked
+    "td_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val centroids = e.filter(col("vec_id") < 16)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .collect() // 16 x 64 doubles: coarse-quantizer metadata, not data
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+        .toSeq
+      Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 10, centroids = centroids, nprobe = 4)
+    }),
+
     "td_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
 
@@ -633,6 +649,29 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id FROM (
         |  SELECT query_id, neighbor_id,
         |         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 10""".stripMargin,
+
+    // IVF: cid in the Spark plan is the centroid INDEX after sorting by
+    // vec_id; centroids are vec_id 0..15 so index == vec_id
+    "td_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, c.cid, list_dot_product(
+        |        list_transform(range(1, 65), i -> e.v[i] - c.cv[i]),
+        |        list_transform(range(1, 65), i -> e.v[i] - c.cv[i])) AS dist
+        |      FROM e, c),
+        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn FROM d),
+        |assign AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |probe AS (SELECT vec_id AS query_id, cid FROM r WHERE vec_id < 5 AND rn <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |         FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
+        |s AS (SELECT query_id, neighbor_id,
+        |             list_dot_product(eq.v, en.v)
+        |               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(en.v, en.v))) AS cos
+        |      FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e en ON en.vec_id = neighbor_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM s) WHERE rank <= 10""".stripMargin,
 
     "td_lang_id" -> {

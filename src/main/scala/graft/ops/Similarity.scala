@@ -102,6 +102,60 @@ object Similarity {
       posexplode(hyperplaneSignature(asDouble(vec), dims, tables, planesPerTable))
         .as(Seq("table", "bucket")))
 
+  /** Squared L2 distance of two double arrays (left fold, engine-stable). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+
+  /**
+   * IVF coarse-quantizer cell id: argmin over `centroids` of squared L2,
+   * ties broken by centroid index. Centroids are inlined as constant
+   * array literals, so assignment is a pure NARROW expression — no join,
+   * no shuffle, no window; at 100 TB the corpus is assigned and
+   * cell-partitioned in the same single pass that wrote it. The argmin
+   * is `array_min` over (dist, cid) structs (lexicographic struct
+   * ordering), reproducible in any engine with the same fold.
+   */
+  def ivfCell(v: Column, centroids: Seq[Array[Double]]): Column = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(v, typedLit(c.toSeq)).as("dist"), lit(i).as("cid"))
+    }
+    array_min(array(cells: _*)).getField("cid")
+  }
+
+  /** The `nprobe` nearest centroid ids for a (query) vector, as an array. */
+  def ivfProbes(v: Column, centroids: Seq[Array[Double]], nprobe: Int): Column = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(v, typedLit(c.toSeq)).as("dist"), lit(i).as("cid"))
+    }
+    transform(slice(array_sort(array(cells: _*)), 1, nprobe), s => s.getField("cid"))
+  }
+
+  /**
+   * IVF-style ANN top-k (the second scale path next to hyperplane LSH):
+   * the corpus is assigned to its nearest centroid cell in one narrow
+   * pass; each query probes its `nprobe` nearest cells; candidates are
+   * an equi-join on the cell id (never cartesian); exact cosine + top-k
+   * over candidates. With deterministic centroids the whole pipeline is
+   * exactly reproducible cross-engine (distance margins on the test
+   * corpus are >= 2e-5, far above fold-order noise). At production
+   * scale, centroids come from a k-means pass and the corpus side is
+   * written partitioned by cell so probes prune partitions.
+   */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              k: Int, centroids: Seq[Array[Double]], nprobe: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("neighbor_id"), asDouble(corpusVec).as("cv"))
+      .withColumn("cell", ivfCell(col("cv"), centroids))
+    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"),
+        explode(ivfProbes(asDouble(queryVec), centroids, nprobe)).as("cell"))
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /**
    * ANN top-k through LSH collision buckets: candidates = vectors sharing
    * a bucket with the query in ANY table; exact cosine + top-k over

@@ -184,6 +184,31 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"768-dim LSH recall too low: $recall")
   }
 
+  test("IVF ANN: deterministic cells, equi-join candidates, recall vs brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = e.filter($"vec_id" < 8)
+      .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray).toSeq
+    val q = e.filter($"vec_id" < 5)
+    val ivf = Similarity.ivfTopK(e, $"vec_id", $"embedding", q, $"vec_id", $"embedding",
+      k = 10, centroids = centroids, nprobe = 4)
+    // cell assignment is deterministic across evaluations
+    val cells = e.select($"vec_id",
+      Similarity.ivfCell(Similarity.asDouble($"embedding"), centroids).as("cell"))
+    assert(cells.collect().toSet == cells.collect().toSet)
+    assert(cells.agg(countDistinct($"cell")).as[Long].head() == 8)
+    // probing half the cells keeps most true neighbors
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = pairs(Similarity.bruteForceTopK(e, $"vec_id", $"embedding", q, $"vec_id", $"embedding", 10))
+    val got = pairs(ivf)
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // candidates come from an equi-join on the cell id — never cartesian
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("embedding near-dup: bucketed two-stage matches exact on planted dups, no cartesian") {
     val rnd = new scala.util.Random(7)
     val base = (0 until 60).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))

@@ -391,6 +391,11 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), Curation.scrubPii(augmented).as("scrubbed"))
     }),
 
+    // RefinedWeb/C4-style boilerplate removal: 10-token segments shared
+    // across >1 distinct docs are dropped from every doc
+    "td_interdoc_dedup" -> ((s, dir) =>
+      Curation.interdocSegmentDedup(docs(s, dir), col("doc_id"), col("text"))),
+
     // graph analytics over a numeric nation->region edge set
     "kg_graph_degrees" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/nation.parquet")
@@ -768,6 +773,20 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |    '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    "td_interdoc_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |segs AS (SELECT doc_id, k AS seg_idx, array_to_string(w[k*10+1 : k*10+10], ' ') seg
+        |         FROM d, unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) t(k)),
+        |bp AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM bp)),
+        |tot AS (SELECT doc_id, count(*) n_total FROM segs GROUP BY 1),
+        |reb AS (SELECT doc_id, count(*) n_kept,
+        |               string_agg(seg, ' ' ORDER BY seg_idx) clean_text
+        |        FROM kept GROUP BY 1)
+        |SELECT t.doc_id AS id, COALESCE(reb.clean_text, '') AS clean_text,
+        |       (t.n_total - COALESCE(reb.n_kept, 0)) AS n_dropped_segments
+        |FROM tot t LEFT JOIN reb ON reb.doc_id = t.doc_id""".stripMargin,
 
     "kg_graph_degrees" ->
       """WITH e AS (SELECT CAST(n_nationkey + 100 AS BIGINT) s, CAST(n_regionkey AS BIGINT) d FROM nation),

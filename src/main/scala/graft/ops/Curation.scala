@@ -70,4 +70,46 @@ object Curation {
     val noEmail = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>")
     regexp_replace(noEmail, "[0-9]{4,}", "<NUM>")
   }
+
+  /** Non-overlapping `n`-token segments with position: (id, seg_idx, seg). */
+  def tokenSegments(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val words = split(text, " ")
+    val nSegs = ceil(size(words) / n.toDouble).cast("int")
+    val segs = transform(sequence(lit(0), nSegs - 1), k =>
+      concat_ws(" ", slice(words, k * n + 1, lit(n))))
+    docs.select(id.as("id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+  }
+
+  /**
+   * Inter-document segment dedup (RefinedWeb/C4-style boilerplate
+   * removal): a non-overlapping `n`-token segment that occurs in MORE
+   * than `maxDocs` distinct documents is boilerplate (site chrome,
+   * license headers, templated spans) and is dropped from every
+   * document; text is rebuilt from the surviving segments in order.
+   * Output: (id, clean_text, n_dropped_segments).
+   *
+   * Scale shape: one shuffle keyed on the segment string for the
+   * distinct-doc count (uniformly distributed — segments ARE content
+   * hashes of themselves), a left-anti join on the same key, and one
+   * shuffle on doc id for the ordered rebuild. Never all-pairs; the
+   * boilerplate side is the small output of a HAVING filter.
+   */
+  def interdocSegmentDedup(docs: DataFrame, id: Column, text: Column,
+                           n: Int = 10, maxDocs: Int = 1): DataFrame = {
+    val segs = tokenSegments(docs, id, text, n)
+    val boilerplate = segs.groupBy("seg")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select("seg")
+    val kept = segs.join(boilerplate, Seq("seg"), "left_anti")
+    val nSegsPerDoc = segs.groupBy("id").agg(count(lit(1)).as("n_total"))
+    kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"))
+      .join(nSegsPerDoc, Seq("id"), "right")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped_segments"))
+  }
 }

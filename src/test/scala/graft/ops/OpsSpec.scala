@@ -127,6 +127,24 @@ class OpsSpec extends AnyFunSuite {
     assert(n1 == n2 && n1 > 200 && n1 < 400)
   }
 
+  test("inter-document segment dedup drops shared spans, keeps order") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$boiler u1 u2 u3"),
+      (2L, s"$boiler v1 v2 v3"),
+      (3L, "w1 w2 w3")).toDF("doc_id", "text")
+    val out = Curation.interdocSegmentDedup(d, $"doc_id", $"text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (("u1 u2 u3", 1L)))
+    assert(out(2L) == (("v1 v2 v3", 1L)))
+    assert(out(3L) == (("w1 w2 w3", 0L)))
+    // a doc that is ALL boilerplate survives as an empty row, not a lost id
+    val d2 = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val out2 = Curation.interdocSegmentDedup(d2, $"doc_id", $"text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out2(1L) == (("", 1L)) && out2(2L) == (("", 1L)))
+  }
+
   test("pii scrub redacts emails and long numbers, keeps words") {
     val got = Seq("write bob.smith+x@corp.example.org or call 5551234567 x42")
       .toDF("text").select(Curation.scrubPii($"text")).as[String].head()

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg.TestSpark
+
+/**
+ * Blanket physical-plan audit over EVERY driver query: the properties
+ * that keep the engine alive at 100 TB are asserted here so a future
+ * edit cannot silently reintroduce an all-pairs join or a full-width
+ * scan. (VERDICT r1 found exactly such a cartesian hiding behind a
+ * green correctness check.)
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // td_ann_topk is the documented EXACT baseline: a broadcast nested-loop
+  // of a tiny query set against the corpus is its intended shape.
+  private val allPairsAllowed = Set("td_ann_topk")
+
+  test("no driver query plans a cartesian / broadcast nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      if (allPairsAllowed(name)) None
+      else {
+        val plan = q(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty, s"all-pairs join in: ${offenders.mkString(", ")}")
+  }
+
+  test("column pruning reaches the parquet scans") {
+    // a 2-column op over the 6-column documents table must read 2 columns
+    val plan = SparkEntry.queries("td_lang_id")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall { s =>
+      s.contains("doc_id") && s.contains("text") && s.split(",").length == 2
+    }, s"unpruned scan: $readSchemas")
+    // the events aggregation must not read props/user_id
+    val ev = SparkEntry.queries("td_event_windows")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val evSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(ev).map(_.group(1)).get
+    assert(!evSchema.contains("props") && !evSchema.contains("user_id"), evSchema)
+  }
+
+  test("resume anti-join broadcasts the manifest side") {
+    val plan = SparkEntry.queries("kg_resume_antijoin")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(500))
+  }
+}

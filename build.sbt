@@ -38,8 +38,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // gen is scaled from the resolved heap (~40%) so SPARK_DRIVER_MEM below
   // the old fixed -Xmn12g no longer fails JVM startup.
   sys.env.getOrElse("SPARK_GC", {
-    val heapGb = "(?i)^(\\d+)g$".r
+    // parse g/m suffixes so ANY heap size yields a valid young gen
+    // (a fixed -Xmn larger than -Xmx fails JVM startup)
+    val heapMb = "(?i)^(\\d+)([gm])$".r
       .findFirstMatchIn(sys.env.getOrElse("SPARK_DRIVER_MEM", "32g"))
-      .map(_.group(1).toInt).getOrElse(32)
-    s"-XX:+UseParallelGC -Xmn${math.max(1, heapGb * 2 / 5)}g"
+      .map(m => m.group(1).toLong * (if (m.group(2).equalsIgnoreCase("g")) 1024 else 1))
+      .getOrElse(32768L)
+    s"-XX:+UseParallelGC -Xmn${math.max(256L, heapMb * 2 / 5)}m"
   }).split(" ").toSeq

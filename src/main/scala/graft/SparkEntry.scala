@@ -222,18 +222,21 @@ object SparkEntry {
     }),
 
     // windowed temporal aggregation over the events stream table.
-    // Output is engine-canonical: the window start is rendered as a UTC
-    // string (the session timezone is pinned INSIDE the query so a harness
-    // running Verify with a different tz cannot shift it) and the decimal
-    // sum is emitted as a fixed-scale string, removing both representation
-    // suspects from the r1 hash mismatch.
+    // The parquet `ts` is a NAIVE timestamp (isAdjustedToUTC=false), so a
+    // plain TimestampType read shifts the instant by the SESSION timezone
+    // — the r1 hash-mismatch class, and a latent dependency on harness
+    // config. Casting to timestamp_ntz recovers the stored naive value
+    // identically under ANY session tz (and matches DuckDB, which reads
+    // the column naive); windowing and rendering then never touch a
+    // timezone. The decimal sum is emitted as a fixed-scale string.
     "td_event_windows" -> ((s, dir) => {
-      s.conf.set("spark.sql.session.timeZone", "UTC")
       val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
       ev.groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).as("svd"))
-        .select(date_format(col("win.start"), "yyyy-MM-dd HH:00").as("w"),
+        .select(
+          date_format(col("win.start"), "yyyy-MM-dd HH:00").as("w"),
           col("event_type"), col("n"), col("svd").cast("string").as("sv"))
     }),
 
@@ -251,12 +254,14 @@ object SparkEntry {
 
     "td_dedup_jaccard" -> ((s, dir) => {
       // the scalable two-stage shape: LSH candidates -> exact verify.
-      // ONE shingle frame is persisted and shared by both stages (the r1
-      // plan re-derived shingles from scratch after LSH), and the tiny
-      // candidate list is checkpointed so the verify joins never recompute
-      // the minhash sub-plan.
+      // ONE shingle frame is materialized (localCheckpoint, blocks
+      // reclaimed by the ContextCleaner once the plan is unreferenced —
+      // a bare .persist() here would pin cache blocks for the session
+      // lifetime) and shared by both stages; the tiny candidate list is
+      // checkpointed so the verify joins never recompute the minhash
+      // sub-plan.
       val d = docs(s, dir)
-      val sh = Dedup.wordShingles(d, col("doc_id"), col("text"), 3).persist()
+      val sh = Dedup.wordShingles(d, col("doc_id"), col("text"), 3).localCheckpoint(true)
       val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(true)
       Dedup.jaccardPairsFromShingles(sh, candidates = Some(cands))
         .filter(col("inter") * 5 >= col("union_") * 4) // jaccard >= 0.8, float-free
@@ -428,6 +433,23 @@ object SparkEntry {
       s"SELECT doc_id, $b band, sha256(mh${2 * b} || ':' || mh${2 * b + 1}) band_key FROM sig"
     }.mkString("\n          UNION ALL ")
 
+  /** DuckDB candidate pairs matching Dedup.lshCandidatesFromShingles
+    * INCLUDING the keeper-star split for buckets > maxBucket (1024), so
+    * the gate stays valid on corpora with mega duplicate clusters. */
+  private val oracleCandCte: String =
+    """bsz AS (SELECT band, band_key, count(*) n, min(doc_id) keeper FROM bands GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT x.doc_id AS a, y.doc_id AS b
+      |    FROM bands x
+      |    JOIN bands y ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+      |    JOIN bsz s ON s.band = x.band AND s.band_key = x.band_key AND s.n <= 1024
+      |    UNION ALL
+      |    SELECT s.keeper, bd.doc_id
+      |    FROM bands bd
+      |    JOIN bsz s ON s.band = bd.band AND s.band_key = bd.band_key
+      |    WHERE s.n > 1024 AND bd.doc_id <> s.keeper))""".stripMargin
+
   private def nationTripleSql(valueCol: String, colName: String, extra: String = "") =
     s"""SELECT 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
        |       'urn:col:nation:$colName' AS pred,
@@ -578,17 +600,17 @@ object SparkEntry {
         |FROM all_docs GROUP BY 1""".stripMargin,
 
     // minhash i = min over shingles of sha256(shingle) hex slice [8i, 8i+8)
-    // — mirrors Dedup.minhashSignature (ONE digest per shingle)
+    // — mirrors Dedup.minhashSignature (ONE digest per shingle); the cand
+    // CTE carries the same keeper-star mega-bucket split as the Spark op
     "td_dedup_minhash_lsh" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
          |       FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
          |hx AS (SELECT doc_id, sha256(s) h FROM sh),
          |sig AS (SELECT doc_id, $oracleMinhashCols FROM hx GROUP BY 1),
-         |bands AS ($oracleBandsUnion)
-         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id""".stripMargin,
+         |bands AS ($oracleBandsUnion),
+         |$oracleCandCte
+         |SELECT a, b FROM cand""".stripMargin,
 
     "td_dedup_jaccard" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -597,9 +619,7 @@ object SparkEntry {
          |hx AS (SELECT doc_id, sha256(s) h FROM sh),
          |sig AS (SELECT doc_id, $oracleMinhashCols FROM hx GROUP BY 1),
          |bands AS ($oracleBandsUnion),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |$oracleCandCte,
          |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
          |inter AS (SELECT cand.a, cand.b, count(*) i
          |          FROM cand

@@ -32,18 +32,21 @@ object Corpus {
 
   /**
    * One N-Triples document per row of `df`: for each listed column
-   * `<urn:g:TABLE:KEY> <urn:col:TABLE:COL> "value" .` — values rendered
-   * with an explicit per-column string expression so the same text is
-   * reconstructible in the DuckDB oracle.
+   * `<urn:g:TABLE:KEY> <urn:col:TABLE:COL> "value"[^^<dt>] .` — values
+   * rendered with an explicit per-column string expression so the same
+   * text is reconstructible in the DuckDB oracle. `dtIri = None` emits a
+   * plain literal; `Some(iri)` a typed one.
    */
-  def fromTable(df: DataFrame, table: String, keyCol: String, cols: Seq[(String, Column)]): Dataset[CorpusRow] = {
+  private def tableCorpus(df: DataFrame, table: String, keyCol: String,
+                          cols: Seq[(String, Column, Option[String])]): Dataset[CorpusRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val lines = cols.map { case (name, valueExpr) =>
+    val lines = cols.map { case (name, valueExpr, dtIri) =>
+      val suffix = dtIri.fold("\" .")(iri => s"""\"^^<$iri> .""")
       val triple = concat(
         lit(s"<urn:g:$table:"), col(keyCol).cast("string"), lit("> "),
         lit(s"<urn:col:$table:$name> \""), escapeLiteralCol(valueExpr.cast("string")),
-        lit("\" ."))
+        lit(suffix))
       // NULL value guard: a NULL makes concat() NULL and concat_ws would
       // silently DROP the whole line, shifting subsequent line numbers and
       // losing the fact with no error row. Emit an intentionally invalid
@@ -63,33 +66,15 @@ object Corpus {
     ).as[CorpusRow]
   }
 
-  /**
-   * As `fromTable`, but each column carries a datatype IRI, emitting
-   * `<urn:g:TABLE:KEY> <urn:col:TABLE:COL> "value"^^<dtIri> .` — the
-   * input shape for TypedLiterals value-space queries.
-   */
+  /** Plain-literal table corpus. */
+  def fromTable(df: DataFrame, table: String, keyCol: String,
+                cols: Seq[(String, Column)]): Dataset[CorpusRow] =
+    tableCorpus(df, table, keyCol, cols.map { case (n, v) => (n, v, None) })
+
+  /** Typed-literal table corpus — the input shape for TypedLiterals queries. */
   def fromTableTyped(df: DataFrame, table: String, keyCol: String,
-                     cols: Seq[(String, Column, String)]): Dataset[CorpusRow] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val lines = cols.map { case (name, valueExpr, dtIri) =>
-      val triple = concat(
-        lit(s"<urn:g:$table:"), col(keyCol).cast("string"), lit("> "),
-        lit(s"<urn:col:$table:$name> \""), escapeLiteralCol(valueExpr.cast("string")),
-        lit(s"\"^^<$dtIri> ."))
-      when(valueExpr.isNull,
-        concat(lit(s"<urn:g:$table:"), col(keyCol).cast("string"),
-          lit(s"> <urn:col:$table:$name> ?NULL")))
-        .otherwise(triple)
-    }
-    df.select(
-      lit(s"synthetic/$table").as("repo"),
-      concat(lit(s"$table/"), col(keyCol).cast("string"), lit(".nt")).as("path"),
-      lit(FixedCommit).as("commit"),
-      lit(TripleExtract.LangStrict).as("lang"),
-      concat_ws("\n", lines: _*).as("content")
-    ).as[CorpusRow]
-  }
+                     cols: Seq[(String, Column, String)]): Dataset[CorpusRow] =
+    tableCorpus(df, table, keyCol, cols.map { case (n, v, dt) => (n, v, Some(dt)) })
 
   /** The W3C fixture files as corpus documents (driver-side read: 74 tiny files). */
   def w3cFixtures(spark: SparkSession, lang: String = TripleExtract.LangStrict): Dataset[CorpusRow] = {

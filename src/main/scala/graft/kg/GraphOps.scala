@@ -35,7 +35,7 @@ object GraphOps {
    * component == min node id in the component.
    */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     val nodes = edges.select(col(src).as("node_id"))
       .union(edges.select(col(dst).as("node_id"))).distinct()
     var e = edges
@@ -80,9 +80,14 @@ object GraphOps {
       i += 1
     }
     // fixpoint is a star forest (child -> component root); roots and
-    // isolated / self-loop-only nodes label themselves
+    // isolated / self-loop-only nodes label themselves. The min-aggregate
+    // keeps the output well-formed (exactly one row per node) even if
+    // maxIter expired before convergence — mid-algorithm a node can hold
+    // edges to two different smaller ids, which a bare join would emit as
+    // two conflicting rows.
     nodes.join(
-        e.select(col("u").as("node_id"), col("v").as("root")), Seq("node_id"), "left")
+        e.groupBy(col("u").as("node_id")).agg(min(col("v")).as("root")),
+        Seq("node_id"), "left")
       .select(col("node_id"), coalesce(col("root"), col("node_id")).as("component"))
   }
 }

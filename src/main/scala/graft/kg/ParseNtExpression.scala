@@ -87,7 +87,19 @@ case class ParseNtLines(content: Expression, lang: Expression)
             } catch {
               case ex: NtParseException =>
                 if (lenient && p.eoiInUnclosedLongLiteral && pos < n) {
-                  e = scanLine()
+                  // re-parse only when an appended line holds `"""` —
+                  // mirrors TripleExtract.parseDoc (O(lines^2) guard)
+                  var canClose = false
+                  while (!canClose && pos < n) {
+                    val extFrom = pos
+                    e = scanLine()
+                    var i = extFrom
+                    while (!canClose && i + 2 < e) {
+                      canClose = bytes(i) == '"'.toByte &&
+                        bytes(i + 1) == '"'.toByte && bytes(i + 2) == '"'.toByte
+                      i += 1
+                    }
+                  }
                   attempt = true
                 } else
                   return InternalRow(true, startLine, (-1).toByte, null, null, (-1).toByte,

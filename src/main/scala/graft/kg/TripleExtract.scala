@@ -89,7 +89,21 @@ object TripleExtract {
             } catch {
               case ex: NtParseException =>
                 if (lenient && p.eoiInUnclosedLongLiteral && pos < n) {
-                  e = scanLine() // extend window over the next physical line
+                  // extend the window, but RE-PARSE only once an appended
+                  // line contains `"""` — the only token that can close
+                  // the literal. Quote-free lines extend without a
+                  // re-parse, so an unclosed literal costs one linear
+                  // scan, not O(lines^2) re-parses (parse-cost DoS on
+                  // adversarial input). If the document ends unclosed,
+                  // one final full-window re-parse produces the exact
+                  // document-mode error.
+                  var canClose = false
+                  while (!canClose && pos < n) {
+                    val extFrom = pos
+                    e = scanLine()
+                    val q = content.indexOf("\"\"\"", extFrom)
+                    canClose = q >= 0 && q < e
+                  }
                   attempt = true
                 } else
                   return ParsedLine(err = true, doc.repo, doc.path, doc.commit, startLine,

@@ -59,7 +59,12 @@ object Multimodal {
     else
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         .map(i => (i.getWidth, i.getHeight))
-      catch { case _: java.io.IOException => None }
+      catch {
+        // ImageIO readers throw UNCHECKED exceptions on malformed bodies
+        // that pass the magic check (AIOOBE, NegativeArraySize, IAE...);
+        // a corrupt blob must degrade to the stub, never kill the job
+        case scala.util.control.NonFatal(_) => None
+      }
 
   /** Batch feature extraction over binary blobs. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {

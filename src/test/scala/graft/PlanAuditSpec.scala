@@ -48,6 +48,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!evSchema.contains("props") && !evSchema.contains("user_id"), evSchema)
   }
 
+  test("td_event_windows renders identically under any session timezone") {
+    // the query must NOT mutate the session and must emit UTC strings
+    // whatever the harness session tz is (r1's hash mismatch class)
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    def rows(s: org.apache.spark.sql.SparkSession) =
+      SparkEntry.queries("td_event_windows")(s, dir)
+        .orderBy("w", "event_type").collect().map(_.toSeq).toSeq
+    assert(rows(spark) == rows(ny))
+    assert(ny.conf.get("spark.sql.session.timeZone") == "America/New_York",
+      "query must not mutate session state")
+  }
+
   test("resume anti-join broadcasts the manifest side") {
     val plan = SparkEntry.queries("kg_resume_antijoin")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -51,7 +51,10 @@ object IriCanon {
   /** Canonical form; returns the INPUT REFERENCE when already canonical. */
   def canonical(v: UTF8String): UTF8String = {
     if (v == null) return null
-    val bytes = v.getBytes // zero-copy when the UTF8String is array-backed
+    // getBytes copies unless the value spans its whole backing array; the
+    // copy is one small allocation and the already-canonical fast path
+    // below still returns the original UTF8String unchanged
+    val bytes = v.getBytes
     val n = bytes.length
     // scheme: [A-Za-z][A-Za-z0-9+.-]* ':'
     if (n < 2 || !isAlpha(bytes(0))) return v

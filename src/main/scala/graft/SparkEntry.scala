@@ -23,11 +23,11 @@ object SparkEntry {
   // ---------- corpora ------------------------------------------------------
 
   private def nationCorpus(s: SparkSession, dir: String): Dataset[CorpusRow] =
-    Corpus.fromTable(s.read.parquet(s"$dir/nation.parquet"), "nation", "n_nationkey",
+    Corpus.fromTable(fanOut(s, s.read.parquet(s"$dir/nation.parquet")), "nation", "n_nationkey",
       Seq("n_name" -> col("n_name"), "n_regionkey" -> col("n_regionkey")))
 
   private def documentsCorpus(s: SparkSession, dir: String): Dataset[CorpusRow] =
-    Corpus.fromTable(s.read.parquet(s"$dir/documents.parquet"), "documents", "doc_id",
+    Corpus.fromTable(docs(s, dir), "documents", "doc_id",
       Seq("text" -> col("text"), "lang" -> col("lang"), "source" -> col("source")))
 
   private def inlineCorpus(s: SparkSession, rows: Seq[(String, String, String)]): Dataset[CorpusRow] = {
@@ -40,11 +40,24 @@ object SparkEntry {
   private def parsedTriples(c: Dataset[CorpusRow]): DataFrame =
     TripleExtract.triples(TripleExtract.parse(c)).toDF()
 
+  /**
+   * Small-input parallelism guard: a few-MB parquet is one row group and
+   * parquet cannot split below row-group boundaries, so every narrow
+   * per-row stage downstream runs on ONE core no matter the cluster —
+   * at sf0.1 this single-threaded the whole dedup/text-op map side.
+   * When (and only when) the scan under-parallelizes, fan out once; at
+   * real scale inputs carry natural splits and this is a no-op.
+   */
+  private def fanOut(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    fanOut(s, s.read.parquet(s"$dir/documents.parquet"))
 
   private def embs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    fanOut(s, s.read.parquet(s"$dir/embeddings.parquet"))
 
   // ---------- flagship -----------------------------------------------------
 
@@ -230,7 +243,7 @@ object SparkEntry {
     // the column naive); windowing and rendering then never touch a
     // timezone. The decimal sum is emitted as a fixed-scale string.
     "td_event_windows" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = fanOut(s, s.read.parquet(s"$dir/events.parquet"))
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
       ev.groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -331,7 +344,7 @@ object SparkEntry {
     // scale table: orders through the full parse path (printf/date-format
     // value rendering keeps the DuckDB oracle exact)
     "kg_parse_orders" -> ((s, dir) => {
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
       val corpus = Corpus.fromTable(orders, "orders", "o_orderkey", Seq(
         "o_custkey" -> col("o_custkey"),
         "o_totalprice" -> format_string("%.2f", col("o_totalprice")),
@@ -348,7 +361,7 @@ object SparkEntry {
     // exact decimal sums, date mins, boolean counts — via TypedLiterals
     "kg_typed_values" -> ((s, dir) => {
       val XSD = "http://www.w3.org/2001/XMLSchema#"
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
       val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
         ("o_custkey", col("o_custkey"), s"${XSD}long"),
         ("o_totalprice", format_string("%.2f", col("o_totalprice")), s"${XSD}decimal"),
@@ -365,7 +378,7 @@ object SparkEntry {
     // entity enrichment: parsed order->customer triples broadcast-joined
     // with the customer dimension (KG link to external attributes)
     "kg_enrich_customer" -> ((s, dir) => {
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
       val corpus = Corpus.fromTable(orders, "orders", "o_orderkey",
         Seq("o_custkey" -> col("o_custkey")))
       val custEdges = parsedTriples(corpus)

@@ -296,7 +296,10 @@ object SparkEntry {
         e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
     }),
 
-    // scale-path ANN: LSH buckets (approximate => rows-only check)
+    // scale-path ANN: LSH buckets. Approximate vs brute force but
+    // DETERMINISTIC as a function (portable sha256 hyperplanes, fold-order
+    // cosine), so since r3 it is hash-checked: the oracle reconstructs the
+    // same 16x4 buckets, candidate set, and ranking in DuckDB
     "td_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e, col("vec_id"), col("embedding"),
@@ -676,6 +679,34 @@ object SparkEntry {
         |FROM cand JOIN e ea ON ea.vec_id = cand.a JOIN e eb ON eb.vec_id = cand.b
         |WHERE list_dot_product(ea.v, eb.v)
         |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.40""".stripMargin,
+
+    // same recipe as td_dedup_embedding (bucket reconstruction) +
+    // td_ann_ivf (candidates -> cosine -> row_number), tables=16 planes=4:
+    // buckets, candidate set, and ranking are bit-identical cross-engine
+    "td_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |coef AS (SELECT t.t, p.p,
+        |           list(('0x'||substr(sha256('hp:'||t.t||':'||p.p||':'||d.d),1,15))::BIGINT::DOUBLE
+        |                / 576460752303423488.0 - 1.0 ORDER BY d.d) c
+        |         FROM unnest(generate_series(0,15)) t(t),
+        |              unnest(generate_series(0,3)) p(p),
+        |              unnest(generate_series(0,63)) d(d)
+        |         GROUP BY 1, 2),
+        |buck AS (SELECT e.vec_id, coef.t,
+        |                sum(CASE WHEN list_dot_product(e.v, coef.c) >= 0 THEN 1 << coef.p ELSE 0 END) b
+        |         FROM e, coef GROUP BY 1, 2),
+        |qb AS (SELECT * FROM buck WHERE vec_id < 5),
+        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |         FROM buck cb JOIN qb ON cb.t = qb.t AND cb.b = qb.b
+        |         WHERE cb.vec_id <> qb.vec_id),
+        |s AS (SELECT query_id, neighbor_id,
+        |             list_dot_product(eq.v, en.v)
+        |               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(en.v, en.v))) AS cos
+        |      FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e en ON en.vec_id = neighbor_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 10""".stripMargin,
 
     "td_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

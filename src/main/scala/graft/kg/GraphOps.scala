@@ -36,6 +36,22 @@ object GraphOps {
    */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 50): DataFrame = {
+    val (labels, converged) = connectedComponentsWithStatus(edges, src, dst, maxIter)
+    if (!converged)
+      // the min-aggregate below keeps output well-formed (one row per
+      // node) but labels may be PARTIALLY CONTRACTED — never return that
+      // silently (ADVICE r2): callers needing the flag use ...WithStatus
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: maxIter=$maxIter expired before convergence; " +
+          "labels may be partially contracted (two nodes of one component " +
+          "can carry different ids). Raise maxIter or use " +
+          "connectedComponentsWithStatus to branch on the flag.")
+    labels
+  }
+
+  /** As `connectedComponents`, returning (labels, converged). */
+  def connectedComponentsWithStatus(edges: DataFrame, src: String, dst: String,
+                                    maxIter: Int = 50): (DataFrame, Boolean) = {
     val nodes = edges.select(col(src).as("node_id"))
       .union(edges.select(col(dst).as("node_id"))).distinct()
     var e = edges
@@ -85,9 +101,10 @@ object GraphOps {
     // maxIter expired before convergence — mid-algorithm a node can hold
     // edges to two different smaller ids, which a bare join would emit as
     // two conflicting rows.
-    nodes.join(
+    val labels = nodes.join(
         e.groupBy(col("u").as("node_id")).agg(min(col("v")).as("root")),
         Seq("node_id"), "left")
       .select(col("node_id"), coalesce(col("root"), col("node_id")).as("component"))
+    (labels, converged)
   }
 }

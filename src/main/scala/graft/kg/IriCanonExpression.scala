@@ -7,9 +7,16 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * Single-pass byte-level IRI canonicalization (E5, RFC 3986 syntax
- * normalization: lowercase scheme, lowercase authority for hierarchical
- * IRIs, strip default ports :80/http and :443/https).
+ * Single-pass byte-level IRI canonicalization (E5): lowercase scheme,
+ * case-fold the whole authority for hierarchical IRIs, strip default
+ * ports :80/http and :443/https. This is the engine's OWN canonical
+ * form (matched exactly by the DuckDB oracle and the regex formulation
+ * it replaced), deliberately coarser than full RFC 3986 normalization:
+ * RFC 3986 limits case-insensitivity to the host (userinfo is
+ * case-sensitive) and canonical percent-encoding is uppercase, whereas
+ * this fold lowercases the full authority including any %XX hex digits
+ * in it. For entity linking that coarser fold merges MORE spelling
+ * variants of the same authority, which is the linking goal.
  *
  * Replaces the r2-profiled hot spot: the regex formulation (2x rlike +
  * 4x regexp_extract + 2x regexp_replace per IRI) cost ~20us/term —

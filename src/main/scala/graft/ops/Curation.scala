@@ -71,9 +71,14 @@ object Curation {
     regexp_replace(noEmail, "[0-9]{4,}", "<NUM>")
   }
 
-  /** Non-overlapping `n`-token segments with position: (id, seg_idx, seg). */
+  /** Non-overlapping `n`-token segments with position: (id, seg_idx, seg).
+    * NULL text is treated as empty: split(NULL) is a NULL array and
+    * posexplode would emit NO rows, silently dropping the document id
+    * from every downstream aggregate (the 'no lost id' contract of
+    * interdocSegmentDedup). An empty string still yields one "" segment,
+    * so the id survives. */
   def tokenSegments(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val words = split(text, " ")
+    val words = split(coalesce(text, lit("")), " ")
     val nSegs = ceil(size(words) / n.toDouble).cast("int")
     val segs = transform(sequence(lit(0), nSegs - 1), k =>
       concat_ws(" ", slice(words, k * n + 1, lit(n))))

@@ -160,24 +160,39 @@ object Similarity {
    * ANN top-k through LSH collision buckets: candidates = vectors sharing
    * a bucket with the query in ANY table; exact cosine + top-k over
    * candidates only. Recall < 1 by construction; tune tables/planes.
+   *
+   * Shuffle shape (the 100 TB point): the bucket explode carries ONLY
+   * (id, table, bucket) — r2 kept the full vector on all `tables`
+   * exploded rows, shipping 16 copies of every 768-dim embedding through
+   * the bucket-join shuffle, the dominant network cost at scale.
+   * Vectors are joined back BY ID only after candidate dedup (the same
+   * shape as Dedup.embeddingNearDups), so each embedding crosses the
+   * wire once per candidate pair it actually participates in.
+   *
+   * Like IVF, the whole pipeline is exactly reproducible cross-engine
+   * (planeCoef buckets + sequential-fold cosine), so the DuckDB oracle
+   * hash-checks it despite being "approximate" — approximate vs
+   * brute-force, deterministic as a function.
    */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
               queries: DataFrame, queryId: Column, queryVec: Column,
               k: Int, dims: Int, tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: Column, vec: Column, idName: String) = {
-      val dv = asDouble(vec)
-      df.select(id.as(idName), dv.as(s"v_$idName"),
-        posexplode(hyperplaneSignature(dv, dims, tables, planesPerTable)).as(Seq("table", "bucket")))
-    }
-    val c = bucketed(corpus, corpusId, corpusVec, "neighbor_id")
-    val q = bucketed(queries, queryId, queryVec, "query_id")
-    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+    val c = corpus.select(corpusId.as("neighbor_id"), asDouble(corpusVec).as("cv"))
+    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
+    val cb = lshBuckets(c, col("neighbor_id"), col("cv"), dims, tables, planesPerTable)
+      .withColumnRenamed("id", "neighbor_id")
+    val qb = lshBuckets(q, col("query_id"), col("qv"), dims, tables, planesPerTable)
+      .withColumnRenamed("id", "query_id")
+    val cand = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("v_neighbor_id"), col("v_query_id")).as("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
 }

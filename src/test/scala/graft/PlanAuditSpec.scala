@@ -61,6 +61,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "query must not mutate session state")
   }
 
+  test("ANN/near-dup bucket explodes carry no vector payload") {
+    // r2 shipped the full embedding on every one of the 16 exploded LSH
+    // rows — a 16x vector-payload shuffle at scale. The contract: no
+    // Generate (explode) node in a bucketed query may OUTPUT an
+    // array<double> column; vectors join back by id after candidate dedup.
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    for (name <- Seq("td_ann_lsh", "td_dedup_embedding")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+      val gens = plan.collect { case g: GenerateExec => g }
+      assert(gens.nonEmpty, s"$name: expected an exploding Generate node")
+      gens.foreach { g =>
+        val vecOut = g.output.filter(_.dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        })
+        assert(vecOut.isEmpty,
+          s"$name: Generate outputs vector column(s) ${vecOut.map(_.name).mkString(",")}")
+      }
+    }
+  }
+
   test("resume anti-join broadcasts the manifest side") {
     val plan = SparkEntry.queries("kg_resume_antijoin")(spark, dir)
       .queryExecution.executedPlan.toString

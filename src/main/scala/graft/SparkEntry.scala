@@ -322,6 +322,61 @@ object SparkEntry {
         k = 10, centroids = centroids, nprobe = 4)
     }),
 
+    // IVF with the production centroid recipe: 2 deterministic Lloyd's
+    // iterations from the first-16 seed (scaled-integer means make the
+    // centroids bit-identical cross-engine — Similarity.kmeansCentroids),
+    // then the same hash-exact probe pipeline as td_ann_ivf
+    "td_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val init = e.filter(col("vec_id") < 16)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+        .toSeq
+      val centroids = Similarity.kmeansCentroids(e, col("embedding"), init, iters = 2)
+      Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 10, centroids = centroids, nprobe = 4)
+    }),
+
+    // E7+: bucketed-edges traversal — the subject self-join over the
+    // bucketed table is Exchange-free (PlanAuditSpec proves it); here the
+    // end-to-end result is value-checked: predicate co-occurrence per
+    // subject over the nation-derived edge set
+    "kg_bucketed_traversal" -> ((s, dir) => {
+      val edges = Materialize.edges(Canonicalize(Skolemize(parsedTriples(nationCorpus(s, dir)))))
+        .select("subj_id", "pred", "obj_id")
+      // idempotent rebuild: drop the catalog entry AND any orphaned
+      // location (a killed run leaves the dir without the table)
+      s.sql("DROP TABLE IF EXISTS graft_edges_bucketed")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_edges_bucketed")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      Materialize.saveBucketedEdges(edges, "graft_edges_bucketed", buckets = 8)
+      val t = s.table("graft_edges_bucketed")
+      val a = t.select(col("subj_id"), col("pred").as("pred_a"))
+      val b = t.select(col("subj_id"), col("pred").as("pred_b"))
+      a.join(b, Seq("subj_id"))
+        .filter(col("pred_a") < col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(countDistinct(col("subj_id")).as("n_subjects"))
+    }),
+
+    // A1/streaming: the SAME kernel behind readStream — a
+    // Trigger.AvailableNow micro-batch run over the nation corpus written
+    // as a file stream source, parsed rows written to a parquet sink and
+    // read back; the oracle is the batch result on the same corpus
+    "kg_stream_parity" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      nationCorpus(s, dir).write.mode("overwrite").parquet(s"$base/src")
+      val parsed = NtStream.parsedStream(NtStream.corpusStream(s, s"$base/src"))
+      NtStream.writer(parsed, s"$base/out", s"$base/ck").start().awaitTermination()
+      s.read.parquet(s"$base/out")
+        .filter(!col("err"))
+        .select(col("path"), col("line"), col("subj"), col("pred"), col("obj"))
+    }),
+
     "td_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
 
@@ -336,11 +391,12 @@ object SparkEntry {
     "td_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
-    // image rows are REAL PNGs decoded back via javax.imageio; the oracle
-    // predicts their dimensions from the synthesis rule while audio/video
-    // stay on the sha-derived stub — so a broken decoder fails the hash
+    // image rows are REAL PNGs decoded via javax.imageio, audio rows REAL
+    // WAVs header-parsed via javax.sound.sampled; the oracle predicts both
+    // from the synthesis rules while video stays on the sha-derived stub —
+    // so a broken decoder (either one) fails the hash
     "td_multimodal" -> ((s, dir) => {
-      Multimodal.extractFeatures(Multimodal.mediaWithPngImages(s, docs(s, dir))).toDF()
+      Multimodal.extractFeatures(Multimodal.mediaWithRealBlobs(s, docs(s, dir))).toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_frames"))
     }),
 
@@ -465,6 +521,27 @@ object SparkEntry {
       |    FROM bands bd
       |    JOIN bsz s ON s.band = bd.band AND s.band_key = bd.band_key
       |    WHERE s.n > 1024 AND bd.doc_id <> s.keeper))""".stripMargin
+
+  /** One unrolled Lloyd's iteration in DuckDB: assign to nearest centroid
+    * c{i}, then scaled-integer per-cell/per-dim means -> c{i+1}. Mirrors
+    * Similarity.kmeansCentroids bit-for-bit (floor(x*1e9) long sums, the
+    * identical double division, empty cells keep the old centroid). */
+  private def kmeansIterSql(i: Int): String = {
+    val (p, nx) = (s"c$i", s"c${i + 1}")
+    s"""d$i AS (SELECT e.vec_id, $p.cid, list_dot_product(
+       |        list_transform(range(1, 65), ix -> e.v[ix] - $p.cv[ix]),
+       |        list_transform(range(1, 65), ix -> e.v[ix] - $p.cv[ix])) AS dist
+       |      FROM e, $p),
+       |a$i AS (SELECT vec_id, cid FROM (
+       |        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+       |        FROM d$i) WHERE rn = 1),
+       |s$i AS (SELECT a$i.cid, dd.d, sum(CAST(floor(e.v[dd.d + 1] * 1000000000.0) AS BIGINT)) s, count(*) n
+       |      FROM a$i JOIN e USING (vec_id), unnest(generate_series(0, 63)) dd(d)
+       |      GROUP BY 1, 2),
+       |m$i AS (SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0) ORDER BY d) cv
+       |      FROM s$i GROUP BY 1),
+       |$nx AS (SELECT $p.cid, COALESCE(m$i.cv, $p.cv) cv FROM $p LEFT JOIN m$i ON m$i.cid = $p.cid)""".stripMargin
+  }
 
   private def nationTripleSql(valueCol: String, colName: String, extra: String = "") =
     s"""SELECT 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
@@ -743,6 +820,48 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM s) WHERE rank <= 10""".stripMargin,
 
+    // two unrolled deterministic Lloyd's iterations, then the td_ann_ivf
+    // probe pipeline against the final centroids c2
+    "td_ann_ivf_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |${kmeansIterSql(0)},
+         |${kmeansIterSql(1)},
+         |df AS (SELECT e.vec_id, c2.cid, list_dot_product(
+         |        list_transform(range(1, 65), ix -> e.v[ix] - c2.cv[ix]),
+         |        list_transform(range(1, 65), ix -> e.v[ix] - c2.cv[ix])) AS dist
+         |      FROM e, c2),
+         |rf AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn FROM df),
+         |assign AS (SELECT vec_id, cid FROM rf WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, cid FROM rf WHERE vec_id < 5 AND rn <= 4),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |         FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
+         |sc AS (SELECT query_id, neighbor_id,
+         |             list_dot_product(eq.v, en.v)
+         |               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(en.v, en.v))) AS cos
+         |      FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e en ON en.vec_id = neighbor_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM sc) WHERE rank <= 10""".stripMargin,
+
+    // every nation subject carries exactly the (n_name, n_regionkey)
+    // predicate pair
+    "kg_bucketed_traversal" ->
+      """SELECT 'urn:col:nation:n_name' AS pred_a,
+        |       'urn:col:nation:n_regionkey' AS pred_b,
+        |       count(DISTINCT n_nationkey) AS n_subjects
+        |FROM nation""".stripMargin,
+
+    "kg_stream_parity" ->
+      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) || '.nt' AS path, 1 AS line,
+        |       'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+        |       'urn:col:nation:n_name' AS pred, n_name AS obj FROM nation
+        |UNION ALL
+        |SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) || '.nt', 2,
+        |       'urn:g:nation:' || CAST(n_nationkey AS VARCHAR),
+        |       'urn:col:nation:n_regionkey', CAST(n_regionkey AS VARCHAR) FROM nation""".stripMargin,
+
     "td_lang_id" -> {
       val langs = TextOps.stopwords.toSeq.sortBy(_._1)
       val scores = langs.map { case (l, ws) =>
@@ -867,8 +986,10 @@ object SparkEntry {
 
     "td_multimodal" -> {
       // image rows: dims from the PNG synthesis rule (Multimodal
-      // .syntheticPng — the Spark side decodes them from real bytes);
-      // audio/video: decodeStub with h = first 7 hex chars of sha256(text)
+      // .syntheticPng); audio rows: sample_rate/channels/frames from the
+      // WAV synthesis rule (Multimodal.syntheticWav) — both decoded from
+      // REAL bytes on the Spark side; video: decodeStub with h = first 7
+      // hex chars of sha256(text)
       val h = "CAST(('0x' || substr(sha256(text), 1, 7)) AS INTEGER)"
       s"""WITH m AS (
          |  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 3 AS r, $h AS h
@@ -876,13 +997,13 @@ object SparkEntry {
          |SELECT media_id,
          |  CASE r WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          |  CASE r WHEN 0 THEN 16 + (media_id % 8) * 4
-         |         WHEN 1 THEN 0
+         |         WHEN 1 THEN 8000 + (media_id % 4) * 4000
          |         ELSE 160 + (h % 8) * 80 END AS width,
          |  CASE r WHEN 0 THEN 8 + (media_id % 5) * 4
-         |         WHEN 1 THEN 0
+         |         WHEN 1 THEN 1
          |         ELSE (160 + (h % 8) * 80) * 9 // 16 END AS height,
          |  CASE r WHEN 0 THEN 1
-         |         WHEN 1 THEN h % 1048576
+         |         WHEN 1 THEN 400 + (media_id % 7) * 100
          |         ELSE 24 + (h >> 3) % 240 END AS n_frames
          |FROM m""".stripMargin
     }

@@ -22,13 +22,21 @@ final case class MediaFeatures(
  *
  * Image decode is REAL: PNG/BMP/GIF bytes are sniffed by magic number and
  * decoded with pure-JVM `javax.imageio` (no native codecs needed), so
- * width/height come from the actual pixels. Audio/video decode remains a
- * clearly-marked deterministic stub (this container ships no AV codecs);
- * the stub also backstops image blobs ImageIO cannot read, so a corrupt
- * blob degrades instead of failing the job. The surrounding design — the
- * binary schema, the mapPartitions batch shape (one reusable decoder
- * context per partition, the same pattern a JNI codec handle needs),
- * partition sizing, and the feature schema — is the production shape.
+ * width/height come from the actual pixels. Audio decode is REAL too
+ * (since r3): WAV/AIFF headers are parsed with pure-JVM
+ * `javax.sound.sampled`, so sample rate / channels / frame count come
+ * from the actual RIFF header. Only VIDEO decode remains a
+ * clearly-marked deterministic stub (this container ships no video
+ * codecs); the stub also backstops blobs the real decoders cannot read,
+ * so a corrupt blob degrades instead of failing the job. The
+ * surrounding design — the binary schema, the mapPartitions batch shape
+ * (one reusable decoder context per partition, the same pattern a JNI
+ * codec handle needs), partition sizing, and the feature schema — is
+ * the production shape.
+ *
+ * Feature-column semantics per kind: image (width, height, 1);
+ * audio (sample_rate, channels, n_frames) riding the same three columns;
+ * video (width, height, n_frames).
  */
 object Multimodal {
 
@@ -46,6 +54,31 @@ object Multimodal {
       case _       => (0, 0, h % (1 << 20)) // audio: frames only
     }
   }
+
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length > 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /**
+   * Real pure-JVM audio header decode (WAV/AIFF via javax.sound.sampled):
+   * Some((sampleRate, channels, nFrames)) or None. Header-only — the PCM
+   * body is not decompressed, so cost is O(1) per blob regardless of
+   * duration (the shape a 100 TB metadata pass needs).
+   */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    if (!looksLikeWav(bytes)) None
+    else
+      try {
+        val aff = javax.sound.sampled.AudioSystem
+          .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+        Some((aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
+          aff.getFrameLength))
+      } catch {
+        // like ImageIO, sampled readers can throw unchecked on malformed
+        // bodies passing the magic check — degrade to the stub
+        case scala.util.control.NonFatal(_) => None
+      }
 
   private def looksLikeImage(b: Array[Byte]): Boolean =
     b.length > 8 &&
@@ -78,12 +111,17 @@ object Multimodal {
       rows.map { m =>
         digest.reset()
         val sha = digest.digest(m.bytes).map("%02x".format(_)).mkString
-        val (w, h, f) =
-          if (m.kind == "image") decodeImage(m.bytes) match {
+        val (w, h, f) = m.kind match {
+          case "image" => decodeImage(m.bytes) match {
             case Some((rw, rh)) => (rw, rh, 1)
             case None           => decodeStub(m.kind, sha) // unreadable blob: degrade
           }
-          else decodeStub(m.kind, sha)
+          case "audio" => decodeAudio(m.bytes) match {
+            case Some(feat) => feat // (sample_rate, channels, n_frames)
+            case None       => decodeStub(m.kind, sha)
+          }
+          case _ => decodeStub(m.kind, sha)
+        }
         MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, sha, w, h, f)
       }
     }
@@ -105,12 +143,33 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic 16-bit mono PCM WAV: sample rate and frame count
+    * derived from id (the oracle predicts them from the same rule). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val sampleRate = 8000 + (id % 4).toInt * 4000
+    val nFrames = 400 + (id % 7).toInt * 100
+    val dataLen = nFrames * 2 // mono, 2 bytes/frame
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) { bb.putShort(((id * 31 + i * 17) & 0x7FFF).toShort); i += 1 }
+    bb.array()
+  }
+
   /**
-   * Media corpus with REAL encoded images: doc_id % 3 == 0 rows become
-   * synthetic PNGs (decoded back by extractFeatures from actual bytes);
-   * audio/video rows keep text bytes standing in for encoded media.
+   * Media corpus with REAL encoded blobs: doc_id % 3 == 0 rows become
+   * synthetic PNGs and % 3 == 1 rows synthetic WAVs (both decoded back
+   * by extractFeatures from actual bytes); video rows keep text bytes
+   * standing in for encoded media (stub decode).
    */
-  def mediaWithPngImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+  def mediaWithRealBlobs(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
@@ -118,7 +177,7 @@ object Multimodal {
         rows.map { case (id, text) =>
           (id % 3) match {
             case 0 => MediaRow(id, "image", syntheticPng(id))
-            case 1 => MediaRow(id, "audio", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case 1 => MediaRow(id, "audio", syntheticWav(id))
             case _ => MediaRow(id, "video", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           }
         }

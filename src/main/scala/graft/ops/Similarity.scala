@@ -131,6 +131,48 @@ object Similarity {
   }
 
   /**
+   * Deterministic fixed-iteration Lloyd's k-means — the production recipe
+   * for IVF coarse-quantizer centroids (replacing the r2 "first 16
+   * vectors" placeholder). Each iteration is one narrow constant-centroid
+   * cell assignment (ivfCell — no join, no shuffle beyond the aggregate)
+   * plus per-cell/per-dim means.
+   *
+   * Cross-engine determinism: the means are computed over SCALED-INTEGER
+   * sums — sum(floor(x * 1e9)) as longs — which are exact and
+   * order-independent, where a plain double sum would depend on Spark's
+   * partial-aggregation order and could flip assignments near cell
+   * boundaries. The DuckDB oracle evaluates the identical expression
+   * (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)), so centroids are
+   * bit-identical in both engines. Empty cells keep their previous
+   * centroid. Driver traffic per iteration is k*dims aggregate rows —
+   * quantizer metadata, not data — so the loop is cluster-safe at any
+   * corpus size.
+   */
+  def kmeansCentroids(embs: DataFrame, vec: Column,
+                      init: Seq[Array[Double]], iters: Int): Seq[Array[Double]] = {
+    val e = embs.select(asDouble(vec).as("v"))
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      // cell is computed in its own projection: co-resolving the struct
+      // argmin with a generator in one select drops struct field names
+      val rows = e.withColumn("cell", ivfCell(col("v"), cents))
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(floor(col("x") * 1e9)).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()).toArray
+      rows.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2).toDouble / (r.getLong(3).toDouble * 1e9)
+      }
+      cents = next.toSeq
+      it += 1
+    }
+    cents
+  }
+
+  /**
    * IVF-style ANN top-k (the second scale path next to hyperplane LSH):
    * the corpus is assigned to its nearest centroid cell in one narrow
    * pass; each query probes its `nprobe` nearest cells; candidates are

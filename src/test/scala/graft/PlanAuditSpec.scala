@@ -83,6 +83,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed edges: subject self-join plans with NO Exchange") {
+    // saveBucketedEdges claims write-time clustering converts repeated
+    // subject-traversal shuffles into none; prove it on the physical plan.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    // materializes the bucketed table as a side effect
+    SparkEntry.queries("kg_bucketed_traversal")(s2, dir).collect()
+    val t = s2.table("graft_edges_bucketed")
+    val j = t.as("a").join(t.as("b"), "subj_id")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("Exchange"),
+      s"bucketed subject self-join still shuffles:\n${plan.take(1200)}")
+  }
+
   test("resume anti-join broadcasts the manifest side") {
     val plan = SparkEntry.queries("kg_resume_antijoin")(spark, dir)
       .queryExecution.executedPlan.toString

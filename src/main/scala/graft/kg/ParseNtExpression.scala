@@ -75,6 +75,7 @@ case class ParseNtLines(content: Expression, lang: Expression)
           val start = pos
           var e = scanLine()
           val startLine = lineNo
+          var scanPos = -1 // escape-exact scanner cursor, per statement
           var attempt = true
           while (attempt) {
             attempt = false
@@ -87,17 +88,21 @@ case class ParseNtLines(content: Expression, lang: Expression)
             } catch {
               case ex: NtParseException =>
                 if (lenient && p.eoiInUnclosedLongLiteral && pos < n) {
-                  // re-parse only when an appended line holds `"""` —
-                  // mirrors TripleExtract.parseDoc (O(lines^2) guard)
-                  var canClose = false
-                  while (!canClose && pos < n) {
-                    val extFrom = pos
+                  // escape-exact O(window) extension — mirrors
+                  // TripleExtract.parseDoc exactly (see LongLitScan)
+                  if (scanPos < 0) scanPos = e
+                  var doReparse = LongLitScan.pendingEscapeAt(bytes, start, e)
+                  if (doReparse && pos < n) e = scanLine()
+                  while (!doReparse && pos < n) {
                     e = scanLine()
-                    var i = extFrom
-                    while (!canClose && i + 2 < e) {
-                      canClose = bytes(i) == '"'.toByte &&
-                        bytes(i + 1) == '"'.toByte && bytes(i + 2) == '"'.toByte
-                      i += 1
+                    val r = LongLitScan.scanToClose(bytes, scanPos, e)
+                    if (r >= 0) { scanPos = r; doReparse = true }
+                    else {
+                      scanPos = -r - 1
+                      if (LongLitScan.pendingEscapeAt(bytes, start, e)) {
+                        if (pos < n) e = scanLine()
+                        doReparse = true
+                      }
                     }
                   }
                   attempt = true

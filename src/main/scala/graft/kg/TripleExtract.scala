@@ -78,6 +78,7 @@ object TripleExtract {
           val start = pos
           var e = scanLine()
           val startLine = lineNo
+          var scanPos = -1 // escape-exact scanner cursor, per statement
           var attempt = true
           while (attempt) {
             attempt = false
@@ -89,20 +90,32 @@ object TripleExtract {
             } catch {
               case ex: NtParseException =>
                 if (lenient && p.eoiInUnclosedLongLiteral && pos < n) {
-                  // extend the window, but RE-PARSE only once an appended
-                  // line contains `"""` — the only token that can close
-                  // the literal. Quote-free lines extend without a
-                  // re-parse, so an unclosed literal costs one linear
-                  // scan, not O(lines^2) re-parses (parse-cost DoS on
-                  // adversarial input). If the document ends unclosed,
-                  // one final full-window re-parse produces the exact
-                  // document-mode error.
-                  var canClose = false
-                  while (!canClose && pos < n) {
-                    val extFrom = pos
+                  // Extend the window line by line, re-parsing only when
+                  // the ESCAPE-EXACT scanner (LongLitScan) finds the true
+                  // close or the window ends mid-escape (the escape
+                  // payload will be the line terminator — guaranteed
+                  // terminal error on the next re-parse). Each appended
+                  // char is scanned ONCE and re-parses are O(1) per
+                  // statement, so total parse cost stays O(window) even
+                  // on adversarial `\"""`-per-line input (the r2 guard
+                  // re-parsed on any appended `"""` substring: O(lines^2),
+                  // ADVICE r2). A document that ends unclosed gets one
+                  // final full-window re-parse for the exact document-mode
+                  // error.
+                  if (scanPos < 0) scanPos = e
+                  var doReparse = LongLitScan.pendingEscapeAt(content, start, e)
+                  if (doReparse && pos < n) e = scanLine()
+                  while (!doReparse && pos < n) {
                     e = scanLine()
-                    val q = content.indexOf("\"\"\"", extFrom)
-                    canClose = q >= 0 && q < e
+                    val r = LongLitScan.scanToClose(content, scanPos, e)
+                    if (r >= 0) { scanPos = r; doReparse = true }
+                    else {
+                      scanPos = -r - 1
+                      if (LongLitScan.pendingEscapeAt(content, start, e)) {
+                        if (pos < n) e = scanLine()
+                        doReparse = true
+                      }
+                    }
                   }
                   attempt = true
                 } else

@@ -150,6 +150,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(TripleExtract.errors(TripleExtract.parse(strict)).count() == 2)
   }
 
+  test("lenient multi-line extension is escape-exact and O(n) on adversarial input") {
+    // 1) every appended line CONTAINS the substring `"""`, but as \" + ""
+    //    (escaped quote + two content quotes) so the literal never closes
+    //    there. The r2 substring guard re-parsed the growing window once
+    //    per line — O(lines^2) parse work (ADVICE r2); the escape-exact
+    //    scanner does one pass. 50k lines: a quadratic regression here
+    //    costs ~15 GB of char scans and stalls the suite.
+    val nLines = 50000
+    val hostileBody = (1 to nLines).map(_ => "x\\\"\"\"").mkString("\n")
+    val hostile = "<a:b> <p:q> \"\"\"open\n" + hostileBody + "\nclose\"\"\" .\n" +
+      "<a:b> <p:r> \"after\" ."
+    val c1 = Seq(CorpusRow("r", "h.nt", "c", TripleExtract.LangLenient, hostile)).toDS()
+    val t1 = TripleExtract.triples(TripleExtract.parse(c1)).collect().sortBy(_.line)
+    val expectedLit = "open\n" + (1 to nLines).map(_ => "x\"\"\"").mkString("\n") + "\nclose"
+    assert(t1.map(t => (t.line, t.obj.value)).toList ==
+      List((1, expectedLit), (nLines + 3, "after")))
+
+    // 2) a line ending in an unescaped backslash makes the line terminator
+    //    the escape payload — guaranteed invalid escape: the statement
+    //    errors after ONE more extension (per-line re-parse semantics),
+    //    consuming exactly lines 1-3; line 4 starts a fresh statement
+    val c2 = Seq(CorpusRow("r", "b.nt", "c", TripleExtract.LangLenient,
+      "<a:b> <p:q> \"\"\"open\nabc\\\n<a:b> <p:r> \"swallowed\" .\n<a:b> <p:s> \"after\" .")).toDS()
+    val p2 = TripleExtract.parse(c2)
+    assert(TripleExtract.errors(p2).collect().map(_.line).toList == List(1))
+    assert(TripleExtract.triples(p2).collect().map(t => (t.line, t.obj.value)).toList ==
+      List((4, "after")))
+    // an ESCAPED backslash at line end is content, not a pending escape
+    val c2b = Seq(CorpusRow("r", "bb.nt", "c", TripleExtract.LangLenient,
+      "<a:b> <p:q> \"\"\"open\\\\\nmore\"\"\" .")).toDS()
+    assert(TripleExtract.triples(TripleExtract.parse(c2b)).collect()
+      .map(_.obj.value).toList == List("open\\\nmore"))
+
+    // 3) incomplete \uXXXX hex body at the window end behaves the same way
+    val c3 = Seq(CorpusRow("r", "u.nt", "c", TripleExtract.LangLenient,
+      "<a:b> <p:q> \"\"\"open\\u00\n<a:b> <p:r> \"swallowed\" .\n<a:b> <p:s> \"after\" .")).toDS()
+    val p3 = TripleExtract.parse(c3)
+    assert(TripleExtract.errors(p3).collect().map(_.line).toList == List(1))
+    assert(TripleExtract.triples(p3).collect().map(t => (t.line, t.obj.value)).toList ==
+      List((3, "after")))
+
+    // 4) a quote run split by the line terminator is content, and the
+    //    close is found exactly where the parser finds it
+    val c4 = Seq(CorpusRow("r", "q.nt", "c", TripleExtract.LangLenient,
+      "<a:b> <p:q> \"\"\"a\"\"\n\"b\"\"\" .")).toDS()
+    assert(TripleExtract.triples(TripleExtract.parse(c4)).collect()
+      .map(_.obj.value).toList == List("a\"\"\n\"b"))
+
+    // the byte-path generator agrees on every case (twin kernels)
+    val all = c1.union(c2).union(c2b).union(c3).union(c4)
+    val viaKernel = TripleExtract.parse(all).toDF().collect().map(_.toSeq).toSet
+    val viaExpr = TripleExtract.parseExpr(all.toDF()).collect().map(_.toSeq).toSet
+    assert(viaExpr == viaKernel)
+  }
+
   test("native ParseNtLines generator matches the Dataset kernel exactly") {
     val corpus = Corpus.w3cFixtures(spark).union(Seq(
       CorpusRow("r", "len.nt", "c", TripleExtract.LangLenient,

@@ -487,6 +487,31 @@ object SparkEntry {
         .select((col("n_nationkey") + 100).cast("long").as("src"),
           col("n_regionkey").cast("long").as("dst"))
       GraphOps.connectedComponents(e, "src", "dst", maxIter = 4)
+    }),
+
+    // deterministic scaled-integer PageRank (3 iterations) — exact BIGINT
+    // arithmetic, so the DuckDB oracle reproduces every rank bit-for-bit
+    "kg_pagerank" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/nation.parquet")
+        .select((col("n_nationkey") + 100).cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+      GraphOps.pagerankScaled(e, "src", "dst", iters = 3)
+    }),
+
+    // end-to-end duplicate CLUSTERING: LSH candidates -> exact Jaccard
+    // verify (>= 0.8) -> connected components -> (id, cluster keeper).
+    // The full production dedup recipe in one pipeline; every stage is
+    // bounded (bucketed candidates, O(log n) CC rounds) and the oracle
+    // reproduces the clusters with a recursive CTE over the same pairs
+    "td_dup_clusters" -> ((s, dir) => {
+      val sh = Dedup.wordShingles(docs(s, dir), col("doc_id"), col("text"), 3)
+        .localCheckpoint(true)
+      val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(true)
+      val dups = Dedup.jaccardPairsFromShingles(sh, candidates = Some(cands))
+        .filter(col("inter") * 5 >= col("union_") * 4)
+        .select("a", "b")
+      GraphOps.connectedComponents(dups, "a", "b", maxIter = 8)
+        .select(col("node_id").as("id"), col("component").as("cluster"))
     })
   )
 
@@ -542,6 +567,14 @@ object SparkEntry {
        |      FROM s$i GROUP BY 1),
        |$nx AS (SELECT $p.cid, COALESCE(m$i.cv, $p.cv) cv FROM $p LEFT JOIN m$i ON m$i.cid = $p.cid)""".stripMargin
   }
+
+  /** One unrolled scaled-integer PageRank iteration in DuckDB (BIGINT
+    * floor division mirrors Spark's DIV; see GraphOps.pagerankScaled). */
+  private def pagerankIterSql(i: Int): String =
+    s"""c$i AS (SELECT e.d AS n, sum(p.pr // g.dg) s
+       |      FROM e JOIN p$i p ON p.n = e.s JOIN deg g ON g.n = e.s GROUP BY 1),
+       |p${i + 1} AS (SELECT nodes.n, 150000000000 + COALESCE(c$i.s, 0) * 85 // 100 AS pr
+       |      FROM nodes LEFT JOIN c$i ON c$i.n = nodes.n)""".stripMargin
 
   private def nationTripleSql(valueCol: String, colName: String, extra: String = "") =
     s"""SELECT 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
@@ -983,6 +1016,42 @@ object SparkEntry {
       """SELECT CAST(n_nationkey + 100 AS BIGINT) AS node_id, CAST(n_regionkey AS BIGINT) AS component FROM nation
         |UNION
         |SELECT DISTINCT CAST(n_regionkey AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation""".stripMargin,
+
+    "kg_pagerank" ->
+      s"""WITH e AS (SELECT CAST(n_nationkey + 100 AS BIGINT) s, CAST(n_regionkey AS BIGINT) d FROM nation),
+         |nodes AS (SELECT DISTINCT s AS n FROM e UNION SELECT DISTINCT d FROM e),
+         |deg AS (SELECT s AS n, count(*) dg FROM e GROUP BY 1),
+         |p0 AS (SELECT n, CAST(1000000000000 AS BIGINT) pr FROM nodes),
+         |${pagerankIterSql(0)},
+         |${pagerankIterSql(1)},
+         |${pagerankIterSql(2)}
+         |SELECT n AS node_id, pr AS pr_scaled FROM p3""".stripMargin,
+
+    // same shingle/LSH/Jaccard chain as td_dedup_jaccard, then connected
+    // components as a recursive transitive closure + min-label
+    "td_dup_clusters" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |       FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
+         |hx AS (SELECT doc_id, sha256(s) h FROM sh),
+         |sig AS (SELECT doc_id, $oracleMinhashCols FROM hx GROUP BY 1),
+         |bands AS ($oracleBandsUnion),
+         |$oracleCandCte,
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |inter AS (SELECT cand.a, cand.b, count(*) i
+         |          FROM cand
+         |          JOIN sh x ON x.doc_id = cand.a
+         |          JOIN sh y ON y.doc_id = cand.b AND x.s = y.s
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a, b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |          WHERE i * 5 >= (sa.n + sb.n - i) * 4),
+         |und AS (SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM und)
+         |  UNION
+         |  SELECT r.src, u.y FROM reach r JOIN und u ON u.x = r.dst)
+         |SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY 1""".stripMargin,
 
     "td_multimodal" -> {
       // image rows: dims from the PNG synthesis rule (Multimodal

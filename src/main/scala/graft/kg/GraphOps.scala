@@ -18,6 +18,52 @@ object GraphOps {
   }
 
   /**
+   * Deterministic fixed-iteration PageRank in SCALED-INTEGER arithmetic:
+   * pr0 = `scale` per node; each iteration
+   *
+   *   contrib(n) = pr(n) DIV out_deg(n)            (BIGINT floor division)
+   *   pr'(v)     = teleport + (85 * sum contrib(in-neighbors)) DIV 100
+   *
+   * with teleport = 15 * scale / 100 (damping 0.85). All arithmetic is
+   * BIGINT, so ranks are EXACT, independent of aggregation order, and
+   * bit-identical in any engine (a float PageRank depends on partial-sum
+   * order and can't be hash-compared cross-engine). Dangling-node mass is
+   * dropped — the standard simplification; ranks remain a deterministic
+   * relative ordering. Per iteration: one join shuffle keyed on src and
+   * one aggregate keyed on dst, lineage cut per round — the same shape at
+   * 10^12 edges. Overflow bound: sum(contrib) <= n_nodes * scale, so pick
+   * scale <= 9.2e18 / (100 * n_nodes); the default 1e12 is safe to ~90M
+   * nodes (auto-shrink if you have more).
+   *
+   * Output: (node_id, pr_scaled).
+   */
+  def pagerankScaled(edges: DataFrame, src: String, dst: String,
+                     iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    val teleport = scale * 15L / 100L
+    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id"))).distinct().localCheckpoint(true)
+    val outDeg = e.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(true)
+    var pr = nodes.withColumn("pr", lit(scale))
+    var i = 0
+    while (i < iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node_id", "src"), Seq("src"))
+        .join(outDeg.withColumnRenamed("node_id", "src").withColumnRenamed("out_deg", "odg"), Seq("src"))
+        .select(col("dst").as("node_id"), expr("pr DIV odg").as("c"))
+      val sums = contrib.groupBy("node_id").agg(sum(col("c")).as("s"))
+      pr = nodes.join(sums, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (lit(teleport) + expr("(coalesce(s, 0L) * 85) DIV 100")).as("pr"))
+        .localCheckpoint(true) // cut the growing lineage each round
+      i += 1
+    }
+    pr.select(col("node_id"), col("pr").as("pr_scaled"))
+  }
+
+  /**
    * Connected components by alternating large-star / small-star
    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
    * SoCC'14 — the published O(log n)-round algorithm): edges are kept

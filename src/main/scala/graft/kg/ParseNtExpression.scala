@@ -2,7 +2,7 @@ package graft.kg
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, SpecificInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -57,6 +57,46 @@ case class ParseNtLines(content: Expression, lang: Expression)
       private[this] var pos = 0
       private[this] var lineNo = 0
       private[this] var ready: InternalRow = _
+      // ONE mutable output row reused for every emitted triple: GenerateExec
+      // projects each generator row into its (copying) UnsafeProjection
+      // before pulling the next, so per-triple garbage drops to the term
+      // slices themselves. SpecificInternalRow setters avoid primitive
+      // boxing (a GenericInternalRow per triple + boxed line numbers were
+      // ~2 allocations/triple at 32 threads — GC is what caps scaling).
+      private[this] val row = new SpecificInternalRow(elementSchema.map(_.dataType))
+
+      @inline private def setStr(i: Int, v: UTF8String): Unit =
+        if (v == null) row.setNullAt(i) else row.update(i, v)
+
+      private def tripleRow(line: Int): InternalRow = {
+        row.setBoolean(0, false)
+        row.setInt(1, line)
+        row.setByte(2, p.subjKind)
+        setStr(3, p.subjValue)
+        setStr(4, p.predValue)
+        row.setByte(5, p.objKind)
+        setStr(6, p.objValue)
+        setStr(7, p.objLang)
+        setStr(8, p.objDt)
+        row.setInt(9, 0)
+        row.setNullAt(10)
+        row
+      }
+
+      private def errorRow(line: Int, charPos: Int, message: String): InternalRow = {
+        row.setBoolean(0, true)
+        row.setInt(1, line)
+        row.setByte(2, (-1).toByte)
+        row.setNullAt(3)
+        row.setNullAt(4)
+        row.setByte(5, (-1).toByte)
+        row.setNullAt(6)
+        row.setNullAt(7)
+        row.setNullAt(8)
+        row.setInt(9, charPos)
+        row.update(10, UTF8String.fromString(message))
+        row
+      }
 
       private def scanLine(): Int = {
         var e = pos
@@ -80,11 +120,8 @@ case class ParseNtLines(content: Expression, lang: Expression)
           while (attempt) {
             attempt = false
             try {
-              if (p.parseSlice(bytes, start, e, startLine)) {
-                return InternalRow(false, startLine, p.subjKind, p.subjValue,
-                  p.predValue, p.objKind, p.objValue,
-                  p.objLang, p.objDt, 0, null)
-              }
+              if (p.parseSlice(bytes, start, e, startLine))
+                return tripleRow(startLine)
             } catch {
               case ex: NtParseException =>
                 if (lenient && p.eoiInUnclosedLongLiteral && pos < n) {
@@ -107,8 +144,7 @@ case class ParseNtLines(content: Expression, lang: Expression)
                   }
                   attempt = true
                 } else
-                  return InternalRow(true, startLine, (-1).toByte, null, null, (-1).toByte,
-                    null, null, null, ex.charPos, UTF8String.fromString(ex.shortMessage))
+                  return errorRow(startLine, ex.charPos, ex.shortMessage)
             }
           }
         }

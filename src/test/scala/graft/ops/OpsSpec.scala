@@ -172,6 +172,24 @@ class OpsSpec extends AnyFunSuite {
     assert(deg(1L) == (1L, 0L) && deg(3L) == (0L, 1L))
   }
 
+  test("scaled-integer PageRank matches hand-computed exact ranks") {
+    import graft.kg.GraphOps
+    // 1 -> 2, 2 -> 1, 1 -> 3; S = 1e12, teleport = 0.15*S
+    // iter 1: contrib(1) = S/2 to {2,3}, contrib(2) = S to 1
+    //   pr(1) = .15S + .85*S = S; pr(2) = pr(3) = .15S + 85*(S/2)/100
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val pr = GraphOps.pagerankScaled(e, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(1L) == 1000000000000L)
+    assert(pr(2L) == 575000000000L && pr(3L) == 575000000000L)
+    // deterministic: bit-identical across runs (exact BIGINT arithmetic)
+    val pr3a = GraphOps.pagerankScaled(e, "src", "dst", iters = 3).as[(Long, Long)].collect().toMap
+    val pr3b = GraphOps.pagerankScaled(e, "src", "dst", iters = 3).as[(Long, Long)].collect().toMap
+    assert(pr3a == pr3b)
+    // the hub (node 1: two in-edges worth of mass) outranks the leaves
+    assert(pr3a(1L) > pr3a(2L) && pr3a(2L) == pr3a(3L))
+  }
+
   test("ANN LSH recall vs brute force on real embeddings >= 0.8") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)

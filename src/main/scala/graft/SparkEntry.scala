@@ -473,6 +473,49 @@ object SparkEntry {
     "td_interdoc_dedup" -> ((s, dir) =>
       Curation.interdocSegmentDedup(docs(s, dir), col("doc_id"), col("text"))),
 
+    // train/eval contamination (GPT-3-style n-gram overlap): docs with
+    // doc_id % 97 == 0 stand in for the eval set; every remaining train
+    // doc reports how many of its distinct 5-gram shingles leak into it
+    "td_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.contamination(
+        d.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"), n = 5)
+    }),
+
+    // exact per-language quota sample (k smallest deterministic hashes per
+    // stratum) via the two-level salted top-k — identical output to the
+    // single-window definition the oracle uses, without the per-stratum
+    // hot-key reducer
+    "td_quota_sample" -> ((s, dir) =>
+      Curation.quotaSample(docs(s, dir), col("doc_id"), col("lang"), k = 20)),
+
+    // Structured Streaming windowed aggregation over EVENT TIME: the
+    // events table replayed as a file stream, hour windows aggregated
+    // with Trigger.AvailableNow into a memory sink (complete mode is the
+    // deterministic harness; production uses append + watermark — that
+    // shape lives in NtStream.windowedMetrics). timestamp_ntz keeps the
+    // window boundaries session-timezone-independent, like
+    // td_event_windows.
+    "td_stream_event_windows" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ev").toString
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+        .select(col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
+      ev0.write.mode("overwrite").parquet(s"$base/src")
+      val stream = s.readStream.schema(ev0.schema).parquet(s"$base/src")
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory").queryName("graft_stream_event_windows")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_event_windows").select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:00").as("w"),
+        col("event_type"), col("n"))
+    }),
+
     // graph analytics over a numeric nation->region edge set
     "kg_graph_degrees" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/nation.parquet")
@@ -1003,6 +1046,32 @@ object SparkEntry {
         |SELECT t.doc_id AS id, COALESCE(reb.clean_text, '') AS clean_text,
         |       (t.n_total - COALESCE(reb.n_kept, 0)) AS n_dropped_segments
         |FROM tot t LEFT JOIN reb ON reb.doc_id = t.doc_id""".stripMargin,
+
+    "td_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS s
+        |       FROM d, unnest(generate_series(1, len(w) - 4)) t(i) WHERE len(w) >= 5),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, count(*) n FROM sh
+        |      WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM ev) GROUP BY 1)
+        |SELECT doc_id AS id, COALESCE(c.n, 0) AS n_contaminated
+        |FROM documents LEFT JOIN c USING (doc_id)
+        |WHERE doc_id % 97 <> 0""".stripMargin,
+
+    // the oracle uses the plain single-window definition; the Spark side
+    // must produce the identical set through its two-level salted top-k
+    "td_quota_sample" ->
+      """SELECT id, stratum, rank FROM (
+        |  SELECT doc_id AS id, lang AS stratum,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           ('0x' || substr(sha256(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |           doc_id) AS rank
+        |  FROM documents) WHERE rank <= 20""".stripMargin,
+
+    "td_stream_event_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS w, event_type,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "kg_graph_degrees" ->
       """WITH e AS (SELECT CAST(n_nationkey + 100 AS BIGINT) s, CAST(n_regionkey AS BIGINT) d FROM nation),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /**
  * Corpus-curation operators common in large-scale training-data
@@ -69,6 +70,60 @@ object Curation {
   def scrubPii(text: Column): Column = {
     val noEmail = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>")
     regexp_replace(noEmail, "[0-9]{4,}", "<NUM>")
+  }
+
+  /**
+   * Train/eval contamination detection (GPT-3/PaLM-style n-gram overlap):
+   * for every training document, the number of its distinct `n`-token
+   * shingles that also occur anywhere in the eval set. Docs with
+   * n_contaminated > 0 are candidates for decontamination removal.
+   *
+   * Scale shape: one shuffle keyed on the shingle string (shingles ARE
+   * content, uniformly distributed) for a left-semi join against the
+   * distinct eval shingles — the eval side is the small one and
+   * broadcast-eligible; zero-overlap docs are restored by a right join
+   * on the (already aggregated, one-row-per-doc) count frame. Never
+   * all-pairs.
+   */
+  def contamination(train: DataFrame, id: Column, text: Column,
+                    evalDocs: DataFrame, evalId: Column, evalText: Column,
+                    n: Int = 5): DataFrame = {
+    val trainSh = Dedup.wordShingles(train, id, text, n)
+    val evalSh = Dedup.wordShingles(evalDocs, evalId, evalText, n)
+      .select("shingle").distinct()
+    val counts = trainSh.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    train.select(id.as("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
+  /**
+   * Exact per-stratum quota sample: the `k` documents with the smallest
+   * deterministic hash within each stratum (reproducible across engines
+   * and runs — the hash is the sort key, ids break ties).
+   *
+   * Scale shape: a single window per stratum funnels EVERY row of a
+   * stratum through one reducer — a hot-key scale killer when strata are
+   * few (languages!). This is two-level instead: local top-k within
+   * (stratum, salt) — `salts` parallel reducers per stratum — then
+   * top-k of the <= k*salts survivors. Top-k is decomposable, so the
+   * result is IDENTICAL to the single-window definition the oracle uses,
+   * while the big shuffle stays spread. The salt is deterministic per
+   * row (hash of the id — SPARK-23207-safe on retries).
+   */
+  def quotaSample(docs: DataFrame, id: Column, strata: Column, k: Int,
+                  salts: Int = 64): DataFrame = {
+    val base = docs.select(id.as("id"), strata.as("stratum"))
+      .withColumn("hx", Dedup.hash64(concat(col("stratum"), lit(":"), col("id").cast("string"))))
+      .withColumn("salt", pmod(Dedup.hash64(col("id").cast("string")), lit(salts.toLong)))
+    val w1 = Window.partitionBy("stratum", "salt").orderBy(col("hx"), col("id"))
+    val survivors = base.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= k)
+    val w2 = Window.partitionBy("stratum").orderBy(col("hx"), col("id"))
+    survivors.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("stratum"), col("rank"))
   }
 
   /** Non-overlapping `n`-token segments with position: (id, seg_idx, seg).

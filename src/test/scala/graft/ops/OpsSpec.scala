@@ -151,6 +151,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got == "write <EMAIL> or call <NUM> x42")
   }
 
+  test("contamination counts shared eval n-grams, keeps zero-overlap docs") {
+    val train = docsDf(1L -> "a b c d e f", 2L -> "x y z w v u")
+    val eval_ = docsDf(3L -> "b c d e f g")
+    val got = Curation.contamination(train, $"doc_id", $"text",
+        eval_, $"doc_id", $"text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares exactly the 5-gram "b c d e f"; doc 2 shares nothing
+    assert(got == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("quota sample: two-level salted top-k equals the single-window definition") {
+    val rows = (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+    val d = rows.toDF("doc_id", "lang")
+    val got = Curation.quotaSample(d, $"doc_id", $"lang", k = 7, salts = 8)
+      .as[(Long, String, Int)].collect().toSet
+    // reference: one window over the whole stratum (the oracle's shape)
+    import org.apache.spark.sql.expressions.Window
+    val hx = Dedup.hash64(concat($"lang", lit(":"), $"doc_id".cast("string")))
+    val w = Window.partitionBy("lang").orderBy(hx, $"doc_id")
+    val ref = d.withColumn("rank", row_number().over(w)).filter($"rank" <= 7)
+      .select($"doc_id", $"lang", $"rank").as[(Long, String, Int)].collect().toSet
+    assert(got == ref)
+    assert(got.count(_._2 == "en") == 7 && got.count(_._2 == "de") == 7)
+  }
+
   test("connected components via large-star/small-star") {
     import graft.kg.GraphOps
     val e = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 12L)).toDF("src", "dst")

@@ -516,6 +516,14 @@ object SparkEntry {
         col("event_type"), col("n"))
     }),
 
+    // event-time sessionization (12h gap) over the events table; interval
+    // arithmetic on timestamp_ntz — session-timezone-independent
+    "td_sessionize" -> ((s, dir) => {
+      val ev = fanOut(s, s.read.parquet(s"$dir/events.parquet"))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      EventOps.sessionize(ev, col("user_id"), col("ts"), gapMinutes = 720)
+    }),
+
     // graph analytics over a numeric nation->region edge set
     "kg_graph_degrees" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/nation.parquet")
@@ -530,6 +538,28 @@ object SparkEntry {
         .select((col("n_nationkey") + 100).cast("long").as("src"),
           col("n_regionkey").cast("long").as("dst"))
       GraphOps.connectedComponents(e, "src", "dst", maxIter = 4)
+    }),
+
+    // per-vector int8 quantization (the ANN-serving memory cut): every
+    // quantized byte is hash-checked via a fingerprint over the int array
+    "td_embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(embs(s, dir), col("vec_id"), col("embedding"))
+        .select(col("id").as("vec_id"),
+          floor(col("amax") * 1e9).cast("long").as("amax_x1e9"),
+          sha2(concat_ws(",", transform(col("q"), x => x.cast("string"))), 256).as("q_fp"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"))
+    }),
+
+    // degree-ordered triangle counting over a ring+chord graph derived
+    // from nation (each consecutive triple (i, i+1, i+2) closes a
+    // triangle); per-node counts are exact
+    "kg_triangles" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val ring = n.select(col("n_nationkey").cast("long").as("src"),
+        ((col("n_nationkey") + 1) % 25).cast("long").as("dst"))
+      val chord = n.select(col("n_nationkey").cast("long").as("src"),
+        ((col("n_nationkey") + 2) % 25).cast("long").as("dst"))
+      GraphOps.trianglesPerNode(ring.union(chord), "src", "dst")
     }),
 
     // deterministic scaled-integer PageRank (3 iterations) — exact BIGINT
@@ -1073,6 +1103,21 @@ object SparkEntry {
         |       count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "td_sessionize" ->
+      """WITH f AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 720 MINUTE
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |g AS (SELECT user_id, ts,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
+        |      FROM f)
+        |SELECT user_id, session_idx,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+        |       count(*) AS n_events
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
     "kg_graph_degrees" ->
       """WITH e AS (SELECT CAST(n_nationkey + 100 AS BIGINT) s, CAST(n_regionkey AS BIGINT) d FROM nation),
         |o AS (SELECT s AS node_id, count(*) out_deg FROM e GROUP BY 1),
@@ -1085,6 +1130,43 @@ object SparkEntry {
       """SELECT CAST(n_nationkey + 100 AS BIGINT) AS node_id, CAST(n_regionkey AS BIGINT) AS component FROM nation
         |UNION
         |SELECT DISTINCT CAST(n_regionkey AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation""".stripMargin,
+
+    "td_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') amax FROM e),
+        |q AS (SELECT vec_id, amax,
+        |        list_transform(v, x -> CASE WHEN amax > 0
+        |          THEN CAST(floor(x * (127.0 / amax) + 0.5) AS INT) ELSE 0 END) qa
+        |      FROM m)
+        |SELECT vec_id,
+        |       CAST(floor(amax * 1000000000.0) AS BIGINT) AS amax_x1e9,
+        |       sha256(array_to_string(qa, ',')) AS q_fp,
+        |       CAST(list_aggregate(qa, 'sum') AS BIGINT) AS q_sum
+        |FROM q""".stripMargin,
+
+    // same degree-ordered orientation: (deg, id)-smaller endpoint points
+    // to the larger; wedges on the common source, closure on the
+    // id-ordered pair — mirrors GraphOps.trianglesPerNode exactly
+    "kg_triangles" ->
+      """WITH e0 AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) s, CAST((n_nationkey + 1) % 25 AS BIGINT) d FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey + 2) % 25 AS BIGINT) FROM nation),
+        |und AS (SELECT DISTINCT least(s, d) a, greatest(s, d) b FROM e0 WHERE s <> d),
+        |deg AS (SELECT n, count(*) dg FROM (
+        |          SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |o AS (SELECT CASE WHEN (pa.dg, und.a) < (pb.dg, und.b) THEN und.a ELSE und.b END u,
+        |             CASE WHEN (pa.dg, und.a) < (pb.dg, und.b) THEN und.b ELSE und.a END v
+        |      FROM und JOIN deg pa ON pa.n = und.a JOIN deg pb ON pb.n = und.b),
+        |wed AS (SELECT o1.u tu, o1.v tx, o2.v ty
+        |        FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+        |tri AS (SELECT tu, tx, ty FROM wed
+        |        WHERE EXISTS (SELECT 1 FROM und WHERE und.a = wed.tx AND und.b = wed.ty)),
+        |ex AS (SELECT tu n FROM tri UNION ALL SELECT tx FROM tri UNION ALL SELECT ty FROM tri),
+        |cnt AS (SELECT n, count(*) c FROM ex GROUP BY 1)
+        |SELECT deg.n AS node_id, COALESCE(cnt.c, 0) AS n_triangles
+        |FROM deg LEFT JOIN cnt ON cnt.n = deg.n""".stripMargin,
 
     "kg_pagerank" ->
       s"""WITH e AS (SELECT CAST(n_nationkey + 100 AS BIGINT) s, CAST(n_regionkey AS BIGINT) d FROM nation),

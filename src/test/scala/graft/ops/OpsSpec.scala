@@ -176,6 +176,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count(_._2 == "en") == 7 && got.count(_._2 == "de") == 7)
   }
 
+  test("sessionization groups events by gap, interval-exact") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:20:00"),
+      (1L, "2024-01-01 12:00:00"), (2L, "2024-01-01 09:00:00"))
+    val d = rows.toDF("user_id", "s").withColumn("ts", $"s".cast("timestamp_ntz"))
+    val got = EventOps.sessionize(d, $"user_id", $"ts", gapMinutes = 30)
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, "2024-01-01 10:00:00", "2024-01-01 10:20:00", 2L),
+      (1L, 2L, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1L),
+      (2L, 1L, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1L)))
+  }
+
   test("connected components via large-star/small-star") {
     import graft.kg.GraphOps
     val e = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 12L)).toDF("src", "dst")
@@ -195,6 +208,31 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(deg(2L) == (1L, 1L)) // 2 has one out-edge (2->3) and one in-edge (1->2)
     assert(deg(1L) == (1L, 0L) && deg(3L) == (0L, 1L))
+  }
+
+  test("degree-ordered triangle counting: K4 plus an isolated edge") {
+    import graft.kg.GraphOps
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val e = (k4 :+ (10L, 11L)).toDF("src", "dst")
+    val got = GraphOps.trianglesPerNode(e, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    // every K4 node sits in C(3,2) = 3 triangles; the isolated edge in none
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 10L -> 0L, 11L -> 0L))
+    // reversed/duplicated edges change nothing (undirected canonicalization)
+    val noisy = e.union(e.select($"dst", $"src"))
+    assert(GraphOps.trianglesPerNode(noisy, "src", "dst")
+      .as[(Long, Long)].collect().toMap == got)
+  }
+
+  test("int8 quantization: exact scale, rounding, and zero-vector guard") {
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(d, $"vec_id", $"embedding")
+      .select($"id", $"q").as[(Long, Seq[Int])].collect().toMap
+    // amax=1: 1.0 -> 127; -0.5*127 = -63.5, +0.5 then floor -> -63; 0 -> 0
+    assert(got(1L) == Seq(127, -63, 0))
+    assert(got(2L) == Seq(0, 0, 0))
   }
 
   test("scaled-integer PageRank matches hand-computed exact ranks") {

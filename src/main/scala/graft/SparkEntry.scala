@@ -524,6 +524,21 @@ object SparkEntry {
       EventOps.sessionize(ev, col("user_id"), col("ts"), gapMinutes = 720)
     }),
 
+    // as-of join: every purchase event picks up the user's latest
+    // preceding view event (point-in-time feature lookup) — one shuffle,
+    // no range join
+    "td_asof_join" -> ((s, dir) => {
+      val ev = fanOut(s, s.read.parquet(s"$dir/events.parquet"))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val out = EventOps.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        col("user_id"), col("ts"), col("event_id"),
+        ev.filter(col("event_type") === "view"),
+        col("user_id"), col("ts"), col("event_id"), col("value"))
+      out.select(col("lid").as("purchase_id"), col("k").as("user_id"),
+        col("asof_id").as("view_id"), col("asof_value").as("view_value"))
+    }),
+
     // graph analytics over a numeric nation->region edge set
     "kg_graph_degrees" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/nation.parquet")
@@ -1102,6 +1117,24 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS w, event_type,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // mirrors the union + last_value(IGNORE NULLS) running-window sweep
+    "td_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, ts, event_id AS lid, 1 AS is_left,
+        |         CAST(NULL AS BIGINT) AS rid, CAST(NULL AS DOUBLE) AS rv
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, 0, event_id, value
+        |  FROM events WHERE event_type = 'view'),
+        |sw AS (SELECT k, ts, lid, is_left,
+        |         last_value(rid IGNORE NULLS) OVER
+        |           (PARTITION BY k ORDER BY ts, is_left ROWS UNBOUNDED PRECEDING) AS asof_id,
+        |         last_value(rv IGNORE NULLS) OVER
+        |           (PARTITION BY k ORDER BY ts, is_left ROWS UNBOUNDED PRECEDING) AS asof_value
+        |       FROM u)
+        |SELECT lid AS purchase_id, k AS user_id, asof_id AS view_id, asof_value AS view_value
+        |FROM sw WHERE is_left = 1""".stripMargin,
 
     "td_sessionize" ->
       """WITH f AS (SELECT user_id, ts,

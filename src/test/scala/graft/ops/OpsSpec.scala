@@ -176,6 +176,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count(_._2 == "en") == 7 && got.count(_._2 == "de") == 7)
   }
 
+  test("as-of join attaches the latest preceding right row, inclusive at ties") {
+    def evs(rows: (Long, String, Long, Double)*) =
+      rows.toDF("user_id", "s", "event_id", "value")
+        .withColumn("ts", $"s".cast("timestamp_ntz"))
+    val left = evs(
+      (1L, "2024-01-01 10:00:00", 100L, 0.0), // after view 11 at 09:30
+      (1L, "2024-01-01 09:00:00", 101L, 0.0), // before any view -> NULL
+      (1L, "2024-01-01 09:30:00", 102L, 0.0), // EQUAL ts to view 11 -> inclusive
+      (2L, "2024-01-01 10:00:00", 200L, 0.0)) // other user's views invisible
+    val right = evs(
+      (1L, "2024-01-01 09:30:00", 11L, 1.5),
+      (1L, "2024-01-01 09:59:00", 12L, 2.5))
+    val got = EventOps.asofJoin(left, $"user_id", $"ts", $"event_id",
+        right, $"user_id", $"ts", $"event_id", $"value")
+      .select($"lid", $"asof_id", $"asof_value")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(got == Set((100L, 12L, 2.5), (101L, -1L, -1.0), (102L, 11L, 1.5), (200L, -1L, -1.0)))
+  }
+
   test("sessionization groups events by gap, interval-exact") {
     val rows = Seq(
       (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:20:00"),

@@ -83,6 +83,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("event queries prune columns and push type filters to the scan") {
+    val asof = SparkEntry.queries("td_asof_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val aSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(asof).map(_.group(1)).toList
+    assert(aSchemas.nonEmpty && aSchemas.forall(s => !s.contains("props")),
+      s"asof reads props: $aSchemas")
+    assert(asof.contains("EqualTo(event_type,"),
+      "event_type filter not pushed to the parquet scan")
+    val sess = SparkEntry.queries("td_sessionize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val sSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(sess).map(_.group(1)).toList
+    assert(sSchemas.nonEmpty && sSchemas.forall(s =>
+      s.contains("user_id") && s.contains("ts") && !s.contains("props") && !s.contains("value")),
+      s"sessionize unpruned scan: $sSchemas")
+  }
+
   test("bucketed edges: subject self-join plans with NO Exchange") {
     // saveBucketedEdges claims write-time clustering converts repeated
     // subject-traversal shuffles into none; prove it on the physical plan.

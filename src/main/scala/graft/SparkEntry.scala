@@ -391,10 +391,10 @@ object SparkEntry {
     "td_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
-    // image rows are REAL PNGs decoded via javax.imageio, audio rows REAL
-    // WAVs header-parsed via javax.sound.sampled; the oracle predicts both
-    // from the synthesis rules while video stays on the sha-derived stub —
-    // so a broken decoder (either one) fails the hash
+    // ALL kinds decode real bytes: PNGs via javax.imageio, WAV headers via
+    // javax.sound.sampled, animated-GIF video via an ImageIO frame walk;
+    // the oracle predicts every feature from the synthesis rules, so a
+    // broken decoder in ANY kind fails the hash
     "td_multimodal" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.mediaWithRealBlobs(s, docs(s, dir))).toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_frames"))
@@ -1237,28 +1237,24 @@ object SparkEntry {
          |  SELECT r.src, u.y FROM reach r JOIN und u ON u.x = r.dst)
          |SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY 1""".stripMargin,
 
-    "td_multimodal" -> {
-      // image rows: dims from the PNG synthesis rule (Multimodal
-      // .syntheticPng); audio rows: sample_rate/channels/frames from the
-      // WAV synthesis rule (Multimodal.syntheticWav) — both decoded from
-      // REAL bytes on the Spark side; video: decodeStub with h = first 7
-      // hex chars of sha256(text)
-      val h = "CAST(('0x' || substr(sha256(text), 1, 7)) AS INTEGER)"
-      s"""WITH m AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 3 AS r, $h AS h
-         |  FROM documents)
-         |SELECT media_id,
-         |  CASE r WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         |  CASE r WHEN 0 THEN 16 + (media_id % 8) * 4
-         |         WHEN 1 THEN 8000 + (media_id % 4) * 4000
-         |         ELSE 160 + (h % 8) * 80 END AS width,
-         |  CASE r WHEN 0 THEN 8 + (media_id % 5) * 4
-         |         WHEN 1 THEN 1
-         |         ELSE (160 + (h % 8) * 80) * 9 // 16 END AS height,
-         |  CASE r WHEN 0 THEN 1
-         |         WHEN 1 THEN 400 + (media_id % 7) * 100
-         |         ELSE 24 + (h >> 3) % 240 END AS n_frames
-         |FROM m""".stripMargin
-    }
+    "td_multimodal" ->
+      // every branch is the SYNTHESIS rule of a real container the Spark
+      // side decodes back: PNG dims (syntheticPng), WAV rate/channels/
+      // frames (syntheticWav), animated-GIF dims/frames (syntheticGif)
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id % 3 AS r
+        |  FROM documents)
+        |SELECT media_id,
+        |  CASE r WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE r WHEN 0 THEN 16 + (media_id % 8) * 4
+        |         WHEN 1 THEN 8000 + (media_id % 4) * 4000
+        |         ELSE 8 + (media_id % 5) * 2 END AS width,
+        |  CASE r WHEN 0 THEN 8 + (media_id % 5) * 4
+        |         WHEN 1 THEN 1
+        |         ELSE 6 + (media_id % 3) * 2 END AS height,
+        |  CASE r WHEN 0 THEN 1
+        |         WHEN 1 THEN 400 + (media_id % 7) * 100
+        |         ELSE 3 + (media_id % 6) END AS n_frames
+        |FROM m""".stripMargin
   )
 }

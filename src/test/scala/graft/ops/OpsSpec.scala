@@ -414,6 +414,22 @@ class OpsSpec extends AnyFunSuite {
     assert(c.width == 0 && c.height == 0) // stub shape for audio
   }
 
+  test("real animated-GIF video decode: frames counted from the container") {
+    import spark.implicits._
+    // id 2: w=8+2*2, h=6+2*2, frames=3+2; id 5: w=8+0, h=6+4, frames=3+5
+    val media = Multimodal.mediaWithRealBlobs(spark,
+      Seq((2L, "a"), (5L, "b")).toDF("doc_id", "text"))
+    val f = Multimodal.extractFeatures(media).collect().map(m => m.media_id -> m).toMap
+    assert(f(2L).kind == "video" && (f(2L).width, f(2L).height, f(2L).n_frames) == (12, 10, 5))
+    assert((f(5L).width, f(5L).height, f(5L).n_frames) == (8, 10, 8))
+    // decodeVideo itself round-trips a synthetic animation
+    assert(Multimodal.decodeVideo(Multimodal.syntheticGif(7L)) == Some((12, 8, 4)))
+    // corrupt GIF bytes degrade to the stub instead of failing the job
+    val corrupt = Seq(MediaRow(9L, "video", "GIF89a-broken".getBytes("UTF-8"))).toDS()
+    val c = Multimodal.extractFeatures(corrupt).collect().head
+    assert(c.width >= 160 && c.n_frames >= 24) // video stub shape
+  }
+
   test("real PNG decode: width/height come from the actual bytes") {
     val media = Multimodal.mediaWithRealBlobs(spark,
       Seq((0L, "a"), (3L, "b"), (1L, "c"), (2L, "d")).toDF("doc_id", "text"))

@@ -377,6 +377,26 @@ object SparkEntry {
         .select(col("path"), col("line"), col("subj"), col("pred"), col("obj"))
     }),
 
+    // stateful streaming dedup (KeyValueGroupedDataset.flatMapGroups
+    // WithState keyed on sha256(content)): the corpus is doubled with
+    // EXACT duplicate rows, replayed as a file stream, and the keep-first
+    // state drops the second copy — deterministic because duplicates are
+    // identical rows, across however many micro-batches AvailableNow cuts
+    "kg_stream_dedup" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+      val corpus = nationCorpus(s, dir)
+      corpus.union(corpus).write.mode("overwrite").parquet(s"$base/src")
+      val deduped = NtStream.dedupStream(NtStream.corpusStream(s, s"$base/src"))
+      deduped.toDF().writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("path"), sha2(col("content"), 256).as("content_sha256"))
+    }),
+
     "td_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
 
@@ -972,6 +992,14 @@ object SparkEntry {
       """SELECT 'urn:col:nation:n_name' AS pred_a,
         |       'urn:col:nation:n_regionkey' AS pred_b,
         |       count(DISTINCT n_nationkey) AS n_subjects
+        |FROM nation""".stripMargin,
+
+    // the doubled stream keeps exactly one copy of every distinct doc
+    "kg_stream_dedup" ->
+      """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) || '.nt' AS path,
+        |       sha256('<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '> <urn:col:nation:n_name> "' || n_name || '" .'
+        |              || chr(10) ||
+        |              '<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '> <urn:col:nation:n_regionkey> "' || CAST(n_regionkey AS VARCHAR) || '" .') AS content_sha256
         |FROM nation""".stripMargin,
 
     "kg_stream_parity" ->

@@ -411,6 +411,15 @@ object SparkEntry {
     "td_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // MOSS winnowing: rolling-window minima over k-gram hashes — the
+    // indexable ~1/w-size fingerprint set; every selected hash is checked
+    "td_winnow" -> ((s, dir) => {
+      val fps = TextOps.winnowFingerprints(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        size(fps).cast("long").as("n_fp"),
+        sha2(concat_ws(",", transform(fps, x => x.cast("string"))), 256).as("fp_sha"))
+    }),
+
     // ALL kinds decode real bytes: PNGs via javax.imageio, WAV headers via
     // javax.sound.sampled, animated-GIF video via an ImageIO frame walk;
     // the oracle predicts every feature from the synthesis rules, so a
@@ -1047,6 +1056,21 @@ object SparkEntry {
     "td_fingerprint" ->
       """SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "td_winnow" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) - 2 >= 1
+        |         THEN list_transform(generate_series(1, len(tk) - 2), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+        |         ELSE [] END s FROM d),
+        |hx AS (SELECT doc_id, list_transform(s, x -> ('0x'||substr(sha256(x),1,15))::BIGINT) h FROM sh),
+        |mn AS (SELECT doc_id, CASE
+        |         WHEN len(h) = 0 THEN []
+        |         WHEN len(h) < 4 THEN [list_min(h)]
+        |         ELSE list_sort(list_distinct(list_transform(generate_series(1, len(h) - 3),
+        |                i -> least(h[i], h[i+1], h[i+2], h[i+3])))) END m FROM hx)
+        |SELECT doc_id, CAST(len(m) AS BIGINT) AS n_fp,
+        |       sha256(array_to_string(m, ',')) AS fp_sha
+        |FROM mn""".stripMargin,
 
     "kg_parse_orders" ->
       """WITH t AS (

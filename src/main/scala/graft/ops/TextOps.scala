@@ -66,4 +66,32 @@ object TextOps {
   /** Fingerprint: sha256 of case-folded, whitespace-collapsed text. */
   def fingerprint(text: Column): Column =
     sha2(trim(regexp_replace(lower(text), "\\s+", " ")), 256)
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+   * algorithm): hash every k-token shingle, slide a w-hash window, keep
+   * each window's MINIMUM — the selected set is position-robust (any
+   * match of >= w+k-1 tokens shares a fingerprint) yet ~1/w the size of
+   * the full shingle set, which is what makes shingle-level dedup
+   * indexable at 100 TB. Pure array HOFs: one narrow pass per doc, no
+   * explode, no shuffle. Hashes are the portable 60-bit sha256 slice
+   * (Dedup.hash64), selection by plain minimum (ties share the value, so
+   * the DISTINCT selected set is order-independent), output sorted.
+   * Docs with fewer than w windows keep one fingerprint (min of all);
+   * docs shorter than k tokens yield an empty set.
+   */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val words = split(text, " ")
+    val nsh = size(words) - (k - 1)
+    val shingles = when(nsh >= 1,
+      transform(sequence(lit(1), nsh), i => concat_ws(" ", slice(words, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val hashes = transform(shingles, s =>
+      conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("long"))
+    val nw = size(hashes) - (w - 1)
+    when(size(hashes) === 0, array().cast("array<long>"))
+      .when(nw < 1, array(array_min(hashes)))
+      .otherwise(array_sort(array_distinct(
+        transform(sequence(lit(1), nw), i => array_min(slice(hashes, i, lit(w)))))))
+  }
 }

@@ -151,6 +151,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got == "write <EMAIL> or call <NUM> x42")
   }
 
+  test("winnowing fingerprints: long shared runs share a fingerprint") {
+    val common = "q w e r t y u i o p" // 10 tokens >= w + k - 1 = 6
+    val d = docsDf(1L -> s"a b $common x y", 2L -> s"m n o $common z",
+      3L -> "totally different words here now")
+    val rows = d.select($"doc_id", TextOps.winnowFingerprints($"text").as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // the MOSS guarantee: a common run longer than w+k-1 tokens always
+    // contributes at least one identical selected hash to both docs
+    assert((rows(1L).toSet & rows(2L).toSet).nonEmpty)
+    assert((rows(1L).toSet & rows(3L).toSet).isEmpty)
+    // boundary sizes: < k tokens -> empty set; k..w+k-2 -> exactly one
+    val s = docsDf(4L -> "a b", 5L -> "a b c d")
+      .select($"doc_id", TextOps.winnowFingerprints($"text").as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(s(4L).isEmpty && s(5L).size == 1)
+  }
+
   test("contamination counts shared eval n-grams, keeps zero-overlap docs") {
     val train = docsDf(1L -> "a b c d e f", 2L -> "x y z w v u")
     val eval_ = docsDf(3L -> "b c d e f g")

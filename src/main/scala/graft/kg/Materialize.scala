@@ -103,6 +103,38 @@ object Materialize {
       .format("parquet").saveAsTable(table)
 
   /**
+   * Small-file compaction for an (unpartitioned) parquet table directory
+   * — the Iceberg `rewrite_data_files` maintenance action, emulated on
+   * the plain-parquet seam. Small files are the silent scan killer at
+   * 100 TB (one footer read + one task per file, metadata pressure), and
+   * resumable bucket-at-a-time jobs produce them by design; compaction
+   * rewrites the table into ceil(totalBytes / targetFileBytes) files.
+   * Crash safety: the rewrite lands in a temp dir first, then swaps via
+   * rename — at every instant a complete copy of the data exists on
+   * disk (a crash can leave a *.compact_tmp / *.compact_old dir to
+   * sweep, never a half table). With a real Iceberg catalog this whole
+   * method is `CALL rewrite_data_files(...)` and the swap is a snapshot
+   * commit. Returns the new file count.
+   */
+  def compact(spark: SparkSession, tableDir: String,
+              targetFileBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + ".compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(tableDir + ".compact_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    spark.read.parquet(tableDir).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old, true)
+    nFiles
+  }
+
+  /**
    * E9: per-document metrics with lineage and the content sha256
    * invariant (BASELINE.json: per-row `sha256(content)` equality is
    * carried next to the counts so any downstream consumer can audit that

@@ -224,6 +224,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("DeserializeToObject") && plan.contains("Generate"))
   }
 
+  test("compaction rewrites small files without changing the data") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    spark.range(10000).select(col("id"), (col("id") * 7).as("v"))
+      .repartition(32).write.parquet(dir) // 32 tiny files
+    def files() = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    val before = files()
+    assert(before >= 16)
+    val rows = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val n = Materialize.compact(spark, dir) // everything fits one target file
+    assert(n == 1 && files() == 1)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == rows)
+    // no temp/backup residue after a clean run
+    val parent = new java.io.File(dir).getParentFile.listFiles.map(_.getName)
+    assert(!parent.exists(_.contains("compact_")))
+  }
+
+  test("canon_iri SQL function exposes the native canonicalizer") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT canon_iri('HTTP://Example.COM:80/Path?Q=1') AS c").head().getString(0)
+    assert(got == "http://example.com/Path?Q=1")
+  }
+
   test("salted repartition spreads hub subjects across partitions") {
     // skewed edges: one hub subject owns 70% of rows
     val rows = (1 to 2000).map { i =>

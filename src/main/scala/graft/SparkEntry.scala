@@ -606,6 +606,18 @@ object SparkEntry {
       GraphOps.trianglesPerNode(ring.union(chord), "src", "dst")
     }),
 
+    // multi-source BFS distances (<= 3 hops from node 0) over the
+    // ring+chord graph — the "k-hop neighborhood" KG traversal primitive
+    "kg_bfs_distances" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val ring = n.select(col("n_nationkey").cast("long").as("src"),
+        ((col("n_nationkey") + 1) % 25).cast("long").as("dst"))
+      val chord = n.select(col("n_nationkey").cast("long").as("src"),
+        ((col("n_nationkey") + 2) % 25).cast("long").as("dst"))
+      GraphOps.bfsDistances(ring.union(chord), "src", "dst",
+        sources = Seq(0L), maxDepth = 3)
+    }),
+
     // deterministic scaled-integer PageRank (3 iterations) — exact BIGINT
     // arithmetic, so the DuckDB oracle reproduces every rank bit-for-bit
     "kg_pagerank" -> ((s, dir) => {
@@ -1229,6 +1241,20 @@ object SparkEntry {
         |       sha256(array_to_string(qa, ',')) AS q_fp,
         |       CAST(list_aggregate(qa, 'sum') AS BIGINT) AS q_sum
         |FROM q""".stripMargin,
+
+    // bounded recursive walk; min(dist) == first-visit BFS distance
+    "kg_bfs_distances" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) s, CAST((n_nationkey + 1) % 25 AS BIGINT) d FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey + 2) % 25 AS BIGINT) FROM nation),
+        |und AS (SELECT DISTINCT s x, d y FROM e0 WHERE s <> d
+        |        UNION SELECT d, s FROM e0 WHERE s <> d),
+        |walk(node_id, dist) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT u.y, w.dist + 1 FROM walk w JOIN und u ON u.x = w.node_id WHERE w.dist < 3)
+        |SELECT node_id, min(dist) AS dist FROM walk GROUP BY 1""".stripMargin,
 
     // same degree-ordered orientation: (deg, id)-smaller endpoint points
     // to the larger; wedges on the common source, closure on the

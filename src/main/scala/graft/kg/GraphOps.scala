@@ -18,6 +18,46 @@ object GraphOps {
   }
 
   /**
+   * Multi-source BFS shortest-path distances over the undirected graph,
+   * capped at `maxDepth` hops: the KG traversal primitive ("everything
+   * within k hops of these entities"). Classic frontier iteration — each
+   * round is one equi-join of the current frontier against the edge list
+   * plus an anti-join against the visited set, so round cost is
+   * O(frontier-adjacent edges), the same shape at 10^12 edges; rounds
+   * are bounded by maxDepth and stop early when the frontier empties.
+   * First visit IS the shortest distance, so results are deterministic.
+   * Output: (node_id, dist) for every node within maxDepth (sources at 0).
+   */
+  def bfsDistances(edges: DataFrame, src: String, dst: String,
+                   sources: Seq[Long], maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val bidir = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var dists = sources.toDF("node_id").withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dists.select("node_id")
+    var d = 1L
+    var done = false
+    while (!done && d <= maxDepth) {
+      val next = frontier.join(bidir, frontier("node_id") === bidir("u"))
+        .select(col("v").as("node_id")).distinct()
+        .join(dists, Seq("node_id"), "left_anti")
+        .localCheckpoint(true) // cut lineage; frontier is metadata-small per round
+      if (next.isEmpty) done = true
+      else {
+        dists = dists.union(next.withColumn("dist", lit(d))).localCheckpoint(true)
+        frontier = next
+        d += 1
+      }
+    }
+    dists
+  }
+
+  /**
    * Per-node triangle counts via DEGREE-ORDERED wedge enumeration (the
    * standard O(m^1.5) algorithm): undirected edges are oriented from the
    * (degree, id)-smaller endpoint to the larger, which bounds every

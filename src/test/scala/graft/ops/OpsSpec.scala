@@ -247,6 +247,18 @@ class OpsSpec extends AnyFunSuite {
     assert(deg(1L) == (1L, 0L) && deg(3L) == (0L, 1L))
   }
 
+  test("BFS distances: shortest paths on a path graph, depth-capped") {
+    import graft.kg.GraphOps
+    // path 0-1-2-3-4-5 plus a shortcut 0-3
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 3L))
+      .toDF("src", "dst")
+    val got = GraphOps.bfsDistances(e, "src", "dst", sources = Seq(0L), maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    // 3 via the shortcut is 1 hop; 2 is reachable both ways at dist 2;
+    // 5 (dist 3) is beyond the cap and absent
+    assert(got == Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L))
+  }
+
   test("degree-ordered triangle counting: K4 plus an isolated edge") {
     import graft.kg.GraphOps
     val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)

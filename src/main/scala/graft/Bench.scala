@@ -263,10 +263,22 @@ object Bench {
       val sec = runs.collect { case (`n`, s) => s }.min
       (nTriples / sec, sec)
     }
-    /** Best SAME-WINDOW paired efficiency: ratio within one rep's
-      * back-to-back runs (both levels see the same neighbor load). */
-    def sameWindowEff(lo: Int, hi: Int): Double =
-      repRuns.map(m => (m(lo) / m(hi)) / 4.0).max
+    /**
+     * Best SAME-WINDOW paired efficiency: ratio within one rep's
+     * back-to-back runs (both levels see the same neighbor load).
+     * Guarded against SLOW-SIDE-ONLY inflation — a steal burst that hits
+     * only the rep's low-core run would inflate that pair's ratio above
+     * the true value — by admitting only pairs whose low-core time is
+     * within 25% of the best observed low-core time (i.e. the pair's
+     * slow side itself ran in a near-clean window). No qualifying pair
+     * -> 0, so max() falls back to the ratio-of-bests.
+     */
+    def sameWindowEff(lo: Int, hi: Int): Double = {
+      val bestLo = runs.collect { case (`lo`, s) => s }.min
+      val qualified = repRuns.filter(m => m(lo) <= bestLo * 1.25)
+      if (qualified.isEmpty) 0.0
+      else qualified.map(m => (m(lo) / m(hi)) / 4.0).max
+    }
     val triplesN = nTriples
     val (thr2, sec2) = best(2)
     val (thr8, sec8) = best(8)
@@ -301,7 +313,7 @@ object Bench {
       s""""efficiency_same_window":${"%.3f".format(sameWindowEff(8, 32))},""" +
       s""""hw_alu_efficiency_8_to_32":${"%.3f".format(aluEff)},""" +
       s""""hw_stream_efficiency_8_to_32":${"%.3f".format(memEff)},""" +
-      s""""note":"8->32 threads on one box share a single memory bus (measured hw ceilings above); a 4x-executor cluster multiplies bandwidth with nodes, which the 2->8 pair models. efficiency = max(efficiency_best_ratio, efficiency_same_window): the former inherits a steal-inflated slow-level best from a different time window, the latter controls for shared load within one back-to-back rep; both components reported verbatim"},""" +
+      s""""note":"8->32 threads on one box share a single memory bus (measured hw ceilings above); a 4x-executor cluster multiplies bandwidth with nodes, which the 2->8 pair models. efficiency = max(efficiency_best_ratio, efficiency_same_window): the former inherits a steal-inflated slow-level best from a different time window, the latter controls for shared load within one back-to-back rep and only admits pairs whose slow side ran within 25% of the best observed slow-side time (guarding against slow-side-only steal inflating the paired ratio); both components reported verbatim"},""" +
       s""""max_cores_triples_per_sec":${"%.0f".format(thr32)},""" +
       s""""kernel_single_thread_triples_per_sec":${"%.0f".format(kernelSingleThread())}}"""
     val jsonLine =

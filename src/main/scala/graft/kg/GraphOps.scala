@@ -72,6 +72,12 @@ object GraphOps {
    * Output: (node_id, n_triangles), one row per node (0 for none).
    */
   def trianglesPerNode(edges: DataFrame, src: String, dst: String): DataFrame = {
+    // node universe from the RAW edges: a self-loop-only node must still
+    // get its (node_id, 0) row — the self-loop filter below is only for
+    // the triangle arithmetic (matching connectedComponents' "self-loops
+    // dropped but their nodes kept")
+    val allNodes = edges.select(col(src).as("node_id"))
+      .union(edges.select(col(dst).as("node_id"))).distinct()
     val und = edges
       .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b"))
@@ -93,7 +99,7 @@ object GraphOps {
     val tri = wed.join(und, col("tx") === col("a") && col("ty") === col("b"), "left_semi")
     val counts = tri.select(explode(array(col("tu"), col("tx"), col("ty"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("c"))
-    deg.select(col("n").as("node_id"))
+    allNodes
       .join(counts, Seq("node_id"), "left")
       .select(col("node_id"), coalesce(col("c"), lit(0L)).as("n_triangles"))
   }

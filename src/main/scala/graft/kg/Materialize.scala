@@ -128,8 +128,17 @@ object Materialize {
     fs.delete(old, true)
     spark.read.parquet(tableDir).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.rename(path, old)
-    fs.rename(tmp, path)
+    // Hadoop FileSystem.rename reports most failures by RETURNING FALSE
+    // (it rarely throws); an unchecked false here would corrupt the swap
+    // — the second rename would nest tmp INSIDE the still-present table
+    // dir — while compact() reports success. Fail loudly instead; a crash
+    // between the renames leaves the full copy at *.compact_old for a
+    // manual sweep (documented above).
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: rename $path -> $old failed; table unchanged")
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $path failed; complete copy preserved at $old")
     fs.delete(old, true)
     nFiles
   }

@@ -11,6 +11,48 @@ import org.apache.spark.sql.expressions.Window
 object EventOps {
 
   /**
+   * AS-OF JOIN (an operator Spark lacks natively): for every left event,
+   * attach the LATEST right event with right.ts <= left.ts within the
+   * same key. Composed from existing ops per the preference order — NOT
+   * a range join: the two sides are unioned with a side tag and swept by
+   * one `last(..., ignoreNulls)` running window, so the cost is ONE
+   * shuffle on the key plus a per-key sort. A range-join formulation
+   * explodes to O(|L|·|R|) per key under skew; this shape is O(|L|+|R|)
+   * and is how production as-of joins (point-in-time feature lookups)
+   * scale. Right rows sort BEFORE left rows at equal timestamps, giving
+   * inclusive (<=) semantics; determinism needs unique (key, ts) on the
+   * right (true of the events table; otherwise pre-aggregate the right).
+   *
+   * The right id/value columns keep the CALLER'S data types (the null
+   * placeholders on the left side are typed from the right frame's
+   * schema) — a silent cast would turn a non-numeric payload into
+   * all-NULL "no match" results.
+   *
+   * Output: left rows + (asof_id, asof_value) of the matched right row
+   * (NULL when no right event precedes).
+   */
+  def asofJoin(left: DataFrame, leftKey: Column, leftTs: Column, leftId: Column,
+               right: DataFrame, rightKey: Column, rightTs: Column,
+               rightId: Column, rightVal: Column): DataFrame = {
+    val Array(ridType, rvType) =
+      right.select(rightId, rightVal).schema.fields.map(_.dataType)
+    val l = left.select(leftKey.as("k"), leftTs.as("ts"), leftId.as("lid"),
+      lit(1).as("is_left"),
+      lit(null).cast(ridType).as("rid"), lit(null).cast(rvType).as("rv"))
+    val r = right.select(rightKey.as("k"), rightTs.as("ts"),
+      lit(null).cast(left.select(leftId).schema.head.dataType).as("lid"),
+      lit(0).as("is_left"),
+      rightId.as("rid"), rightVal.as("rv"))
+    val w = Window.partitionBy("k").orderBy(col("ts"), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_id", last(col("rid"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("rv"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("k"), col("ts"), col("lid"), col("asof_id"), col("asof_value"))
+  }
+
+  /**
    * Event-time sessionization: a session is a maximal run of one user's
    * events where each gap between consecutive events is <= `gapMinutes`.
    *
@@ -31,40 +73,6 @@ object EventOps {
    *
    * Output: (user_id, session_idx, start_s, end_s, n_events).
    */
-  /**
-   * AS-OF JOIN (an operator Spark lacks natively): for every left event,
-   * attach the LATEST right event with right.ts <= left.ts within the
-   * same key. Composed from existing ops per the preference order — NOT
-   * a range join: the two sides are unioned with a side tag and swept by
-   * one `last(..., ignoreNulls)` running window, so the cost is ONE
-   * shuffle on the key plus a per-key sort. A range-join formulation
-   * explodes to O(|L|·|R|) per key under skew; this shape is O(|L|+|R|)
-   * and is how production as-of joins (point-in-time feature lookups)
-   * scale. Right rows sort BEFORE left rows at equal timestamps, giving
-   * inclusive (<=) semantics; determinism needs unique (key, ts) on the
-   * right (true of the events table; otherwise pre-aggregate the right).
-   *
-   * Output: left rows + (asof_id, asof_value) of the matched right row
-   * (NULL when no right event precedes).
-   */
-  def asofJoin(left: DataFrame, leftKey: Column, leftTs: Column, leftId: Column,
-               right: DataFrame, rightKey: Column, rightTs: Column,
-               rightId: Column, rightVal: Column): DataFrame = {
-    val l = left.select(leftKey.as("k"), leftTs.as("ts"), leftId.as("lid"),
-      lit(1).as("is_left"),
-      lit(null).cast("long").as("rid"), lit(null).cast("double").as("rv"))
-    val r = right.select(rightKey.as("k"), rightTs.as("ts"), lit(null).cast("long").as("lid"),
-      lit(0).as("is_left"),
-      rightId.cast("long").as("rid"), rightVal.cast("double").as("rv"))
-    val w = Window.partitionBy("k").orderBy(col("ts"), col("is_left"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("asof_id", last(col("rid"), ignoreNulls = true).over(w))
-      .withColumn("asof_value", last(col("rv"), ignoreNulls = true).over(w))
-      .filter(col("is_left") === 1)
-      .select(col("k"), col("ts"), col("lid"), col("asof_id"), col("asof_value"))
-  }
-
   def sessionize(events: DataFrame, user: Column, ts: Column,
                  gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"))

@@ -58,25 +58,32 @@ object Multimodal {
     }
   }
 
-  private def looksLikeWav(b: Array[Byte]): Boolean =
+  private def looksLikeAudio(b: Array[Byte]): Boolean =
     b.length > 12 &&
-      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+      ((b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') || // RIFF/WAVE
+       (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F'))                   // FORM/AIFF, AIFC
 
   /**
-   * Real pure-JVM audio header decode (WAV/AIFF via javax.sound.sampled):
-   * Some((sampleRate, channels, nFrames)) or None. Header-only — the PCM
-   * body is not decompressed, so cost is O(1) per blob regardless of
-   * duration (the shape a 100 TB metadata pass needs).
+   * Real pure-JVM audio header decode (WAV and AIFF/AIFC via
+   * javax.sound.sampled): Some((sampleRate, channels, nFrames)) or None.
+   * Header-only — the PCM body is not decompressed, so cost is O(1) per
+   * blob regardless of duration (the shape a 100 TB metadata pass
+   * needs). Headers with an UNSPECIFIED frame count (streaming-WAV
+   * convention, some non-PCM encodings) return None rather than leaking
+   * AudioSystem.NOT_SPECIFIED (-1) into a count column.
    */
   def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int)] =
-    if (!looksLikeWav(bytes)) None
+    if (!looksLikeAudio(bytes)) None
     else
       try {
         val aff = javax.sound.sampled.AudioSystem
           .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
-        Some((aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
-          aff.getFrameLength))
+        val frames = aff.getFrameLength
+        val rate = aff.getFormat.getSampleRate
+        if (frames < 0 || rate <= 0) None
+        else Some((rate.toInt, aff.getFormat.getChannels, frames))
       } catch {
         // like ImageIO, sampled readers can throw unchecked on malformed
         // bodies passing the magic check — degrade to the stub
@@ -101,14 +108,22 @@ object Multimodal {
     if (!looksLikeGif(bytes)) None
     else {
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      // with the default useCache=true this stream is backed by a TEMP
+      // FILE deleted only on close(): close it here, not just the reader,
+      // or every decoded blob leaks an fd + temp file on executors that
+      // haven't run setUseCache(false)
+      var iis: javax.imageio.stream.ImageInputStream = null
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         reader.setInput(iis)
         Some((reader.getWidth(0), reader.getHeight(0), reader.getNumImages(true)))
       } catch {
         case scala.util.control.NonFatal(_) => None
-      } finally reader.dispose()
+      } finally {
+        reader.dispose()
+        if (iis != null) iis.close()
+      }
     }
 
   /** Real pure-JVM image decode: Some((width, height)) or None. */

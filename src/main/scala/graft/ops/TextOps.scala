@@ -86,8 +86,7 @@ object TextOps {
     val shingles = when(nsh >= 1,
       transform(sequence(lit(1), nsh), i => concat_ws(" ", slice(words, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
-    val hashes = transform(shingles, s =>
-      conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("long"))
+    val hashes = transform(shingles, s => Dedup.hash64(s))
     val nw = size(hashes) - (w - 1)
     when(size(hashes) === 0, array().cast("array<long>"))
       .when(nw < 1, array(array_min(hashes)))

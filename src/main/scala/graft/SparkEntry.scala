@@ -512,6 +512,12 @@ object SparkEntry {
         d.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"), n = 5)
     }),
 
+    // exact token-count percentiles (order statistics over the bounded
+    // value histogram) — the quality-threshold selection step
+    "td_quality_percentiles" -> ((s, dir) =>
+      Curation.integerPercentiles(docs(s, dir),
+        size(split(col("text"), " ")), Seq(10, 50, 90, 99))),
+
     // exact per-language quota sample (k smallest deterministic hashes per
     // stratum) via the two-level salted top-k — identical output to the
     // single-window definition the oracle uses, without the per-stratum
@@ -1166,6 +1172,15 @@ object SparkEntry {
         |SELECT doc_id AS id, COALESCE(c.n, 0) AS n_contaminated
         |FROM documents LEFT JOIN c USING (doc_id)
         |WHERE doc_id % 97 <> 0""".stripMargin,
+
+    // rank = ceil(n*p/100) over the ascending sort, 1-based
+    "td_quality_percentiles" ->
+      """WITH d AS (SELECT len(string_split(text, ' ')) v FROM documents),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) rn FROM d),
+        |n AS (SELECT count(*) c FROM d),
+        |p(p) AS (SELECT unnest([10, 50, 90, 99]))
+        |SELECT p.p, CAST(o.v AS BIGINT) AS value
+        |FROM p CROSS JOIN n JOIN o ON o.rn = (n.c * p.p + 99) // 100""".stripMargin,
 
     // the oracle uses the plain single-window definition; the Spark side
     // must produce the identical set through its two-level salted top-k

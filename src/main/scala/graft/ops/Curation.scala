@@ -126,6 +126,45 @@ object Curation {
       .select(col("id"), col("stratum"), col("rank"))
   }
 
+  /**
+   * EXACT percentiles of an integer metric column as order statistics
+   * (rank = ceil(n*p/100), 1-based over the ascending sort) — the
+   * quality-threshold selection step of a filtering pipeline ("drop the
+   * bottom decile by token count"). Interpolated percentiles
+   * (approx_percentile, quantile_cont) are float arithmetic an
+   * independent engine may round differently; order statistics over
+   * integers are exact and hash-comparable.
+   *
+   * Scale shape: ONE aggregate shuffle builds a (value, count) histogram
+   * whose size is the metric's value cardinality (token counts, permille
+   * scores: thousands of distinct values at ANY corpus size), which is
+   * collected as metadata and walked on the driver — no global sort, no
+   * single-reducer window. Output: (p, value) per requested percentile.
+   */
+  def integerPercentiles(df: DataFrame, value: Column, ps: Seq[Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.groupBy(value.cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("v")
+      .collect() // bounded by value cardinality: metadata, not data
+    val n = hist.map(_.getLong(1)).sum
+    val out = ps.map { p =>
+      val rank = (n * p + 99) / 100 // ceil(n*p/100), exact integer math
+      var cum = 0L
+      var i = 0
+      var v = if (hist.isEmpty) 0L else hist.last.getLong(0)
+      var found = false
+      while (!found && i < hist.length) {
+        cum += hist(i).getLong(1)
+        if (cum >= rank) { v = hist(i).getLong(0); found = true }
+        i += 1
+      }
+      (p, v)
+    }
+    out.toDF("p", "value")
+  }
+
   /** Non-overlapping `n`-token segments with position: (id, seg_idx, seg).
     * NULL text is treated as empty: split(NULL) is a NULL array and
     * posexplode would emit NO rows, silently dropping the document id

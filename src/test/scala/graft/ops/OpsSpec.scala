@@ -178,6 +178,17 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("integer percentiles are exact order statistics") {
+    val d = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val got = Curation.integerPercentiles(d, $"v", Seq(1, 50, 100))
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 1L, 50 -> 50L, 100 -> 100L)) // rank ceil(100p/100) = p
+    // ties and ceil rounding: n=4 -> p50 rank 2 (value 5), p90 rank 4 (value 9)
+    val g2 = Curation.integerPercentiles(Seq(5L, 5L, 5L, 9L).toDF("v"), $"v", Seq(50, 90))
+      .as[(Int, Long)].collect().toMap
+    assert(g2 == Map(50 -> 5L, 90 -> 9L))
+  }
+
   test("quota sample: two-level salted top-k equals the single-window definition") {
     val rows = (1L to 200L).map(i => (i, if (i % 3 == 0) "en" else "de"))
     val d = rows.toDF("doc_id", "lang")

@@ -12,9 +12,14 @@ package graft.kg
  * (ADVICE r2). This scanner instead mirrors the parser's own long-literal
  * lexing rules exactly — each appended char is visited ONCE:
  *
- *  - a backslash consumes the following char (its escape payload; for
- *    \u/\U the payload is 'u'/'U' and the hex digits are plain content —
- *    hex digits can never be quotes, so skip-2 is close-exact);
+ *  - a backslash consumes its escape payload, VALIDATING it: simple
+ *    escapes (\\ \" \' \b \t \n \f \r) skip two chars; \u/\U must be
+ *    followed by 4/8 hex digits. An INVALID payload or a non-hex char
+ *    inside the hex body is a guaranteed terminal error on the next
+ *    re-parse, so the scanner requests it immediately — without this the
+ *    error would surface only at a later close/pending trigger, silently
+ *    swallowing the intervening statements (found by the fuzz
+ *    differential in PipelineSpec);
  *  - the close is the FIRST run of three consecutive unescaped quotes
  *    (quotes separated by a line terminator are content, exactly as the
  *    parser sees them after window extension);
@@ -40,17 +45,34 @@ private[kg] object LongLitScan {
   @inline private def isHexChar(c: Int): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
+  @inline private def isSimpleEscape(c: Int): Boolean =
+    c == '\\' || c == '"' || c == '\'' || c == 'b' || c == 't' ||
+      c == 'n' || c == 'f' || c == 'r'
+
   /**
-   * Forward scan of [from, until) for an unescaped `"""`.
-   * Returns the index just after the close when found, else
-   * `-(resumePos) - 1` (resume the next scan from `resumePos`).
+   * Forward scan of [from, until) for an unescaped `"""` OR an invalid
+   * escape (both force a re-parse: the former may succeed, the latter is
+   * a guaranteed terminal error). Returns a non-negative position when a
+   * re-parse is due, else `-(resumePos) - 1` (resume the next scan from
+   * `resumePos`).
    */
   def scanToClose(s: String, from: Int, until: Int): Int = {
     var i = from
     while (i < until) {
       val c = s.charAt(i)
-      if (c == '\\') i += (if (i + 1 < until) 2 else 1)
-      else if (c == '"' && i + 2 < until && s.charAt(i + 1) == '"' && s.charAt(i + 2) == '"')
+      if (c == '\\') {
+        if (i + 1 >= until) return -(i + 1) - 1 // trailing: pendingEscapeAt(e) catches it
+        val p = s.charAt(i + 1)
+        if (p == 'u' || p == 'U') {
+          val need = if (p == 'u') 4 else 8
+          var j = i + 2
+          var k = 0
+          while (k < need && j < until && isHexChar(s.charAt(j))) { j += 1; k += 1 }
+          if (k < need && j < until) return j // non-hex inside the body: terminal
+          i = j // complete, or partial at window end (pendingEscapeAt catches)
+        } else if (isSimpleEscape(p)) i += 2
+        else return i + 1 // invalid payload: terminal
+      } else if (c == '"' && i + 2 < until && s.charAt(i + 1) == '"' && s.charAt(i + 2) == '"')
         return i + 3
       else i += 1
     }
@@ -63,8 +85,19 @@ private[kg] object LongLitScan {
     var i = from
     while (i < until) {
       val c = b(i)
-      if (c == '\\'.toByte) i += (if (i + 1 < until) 2 else 1)
-      else if (c == '"'.toByte && i + 2 < until && b(i + 1) == '"'.toByte && b(i + 2) == '"'.toByte)
+      if (c == '\\'.toByte) {
+        if (i + 1 >= until) return -(i + 1) - 1
+        val p = b(i + 1)
+        if (p == 'u'.toByte || p == 'U'.toByte) {
+          val need = if (p == 'u'.toByte) 4 else 8
+          var j = i + 2
+          var k = 0
+          while (k < need && j < until && isHexChar(b(j))) { j += 1; k += 1 }
+          if (k < need && j < until) return j
+          i = j
+        } else if (isSimpleEscape(p)) i += 2
+        else return i + 1
+      } else if (c == '"'.toByte && i + 2 < until && b(i + 1) == '"'.toByte && b(i + 2) == '"'.toByte)
         return i + 3
       else i += 1
     }

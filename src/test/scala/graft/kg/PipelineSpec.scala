@@ -205,6 +205,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaExpr == viaKernel)
   }
 
+  test("lenient extension matches re-parse-after-every-line semantics on fuzzed docs") {
+    // SEMANTIC ORACLE for LongLitScan: the O(n^2) definition — extend the
+    // statement window one physical line at a time and re-parse after
+    // EVERY extension. The production scanner must produce the identical
+    // row sequence on documents dense in quotes/backslashes/escapes.
+    def referenceParse(content: String): Seq[(Boolean, Int, String)] = {
+      val p = NtLineParser.lenient
+      val out = scala.collection.mutable.ArrayBuffer[(Boolean, Int, String)]()
+      val n = content.length
+      var pos = 0
+      var lineNo = 0
+      def scanLine(): Int = {
+        var e = pos
+        while (e < n && { val c = content.charAt(e); c != '\n' && c != '\r' }) e += 1
+        pos =
+          if (e < n && content.charAt(e) == '\r' && e + 1 < n && content.charAt(e + 1) == '\n') e + 2
+          else e + 1
+        lineNo += 1
+        e
+      }
+      while (pos < n) {
+        val start = pos
+        var e = scanLine()
+        val startLine = lineNo
+        var done = false
+        while (!done) {
+          try {
+            if (p.parseSlice(content, start, e, startLine))
+              out += ((false, startLine, p.objValue))
+            done = true // success, or comment/blank (false)
+          } catch {
+            case ex: NtParseException =>
+              if (p.eoiInUnclosedLongLiteral && pos < n) e = scanLine() // extend ONE line
+              else { out += ((true, startLine, ex.shortMessage)); done = true }
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    val pool = Array(
+      "<a:b> <p:q> \"\"\"", "\"\"\"", "\"\"\" .", "\"\"\"@en .", "x y", "\\",
+      "\\\\", "\\\"", "\"", "\"\"", "\\u00", "41", "\\\"\"\"",
+      "<a:b> <p:q> \"v\" .", "# c", "")
+    for (seed <- 0 until 120) {
+      val rnd = new scala.util.Random(seed)
+      val nLines = 3 + rnd.nextInt(12)
+      val content = (0 until nLines).map { _ =>
+        (0 until (1 + rnd.nextInt(3))).map(_ => pool(rnd.nextInt(pool.length))).mkString("")
+      }.mkString("\n")
+      val expected = referenceParse(content)
+      val corpus = Seq(CorpusRow("r", s"f$seed.nt", "c", TripleExtract.LangLenient, content)).toDS()
+      val got = TripleExtract.parse(corpus).collect().toSeq
+        .map(r => (r.err, r.line, if (r.err) r.message else r.obj))
+      assert(got == expected, s"seed=$seed\n--- content ---\n$content\n--- expected $expected\n--- got $got")
+    }
+  }
+
   test("native ParseNtLines generator matches the Dataset kernel exactly") {
     val corpus = Corpus.w3cFixtures(spark).union(Seq(
       CorpusRow("r", "len.nt", "c", TripleExtract.LangLenient,

@@ -249,17 +249,31 @@ class PipelineSpec extends AnyFunSuite {
       "<a:b> <p:q> \"\"\"", "\"\"\"", "\"\"\" .", "\"\"\"@en .", "x y", "\\",
       "\\\\", "\\\"", "\"", "\"\"", "\\u00", "41", "\\\"\"\"",
       "<a:b> <p:q> \"v\" .", "# c", "")
-    for (seed <- 0 until 120) {
+    val docs = (0 until 300).map { seed =>
       val rnd = new scala.util.Random(seed)
       val nLines = 3 + rnd.nextInt(12)
       val content = (0 until nLines).map { _ =>
         (0 until (1 + rnd.nextInt(3))).map(_ => pool(rnd.nextInt(pool.length))).mkString("")
       }.mkString("\n")
-      val expected = referenceParse(content)
-      val corpus = Seq(CorpusRow("r", s"f$seed.nt", "c", TripleExtract.LangLenient, content)).toDS()
-      val got = TripleExtract.parse(corpus).collect().toSeq
-        .map(r => (r.err, r.line, if (r.err) r.message else r.obj))
-      assert(got == expected, s"seed=$seed\n--- content ---\n$content\n--- expected $expected\n--- got $got")
+      CorpusRow("r", s"f$seed.nt", "c", TripleExtract.LangLenient, content)
+    }
+    val expected = docs.map(d => d.path ->
+      (d.content, referenceParse(d.content))).toMap
+    val corpus = docs.toDS()
+    // BOTH kernels against the oracle: the char Dataset kernel and the
+    // byte-twin native generator must each match per-line semantics
+    def byPath(rows: Seq[(String, Boolean, Int, String)]) =
+      rows.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    val viaKernel = byPath(TripleExtract.parse(corpus).collect().toSeq
+      .map(r => (r.path, r.err, r.line, if (r.err) r.message else r.obj)))
+    val viaExpr = byPath(TripleExtract.parseExpr(corpus.toDF()).collect().toSeq
+      .map(r => (r.getString(2), r.getBoolean(0), r.getInt(4),
+        if (r.getBoolean(0)) r.getString(13) else r.getString(9))))
+    for ((path, (content, exp)) <- expected) {
+      val k = viaKernel.getOrElse(path, Seq.empty)
+      val e = viaExpr.getOrElse(path, Seq.empty)
+      assert(k == exp, s"$path (char kernel)\n--- content ---\n$content\n--- expected $exp\n--- got $k")
+      assert(e == exp, s"$path (byte generator)\n--- content ---\n$content\n--- expected $exp\n--- got $e")
     }
   }
 

@@ -574,6 +574,15 @@ object SparkEntry {
         col("asof_id").as("view_id"), col("asof_value").as("view_value"))
     }),
 
+    // ordered-step funnel: users who did view -> click -> purchase in
+    // order (any events between); exact subsequence-regex counting
+    "td_funnel" -> ((s, dir) => {
+      val ev = fanOut(s, s.read.parquet(s"$dir/events.parquet"))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      EventOps.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+        steps = Seq("view", "click", "purchase"))
+    }),
+
     // graph analytics over a numeric nation->region edge set
     "kg_graph_degrees" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/nation.parquet")
@@ -1196,6 +1205,19 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS w, event_type,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "td_funnel" ->
+      """WITH s AS (SELECT user_id,
+        |             string_agg(substr(event_type, 1, 1), '' ORDER BY ts) AS seq
+        |           FROM events GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |       sum(CASE WHEN regexp_matches(seq, 'v') THEN 1 ELSE 0 END) AS n_users FROM s
+        |UNION ALL
+        |SELECT 2, 'view>click',
+        |       sum(CASE WHEN regexp_matches(seq, 'v.*c') THEN 1 ELSE 0 END) FROM s
+        |UNION ALL
+        |SELECT 3, 'view>click>purchase',
+        |       sum(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END) FROM s""".stripMargin,
 
     // mirrors the union + last_value(IGNORE NULLS) running-window sweep
     "td_asof_join" ->

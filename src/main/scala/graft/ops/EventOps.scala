@@ -53,6 +53,41 @@ object EventOps {
   }
 
   /**
+   * FUNNEL analysis: how many users performed the given event-type steps
+   * IN ORDER (with any events in between). Each user's event-type
+   * sequence (one char per event, ordered by ts) is reduced to a string
+   * and each funnel prefix becomes an ordered-subsequence regex — exact,
+   * engine-portable, and one aggregation pass for every step at once.
+   *
+   * Scale shape: one shuffle keyed on user_id; the per-user sequence is
+   * bounded by events-per-user (array_sort of a collected struct list —
+   * collect_list order is nondeterministic, the sort by unique ts makes
+   * the sequence exact). Output: (step, step_name, n_users), step i
+   * counting users who completed the first i funnel stages.
+   */
+  def funnel(events: DataFrame, user: Column, ts: Column, eventType: Column,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.map(_.head).distinct.size == steps.size,
+      "steps must have distinct initials (the sequence alphabet)")
+    val perUser = events
+      .select(user.as("user_id"), struct(ts.as("ts"),
+        substring(eventType, 1, 1).as("init")).as("e"))
+      .groupBy("user_id")
+      .agg(concat_ws("", transform(array_sort(collect_list(col("e"))),
+        s => s.getField("init"))).as("seq"))
+    val counts = steps.indices.map { i =>
+      val pat = steps.take(i + 1).map(_.head).mkString(".*")
+      sum(when(col("seq").rlike(pat), 1L).otherwise(0L)).as(s"n$i")
+    }
+    val agg = perUser.agg(counts.head, counts.tail: _*)
+    val rows = steps.indices.map(i =>
+      (lit(i + 1).as("step"), lit(steps.take(i + 1).mkString(">")).as("step_name"), col(s"n$i")))
+    agg.select(explode(array(rows.map { case (s, n, c) =>
+      struct(s, n, c.as("n_users")) }: _*)).as("r"))
+      .select(col("r.step"), col("r.step_name"), col("r.n_users"))
+  }
+
+  /**
    * Event-time sessionization: a session is a maximal run of one user's
    * events where each gap between consecutive events is <= `gapMinutes`.
    *

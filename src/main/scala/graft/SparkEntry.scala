@@ -583,6 +583,58 @@ object SparkEntry {
         steps = Seq("view", "click", "purchase"))
     }),
 
+    // schema-on-read JSON props: per-event-type stats of props.k — the
+    // get_json_object projection runs in the scan stage, so only
+    // (type, long) rows reach the shuffle, never the JSON strings
+    "td_json_props" -> ((s, dir) => {
+      val ev = fanOut(s, s.read.parquet(s"$dir/events.parquet"))
+      EventOps.jsonFieldStats(ev, col("event_type"), col("props"), "k")
+        .withColumnRenamed("g", "event_type")
+    }),
+
+    // log compaction: current state per user = latest event (ties broken
+    // by event_id) — changelog -> snapshot, top-1 per key
+    "td_latest_state" -> ((s, dir) => {
+      val ev = fanOut(s, s.read.parquet(s"$dir/events.parquet"))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      EventOps.latestState(ev, col("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("event_type"), col("value"))
+    }),
+
+    // corpus n-gram profile: top-50 word bigrams with exact counts,
+    // deterministic tie-break by ngram
+    "td_ngram_topk" -> ((s, dir) =>
+      TextOps.topNgrams(docs(s, dir), col("text"), n = 2, k = 50)),
+
+    // per-document salient terms: integer TF-IDF ordering
+    // (df ASC, tf DESC, term) — exact, hash-checkable, no float log
+    "td_salient_terms" -> ((s, dir) =>
+      TextOps.salientTerms(docs(s, dir), col("doc_id"), col("text"), k = 3)
+        .withColumnRenamed("id", "doc_id")),
+
+    // multi-dimensional corpus profile: ROLLUP over (lang, source);
+    // grouping flags disambiguate subtotal rows from NULL data values
+    "td_rollup_stats" -> ((s, dir) =>
+      docs(s, dir).rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          grouping(col("lang")).as("g_lang"),
+          grouping(col("source")).as("g_source"))),
+
+    // leakage-free train/val/test split: documents co-assigned by dup
+    // CLUSTER (LSH -> jaccard verify -> CC), split = portable hash of the
+    // cluster id, so near-dups can never straddle train and eval
+    "td_split_leakfree" -> ((s, dir) => {
+      val sh = Dedup.wordShingles(docs(s, dir), col("doc_id"), col("text"), 3)
+        .localCheckpoint(true)
+      val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(true)
+      val dups = Dedup.jaccardPairsFromShingles(sh, candidates = Some(cands))
+        .filter(col("inter") * 5 >= col("union_") * 4)
+        .select("a", "b")
+      Curation.leakFreeSplit(docs(s, dir), col("doc_id"), dups)
+    }),
+
     // graph analytics over a numeric nation->region edge set
     "kg_graph_degrees" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/nation.parquet")
@@ -1218,6 +1270,83 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, 'view>click>purchase',
         |       sum(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END) FROM s""".stripMargin,
+
+    "td_json_props" ->
+      """SELECT event_type,
+        |       count(*) AS n_events,
+        |       count(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS n_valid,
+        |       sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       min(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "td_latest_state" ->
+      """SELECT user_id, event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       event_type, value
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "td_ngram_topk" ->
+      """WITH d AS (SELECT string_split(text, ' ') w FROM documents),
+        |g AS (SELECT w[i] || ' ' || w[i+1] AS ngram
+        |      FROM d, unnest(generate_series(1, len(w) - 1)) t(i)
+        |      WHERE len(w) >= 2)
+        |SELECT ngram, count(*) AS n FROM g GROUP BY 1
+        |ORDER BY n DESC, ngram LIMIT 50""".stripMargin,
+
+    "td_salient_terms" ->
+      """WITH tok AS (SELECT doc_id, t.term, count(*) AS tf
+        |             FROM (SELECT doc_id, string_split(text, ' ') w FROM documents) d,
+        |                  unnest(d.w) AS t(term)
+        |             GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df FROM tok GROUP BY 1),
+        |r AS (SELECT tok.doc_id, tok.term, tok.tf, dfr.df,
+        |        row_number() OVER (PARTITION BY tok.doc_id
+        |          ORDER BY dfr.df, tok.tf DESC, tok.term) AS rank
+        |      FROM tok JOIN dfr USING (term))
+        |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3""".stripMargin,
+
+    "td_rollup_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |       GROUPING(lang) AS g_lang, GROUPING(source) AS g_source
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    // same dup-cluster reconstruction as td_dup_clusters, then the split
+    // percentile = 60-bit sha256 slice of 'split:<cluster>' mod 100
+    "td_split_leakfree" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |       FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
+         |hx AS (SELECT doc_id, sha256(s) h FROM sh),
+         |sig AS (SELECT doc_id, $oracleMinhashCols FROM hx GROUP BY 1),
+         |bands AS ($oracleBandsUnion),
+         |$oracleCandCte,
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |inter AS (SELECT cand.a, cand.b, count(*) i
+         |          FROM cand
+         |          JOIN sh x ON x.doc_id = cand.a
+         |          JOIN sh y ON y.doc_id = cand.b AND x.s = y.s
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a, b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |          WHERE i * 5 >= (sa.n + sb.n - i) * 4),
+         |und AS (SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM und)
+         |  UNION
+         |  SELECT r.src, u.y FROM reach r JOIN und u ON u.x = r.dst),
+         |comp AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY 1),
+         |asg AS (SELECT dd.doc_id AS id, coalesce(c.cluster, dd.doc_id) AS cluster
+         |        FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id),
+         |p AS (SELECT id, cluster,
+         |        ('0x' || substr(sha256('split:' || cluster), 1, 15))::BIGINT % 100 AS pct
+         |      FROM asg)
+         |SELECT id, cluster,
+         |       CASE WHEN pct < 80 THEN 'train'
+         |            WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM p""".stripMargin,
 
     // mirrors the union + last_value(IGNORE NULLS) running-window sweep
     "td_asof_join" ->

@@ -211,4 +211,39 @@ object Curation {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped_segments"))
   }
+
+  /**
+   * Leakage-free train/val/test split: near-duplicate documents MUST
+   * land in the same split, or held-out evaluation silently scores
+   * memorized training text. Documents are therefore assigned by a
+   * portable hash of their DUP-CLUSTER id — connected components over
+   * verified near-dup `pairs` (a, b); docs with no dup are their own
+   * singleton cluster — so whole clusters co-travel.
+   *
+   * Determinism/portability: the split percentile is the 60-bit sha256
+   * slice of "split:<cluster>" mod 100 (identical in DuckDB), so the
+   * assignment is stable across runs, engines, and corpus growth —
+   * adding documents never reassigns existing clusters.
+   *
+   * Scale shape: CC is O(log n) alternating-star rounds over the pairs
+   * (tiny relative to the corpus); the cluster map joins back to docs
+   * with one shuffle keyed on doc id. Output: (id, cluster, split).
+   */
+  def leakFreeSplit(docs: DataFrame, id: Column, pairs: DataFrame,
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need train + val < 100 with a nonempty test remainder")
+    val clusters = graft.kg.GraphOps.connectedComponents(pairs, "a", "b", maxIter = 8)
+      .withColumnRenamed("node_id", "id")
+    val pct = conv(substring(sha2(
+      concat(lit("split:"), col("cluster").cast("string")), 256), 1, 15), 16, 10)
+      .cast("long") % 100
+    docs.select(id.as("id"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("id")))
+      .select(col("id"), col("cluster"),
+        when(pct < trainPct, "train")
+          .when(pct < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
 }

@@ -125,4 +125,54 @@ object EventOps {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_s"),
         count(lit(1)).as("n_events"))
   }
+
+  /**
+   * Schema-on-read extraction of one field from a JSON string column
+   * (the `props` bag every event log carries). `get_json_object` is a
+   * codegen'd path expression — no UDF, no full-document parse into a
+   * variant type — and `try_cast` keeps malformed values as NULL instead
+   * of failing the job under ANSI mode (a 100 TB log ALWAYS contains
+   * garbage rows; one bad record must not kill the pipeline).
+   */
+  def jsonField(json: Column, field: String, asType: String): Column =
+    get_json_object(json, "$." + field).try_cast(asType)
+
+  /**
+   * Per-group stats over a numeric JSON field: n_events, n_valid (rows
+   * where the field parsed), sum/min/max. The projection happens BEFORE
+   * the aggregation, so only (group, long) rows reach the shuffle and
+   * partial aggregation collapses them map-side — the JSON strings never
+   * leave the scan stage.
+   */
+  def jsonFieldStats(events: DataFrame, group: Column, json: Column,
+                     field: String): DataFrame = {
+    val k = jsonField(json, field, "long")
+    events.select(group.as("g"), k.as("k"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_valid"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+  }
+
+  /**
+   * Log compaction / CDC current-state: the single LATEST row per key,
+   * ordered by (ts, tieBreak) — the "collapse an append-only changelog
+   * to its current snapshot" maintenance op. The tie-break column makes
+   * the winner deterministic when timestamps collide (same-second
+   * writes are routine at scale).
+   *
+   * Scale shape: one shuffle keyed on the entity key, per-key sort,
+   * row_number + filter(=1) — Spark plans this as a WindowGroupLimit
+   * (top-1 per key pushed below the full sort), so state per key is
+   * O(1), not O(history). Output keeps the caller's original columns.
+   */
+  def latestState(events: DataFrame, key: Column, ts: Column,
+                  tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy(col("__ts").desc, col("__tb").desc)
+    events.withColumn("__k", key).withColumn("__ts", ts)
+      .withColumn("__tb", tieBreak)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__k", "__ts", "__tb", "__rn")
+  }
 }

@@ -93,4 +93,60 @@ object TextOps {
       .otherwise(array_sort(array_distinct(
         transform(sequence(lit(1), nw), i => array_min(slice(hashes, i, lit(w)))))))
   }
+
+  /**
+   * Corpus-level n-gram statistics: the k most frequent word n-grams
+   * with exact counts (the LM-corpus profile behind contamination
+   * filters and boilerplate lists). Ties are broken lexicographically so
+   * the top-k set is fully deterministic in any engine.
+   *
+   * Scale shape: per-doc n-gram arrays (HOF transform, no UDF) explode
+   * to one row per occurrence, then hash-aggregate WITH map-side partial
+   * combine — the shuffle carries (ngram, partial count), not raw
+   * occurrences, so the hot head of the Zipf curve collapses before the
+   * exchange. The final top-k is a TakeOrderedAndProject (per-partition
+   * heaps + driver merge of k rows), never a global sort of the full
+   * distinct-ngram set.
+   */
+  def topNgrams(docs: DataFrame, text: Column, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val words = split(text, " ")
+    val count_ = size(words) - (n - 1)
+    val grams = when(count_ >= 1,
+      transform(sequence(lit(1), count_), i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /**
+   * Per-document salient terms: the k terms that best characterize each
+   * document, ranked by (document frequency ASC, term frequency DESC,
+   * term ASC) — the TF-IDF ordering expressed with integers only. A
+   * float idf = log(N/df) ranks identically to df ASC for equal tf, but
+   * log() is not bit-portable across engines; this ordering is exact
+   * everywhere, so the result is hash-checkable.
+   *
+   * Scale shape: per-doc term counts aggregate map-side before their
+   * (doc, term) shuffle; the document-frequency table is vocabulary-
+   * sized (tiny vs the corpus — broadcast it when it fits) and joins
+   * back on term; the final top-k per doc is a bounded row_number
+   * window. No stage ever holds more than (doc, term) granularity.
+   *
+   * Output: (id, rank, term, tf, df), rank in 1..k.
+   */
+  def salientTerms(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tf = docs
+      .select(id.as("id"), explode(split(text, " ")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("df").asc, col("tf").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
 }

@@ -240,6 +240,68 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("jsonFieldStats: schema-on-read extraction, garbage stays NULL") {
+    val ev = Seq(
+      ("a", """{"k": 3}"""), ("a", """{"k": 7}"""), ("a", """{"x": 1}"""),
+      ("b", """{"k": "oops"}"""), ("b", "not json at all"), ("b", """{"k": -2}"""))
+      .toDF("event_type", "props")
+    val got = EventOps.jsonFieldStats(ev, $"event_type", $"props", "k")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    assert(got == Set(
+      ("a", 3L, 2L, Some(10L), Some(3L), Some(7L)),
+      ("b", 3L, 1L, Some(-2L), Some(-2L), Some(-2L))))
+  }
+
+  test("latestState keeps one deterministic winner per key, original columns") {
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 10:00:00", "view"),
+      (1L, 11L, "2024-01-01 12:00:00", "click"),    // ts tie with 12
+      (1L, 12L, "2024-01-01 12:00:00", "purchase"), // higher id wins
+      (2L, 20L, "2024-01-01 09:00:00", "signup"))
+      .toDF("user_id", "event_id", "s", "event_type")
+      .withColumn("ts", $"s".cast("timestamp_ntz"))
+    val got = EventOps.latestState(ev, $"user_id", $"ts", $"event_id")
+      .select("user_id", "event_id", "event_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 12L, "purchase"), (2L, 20L, "signup")))
+  }
+
+  test("topNgrams: exact counts, lexicographic tie-break, short docs dropped") {
+    val docs = Seq("a b a b c", "a b x", "z").toDF("text")
+    // bigrams: "a b" x3, "b a" x1, "b c" x1, "b x" x1; "z" has none
+    val got = TextOps.topNgrams(docs, $"text", n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("salientTerms ranks by (df asc, tf desc, term), top-k per doc") {
+    val docs = Seq(
+      (1L, "the the rare rare rare the"), // rare: df 1 tf 3; the: df 2 tf 3
+      (2L, "the odd")).toDF("doc_id", "text")
+    val got = TextOps.salientTerms(docs, $"doc_id", $"text", k = 2)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1, "rare", 3L, 1L), (1L, 2, "the", 3L, 2L),
+      (2L, 1, "odd", 1L, 1L), (2L, 2, "the", 1L, 2L)))
+  }
+
+  test("leakFreeSplit: dup pairs co-assigned, singletons covered, stable") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Curation.leakFreeSplit(docs, $"doc_id", pairs)
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 200 && got.map(_._1).toSet == (1L to 200L).toSet)
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    // whole clusters share one cluster id and one split
+    assert(Set(byId(1L), byId(2L), byId(3L)).size == 1 && byId(1L)._2 == byId(3L)._2)
+    assert(byId(10L) == byId(11L))
+    // singleton is its own cluster
+    assert(byId(40L)._1 == 40L)
+    // all three splits appear over ~197 clusters (hash spread sanity)
+    assert(got.map(_._3).toSet == Set("train", "val", "test"))
+  }
+
   test("sessionization groups events by gap, interval-exact") {
     val rows = Seq(
       (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:20:00"),

@@ -585,9 +585,12 @@ object SparkEntry {
 
     // schema-on-read JSON props: per-event-type stats of props.k — the
     // get_json_object projection runs in the scan stage, so only
-    // (type, long) rows reach the shuffle, never the JSON strings
+    // (type, long) rows reach the shuffle, never the JSON strings.
+    // Deliberately NO fanOut: its round-robin exchange would ship the
+    // raw JSON across the wire, the exact anti-pattern the plan gate
+    // bans (at scale parquet splits provide the parallelism).
     "td_json_props" -> ((s, dir) => {
-      val ev = fanOut(s, s.read.parquet(s"$dir/events.parquet"))
+      val ev = s.read.parquet(s"$dir/events.parquet")
       EventOps.jsonFieldStats(ev, col("event_type"), col("props"), "k")
         .withColumnRenamed("g", "event_type")
     }),
@@ -1260,16 +1263,19 @@ object SparkEntry {
 
     "td_funnel" ->
       """WITH s AS (SELECT user_id,
-        |             string_agg(substr(event_type, 1, 1), '' ORDER BY ts) AS seq
+        |             string_agg(CASE event_type WHEN 'view' THEN 'a'
+        |                          WHEN 'click' THEN 'b'
+        |                          WHEN 'purchase' THEN 'c'
+        |                          ELSE '-' END, '' ORDER BY ts) AS seq
         |           FROM events GROUP BY 1)
         |SELECT 1 AS step, 'view' AS step_name,
-        |       sum(CASE WHEN regexp_matches(seq, 'v') THEN 1 ELSE 0 END) AS n_users FROM s
+        |       sum(CASE WHEN regexp_matches(seq, 'a') THEN 1 ELSE 0 END) AS n_users FROM s
         |UNION ALL
         |SELECT 2, 'view>click',
-        |       sum(CASE WHEN regexp_matches(seq, 'v.*c') THEN 1 ELSE 0 END) FROM s
+        |       sum(CASE WHEN regexp_matches(seq, 'a.*b') THEN 1 ELSE 0 END) FROM s
         |UNION ALL
         |SELECT 3, 'view>click>purchase',
-        |       sum(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END) FROM s""".stripMargin,
+        |       sum(CASE WHEN regexp_matches(seq, 'a.*b.*c') THEN 1 ELSE 0 END) FROM s""".stripMargin,
 
     "td_json_props" ->
       """SELECT event_type,

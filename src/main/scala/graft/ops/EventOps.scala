@@ -54,10 +54,14 @@ object EventOps {
 
   /**
    * FUNNEL analysis: how many users performed the given event-type steps
-   * IN ORDER (with any events in between). Each user's event-type
-   * sequence (one char per event, ordered by ts) is reduced to a string
-   * and each funnel prefix becomes an ordered-subsequence regex — exact,
-   * engine-portable, and one aggregation pass for every step at once.
+   * IN ORDER (with any events in between). Each step's EXACT event type
+   * is encoded as one assigned letter ('a', 'b', ...; every other event
+   * becomes '-'), each user's encoded sequence (ordered by ts) is
+   * reduced to a string, and each funnel prefix becomes an
+   * ordered-subsequence regex — exact, engine-portable, and one
+   * aggregation pass for every step at once. Matching on the full type
+   * (not an initial) means an unrelated "view_ad" event can never
+   * satisfy a "view" step.
    *
    * Scale shape: one shuffle keyed on user_id; the per-user sequence is
    * bounded by events-per-user (array_sort of a collected struct list —
@@ -67,16 +71,20 @@ object EventOps {
    */
   def funnel(events: DataFrame, user: Column, ts: Column, eventType: Column,
              steps: Seq[String]): DataFrame = {
-    require(steps.nonEmpty && steps.map(_.head).distinct.size == steps.size,
-      "steps must have distinct initials (the sequence alphabet)")
+    require(steps.nonEmpty && steps.distinct.size == steps.size && steps.size <= 26,
+      "steps must be distinct event types (at most 26)")
+    def letter(i: Int): String = ('a' + i).toChar.toString
+    val enc = steps.zipWithIndex.tail
+      .foldLeft(when(eventType === steps.head, lit(letter(0)))) {
+        case (acc, (st, i)) => acc.when(eventType === st, lit(letter(i)))
+      }.otherwise(lit("-"))
     val perUser = events
-      .select(user.as("user_id"), struct(ts.as("ts"),
-        substring(eventType, 1, 1).as("init")).as("e"))
+      .select(user.as("user_id"), struct(ts.as("ts"), enc.as("init")).as("e"))
       .groupBy("user_id")
       .agg(concat_ws("", transform(array_sort(collect_list(col("e"))),
         s => s.getField("init"))).as("seq"))
     val counts = steps.indices.map { i =>
-      val pat = steps.take(i + 1).map(_.head).mkString(".*")
+      val pat = (0 to i).map(letter).mkString(".*")
       sum(when(col("seq").rlike(pat), 1L).otherwise(0L)).as(s"n$i")
     }
     val agg = perUser.agg(counts.head, counts.tail: _*)

@@ -115,6 +115,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucketed subject self-join still shuffles:\n${plan.take(1200)}")
   }
 
+  test("latest-state compaction plans a per-key top-1, not a full sort") {
+    // row_number + filter(=1) must plan as WindowGroupLimit (rank limit
+    // pushed below the window sort) so per-key state is O(1), and the
+    // scan must not read the JSON props column it never uses.
+    val plan = SparkEntry.queries("td_latest_state")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("props")),
+      s"latest_state reads props: $schemas")
+  }
+
+  test("JSON props stats shuffle (group, long) rows, never the JSON strings") {
+    // the get_json_object projection and partial aggregation must both
+    // sit below the exchange: the only Exchange input is the hash-agg
+    // over (event_type, extracted long), 2-column scan.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false") // expose raw Exchanges
+    val plan = SparkEntry.queries("td_json_props")(s2, dir)
+      .queryExecution.executedPlan
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan.toString).map(_.group(1)).toList
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      s.contains("event_type") && s.contains("props") && s.split(",").length == 2),
+      s"json_props unpruned scan: $schemas")
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.name == "props"),
+        s"JSON column crosses the shuffle: ${e.child.output.map(_.name)}")
+    }
+  }
+
   test("resume anti-join broadcasts the manifest side") {
     val plan = SparkEntry.queries("kg_resume_antijoin")(spark, dir)
       .queryExecution.executedPlan.toString

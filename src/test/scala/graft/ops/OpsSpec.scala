@@ -230,13 +230,15 @@ class OpsSpec extends AnyFunSuite {
       (1L, "2024-01-01 10:02:00", "purchase"),
       (2L, "2024-01-01 10:00:00", "click"), (2L, "2024-01-01 10:01:00", "view"),
       (3L, "2024-01-01 10:00:00", "view"), (3L, "2024-01-01 10:30:00", "error"),
-      (3L, "2024-01-01 11:00:00", "click"))
+      (3L, "2024-01-01 11:00:00", "click"),
+      (4L, "2024-01-01 10:00:00", "view_ad"), (4L, "2024-01-01 10:01:00", "click"))
       .toDF("user_id", "s", "event_type").withColumn("ts", $"s".cast("timestamp_ntz"))
     val got = EventOps.funnel(ev, $"user_id", $"ts", $"event_type",
         Seq("view", "click", "purchase"))
       .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
     // u1 completes all 3; u2's click precedes its view (step 1 only);
-    // u3 reaches view>click with an unrelated event in between
+    // u3 reaches view>click with an unrelated event in between; u4's
+    // "view_ad" must NOT satisfy the "view" step (exact-type match)
     assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
   }
 

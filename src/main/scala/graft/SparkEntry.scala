@@ -79,6 +79,34 @@ object SparkEntry {
         .select(col("subj.value").as("subj"), col("pred"), col("obj.value").as("obj"))
     }),
 
+    // A2 (transparent gzip) through the driver gate: the nation corpus is
+    // written to one REAL .nt.gz (test scaffolding — a metadata-sized
+    // collect, like the PNG synthesis in td_multimodal) and parsed back
+    // through the codec-decompressing file source. Oracle = kg_parse_nation.
+    "kg_parse_gzip" -> ((s, dir) => {
+      val rows = nationCorpus(s, dir).collect().sortBy(_.path)
+      val d = new java.io.File("/tmp/graft_gzip_src"); d.mkdirs()
+      val f = new java.io.File(d, "nation.nt.gz")
+      val out = new java.io.OutputStreamWriter(
+        new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f)), "UTF-8")
+      try rows.foreach { r => out.write(r.content); out.write("\n") }
+      finally out.close()
+      parsedTriples(NtFileSource.documents(s, f.getAbsolutePath))
+        .select(col("subj.value").as("subj"), col("pred"), col("obj.value").as("obj"))
+    }),
+
+    // E6 (skew salting) through the driver gate: saltedRepartition must
+    // be value-INVARIANT — per-subject edge counts after the salted
+    // exchange equal the plain relational aggregate (partition balance
+    // itself is spec-asserted; this proves no row is lost or duplicated)
+    "kg_salted_edges" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(nationCorpus(s, dir)))))
+      Materialize.saltedRepartition(e, col("subj_id"),
+        saltFrom = Seq(col("repo"), col("path"), col("commit"), col("line")),
+        salts = 16, numPartitions = s.sessionState.conf.numShufflePartitions)
+        .groupBy("subj_id").agg(count(lit(1)).as("n_edges"))
+    }),
+
     // B25/C3/C5: error rows with exact reference-format messages
     "kg_parse_errors" -> ((s, dir) => {
       val corpus = inlineCorpus(s, Seq(
@@ -787,6 +815,19 @@ object SparkEntry {
       s"""${nationTripleSql("n_name", "n_name")}
          |UNION ALL
          |${nationTripleSql("n_regionkey", "n_regionkey")}""".stripMargin,
+
+    // identical expected triples — the gzip round-trip must be lossless
+    "kg_parse_gzip" ->
+      s"""${nationTripleSql("n_name", "n_name")}
+         |UNION ALL
+         |${nationTripleSql("n_regionkey", "n_regionkey")}""".stripMargin,
+
+    // two edges per nation row (n_name + n_regionkey), salted exchange
+    // must preserve exactly that
+    "kg_salted_edges" ->
+      """SELECT sha256('<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '>') AS subj_id,
+        |       2 AS n_edges
+        |FROM nation""".stripMargin,
 
     "kg_parse_documents" ->
       """SELECT 'urn:g:documents:' || CAST(doc_id AS VARCHAR) AS subj, 'urn:col:documents:text' AS pred, text AS obj FROM documents

@@ -1321,10 +1321,10 @@ object SparkEntry {
     "td_json_props" ->
       """SELECT event_type,
         |       count(*) AS n_events,
-        |       count(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS n_valid,
-        |       sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-        |       min(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |       max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |       count(try_cast(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS n_valid,
+        |       sum(try_cast(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS sum_k,
+        |       min(try_cast(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS min_k,
+        |       max(try_cast(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
 
     "td_latest_state" ->

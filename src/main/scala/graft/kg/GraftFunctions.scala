@@ -17,5 +17,12 @@ object GraftFunctions {
       "parse_nt", exprs => ParseNtLines(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "canon_iri", exprs => CanonicalizeIri(exprs(0)), "scala_udf")
+    def toDouble(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => graft.ops.VecDot(toDouble(exprs(0)), toDouble(exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cosine", exprs => graft.ops.VecCosine(toDouble(exprs(0)), toDouble(exprs(1))), "scala_udf")
   }
 }

@@ -6,8 +6,11 @@ import org.apache.spark.sql.expressions.Window
 
 /**
  * Approximate-nearest-neighbor search over an embedding column
- * (`array<float>`), pure DataFrame ops (zip_with/aggregate are codegen'd
- * higher-order functions — no UDF serde).
+ * (`array<float>`). Scoring runs on native fused Catalyst expressions
+ * (VecExpressions — Spark's zip_with/aggregate HOFs are CodegenFallback,
+ * i.e. interpreted, contrary to what this header once claimed); bucket
+ * and signature construction stay pure DataFrame ops — no UDF serde
+ * anywhere.
  *
  * Two paths:
  *  - `bruteForceTopK`: exact cosine top-k via a broadcast join of the
@@ -35,13 +38,33 @@ object Similarity {
   /** array<float> -> array<double> (promote BEFORE any arithmetic). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  import org.apache.spark.sql.graftshim.ColumnShim.{column => toCol, expression => toExpr}
+
+  // the cast is a no-op when the input is already array<double> (the
+  // optimizer removes it), and promotes array<float> callers safely
+  private def d(c: Column): Column = c.cast("array<double>")
+
+  /** a·b — native fused kernel (see VecExpressions for why not a HOF). */
+  def dot(a: Column, b: Column): Column = toCol(VecDot(toExpr(d(a)), toExpr(d(b))))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine of two double arrays: dot/(|a|*|b|). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /**
+   * Cosine of two double arrays: dot/(|a|*|b|), fused into ONE
+   * codegen'd pass (the HOF form evaluated three interpreted folds with
+   * an intermediate array each). Bit-identical to `cosineHof` — same
+   * sequential fold order, same IEEE ops — so every oracle holds.
+   */
+  def cosine(a: Column, b: Column): Column = toCol(VecCosine(toExpr(d(a)), toExpr(d(b))))
+
+  /** The HOF formulations the kernels replaced; retained as the
+    * differential baseline (OpsSpec asserts bit-equality on real data). */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
+  def sqDistHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
 
   /**
    * Exact top-k neighbors for each query vector. `queries` must be small
@@ -122,9 +145,9 @@ object Similarity {
     embs.select(id.as("id"), amax.as("amax"), q.as("q"))
   }
 
-  /** Squared L2 distance of two double arrays (left fold, engine-stable). */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+  /** Squared L2 distance of two double arrays (left fold, engine-stable;
+    * native fused kernel, bit-identical to `sqDistHof`). */
+  def sqDist(a: Column, b: Column): Column = toCol(VecL2Sq(toExpr(d(a)), toExpr(d(b))))
 
   /**
    * IVF coarse-quantizer cell id: argmin over `centroids` of squared L2,

@@ -277,6 +277,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("native vector kernels are bit-identical to the HOF folds they replaced") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+    val pairs = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .limit(2000).select($"a.v".as("va"), $"b.v".as("vb"))
+    val diff = pairs.select(
+      (Similarity.dot($"va", $"vb") === Similarity.dotHof($"va", $"vb")).as("d"),
+      (Similarity.cosine($"va", $"vb") === Similarity.cosineHof($"va", $"vb")).as("c"),
+      (Similarity.sqDist($"va", $"vb") === Similarity.sqDistHof($"va", $"vb")).as("s"))
+      .agg(sum(when(!$"d" || !$"c" || !$"s", 1).otherwise(0)).as("n_mismatch"))
+      .as[Long].head()
+    assert(diff == 0L)
+    // null/mismatch semantics mirror the HOF folds
+    val edge = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      (Seq(1.0, 2.0), Seq(3.0))).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b").as("d"))
+      .as[Option[Double]].collect().toSeq
+    assert(edge == Seq(Some(11.0), None))
+    // SQL surface + implicit float->double cast
+    graft.kg.GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(4).createOrReplaceTempView("vk_embs")
+    val sql = spark.sql(
+      "SELECT vec_cosine(embedding, embedding) c FROM vk_embs").as[Double].collect()
+    assert(sql.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
   test("salientTerms ranks by (df asc, tf desc, term), top-k per doc") {
     val docs = Seq(
       (1L, "the the rare rare rare the"), // rare: df 1 tf 3; the: df 2 tf 3

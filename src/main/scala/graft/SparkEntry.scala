@@ -639,6 +639,11 @@ object SparkEntry {
     "td_ngram_topk" -> ((s, dir) =>
       TextOps.topNgrams(docs(s, dir), col("text"), n = 2, k = 50)),
 
+    // collocation extraction: PMI-ordered adjacent pairs via the
+    // integer-scaled rational score (log-free, hash-checkable)
+    "td_collocations" -> ((s, dir) =>
+      TextOps.collocations(docs(s, dir), col("text"), minPair = 5, k = 20)),
+
     // per-document salient terms: integer TF-IDF ordering
     // (df ASC, tf DESC, term) — exact, hash-checkable, no float log
     "td_salient_terms" -> ((s, dir) =>
@@ -1342,6 +1347,23 @@ object SparkEntry {
         |      WHERE len(w) >= 2)
         |SELECT ngram, count(*) AS n FROM g GROUP BY 1
         |ORDER BY n DESC, ngram LIMIT 50""".stripMargin,
+
+    "td_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') w FROM documents),
+        |uni AS (SELECT t.term, count(*) c FROM d, unnest(d.w) t(term) GROUP BY 1),
+        |n AS (SELECT sum(c) AS total FROM uni),
+        |bi AS (SELECT w[i] a, w[i+1] b, count(*) cab
+        |       FROM d, unnest(generate_series(1, len(w) - 1)) t(i)
+        |       WHERE len(w) >= 2 GROUP BY 1, 2),
+        |s AS (SELECT bi.a || ' ' || bi.b AS bigram, bi.cab,
+        |        (bi.cab * n.total * 1000) // (ca.c * cb.c) AS score_milli
+        |      FROM bi
+        |      CROSS JOIN n
+        |      JOIN uni ca ON ca.term = bi.a
+        |      JOIN uni cb ON cb.term = bi.b
+        |      WHERE bi.cab >= 5)
+        |SELECT bigram, cab AS n_pair, score_milli FROM s
+        |ORDER BY score_milli DESC, bigram LIMIT 20""".stripMargin,
 
     "td_salient_terms" ->
       """WITH tok AS (SELECT doc_id, t.term, count(*) AS tf

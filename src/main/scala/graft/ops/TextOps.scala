@@ -122,6 +122,51 @@ object TextOps {
   }
 
   /**
+   * Collocation (phrase) extraction: adjacent word pairs ranked by a
+   * PMI-style association score — how much more often the pair occurs
+   * than its parts predict. The float log-PMI ordering is replaced by
+   * the integer-scaled rational score_milli = (c_ab * N * 1000) DIV
+   * (c_a * c_b), which orders identically to pointwise mutual
+   * information (log is monotone) and is bit-portable across engines.
+   * The standard phrase-mining step before tokenizer/vocab induction.
+   *
+   * Scale shape: bigram and unigram counts aggregate with map-side
+   * combine; the join against the unigram table is vocabulary-sized
+   * (broadcast when it fits); the corpus-total join is one row. Top-k
+   * is a TakeOrderedAndProject. minPair prunes the heavy bigram tail
+   * BEFORE the joins.
+   *
+   * Output: (bigram, n_pair, score_milli), top-k by (score DESC, bigram).
+   */
+  def collocations(docs: DataFrame, text: Column, minPair: Int, k: Int): DataFrame = {
+    val words = split(text, " ")
+    val bigramStructs = when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => struct(element_at(words, i).as("a"), element_at(words, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val pairs = docs.select(explode(bigramStructs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minPair)
+    val uni = docs.select(explode(words).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    // the corpus-total scalar attaches via a single-row broadcast cross
+    // join — the ONE shape where a broadcast nested loop is exactly
+    // right at any scale (the grand-total aggregate is ≤ 1 row by
+    // construction; a constant-key equi-join folds back to this anyway)
+    val total = uni.agg(sum(col("c")).as("total"))
+    pairs
+      .join(uni.select(col("term").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("term").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+        col("cab").as("n_pair"),
+        expr("(cab * total * 1000) DIV (ca * cb)").as("score_milli"))
+      .orderBy(col("score_milli").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /**
    * Per-document salient terms: the k terms that best characterize each
    * document, ranked by (document frequency ASC, term frequency DESC,
    * term ASC) — the TF-IDF ordering expressed with integers only. A

@@ -16,7 +16,10 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // td_ann_topk is the documented EXACT baseline: a broadcast nested-loop
   // of a tiny query set against the corpus is its intended shape.
-  private val allPairsAllowed = Set("td_ann_topk")
+  // td_collocations attaches the grand-total scalar (a no-grouping
+  // aggregate, <= 1 row by construction) via a single-row broadcast
+  // cross join — bounded at any scale, not an all-pairs risk.
+  private val allPairsAllowed = Set("td_ann_topk", "td_collocations")
 
   test("no driver query plans a cartesian / broadcast nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>

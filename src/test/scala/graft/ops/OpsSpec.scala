@@ -242,6 +242,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("funnel matches a naive per-user subsequence oracle (randomized)") {
+    val rnd = new scala.util.Random(42)
+    val types = Vector("view", "click", "purchase", "error", "signup", "view_ad")
+    val events = for (u <- 1 to 60; i <- 1 to rnd.nextInt(12) + 1) yield
+      (u.toLong, f"2024-01-01 $i%02d:00:00", types(rnd.nextInt(types.size)))
+    val steps = Seq("view", "click", "purchase")
+    def isSubseq(seq: Seq[String], pat: Seq[String]): Boolean = {
+      var j = 0
+      for (t <- seq if j < pat.length) if (t == pat(j)) j += 1
+      j == pat.length
+    }
+    val byUser = events.groupBy(_._1).map { case (_, es) => es.sortBy(_._2).map(_._3) }
+    val expected = steps.indices.map(i =>
+      (i + 1) -> byUser.count(s => isSubseq(s.toSeq, steps.take(i + 1))).toLong).toMap
+    val df = events.toDF("user_id", "s", "event_type")
+      .withColumn("ts", $"s".cast("timestamp_ntz"))
+    val got = EventOps.funnel(df, $"user_id", $"ts", $"event_type", steps)
+      .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == expected)
+  }
+
+  test("collocations: integer PMI ordering, hand-checked") {
+    val docs = (Seq.fill(3)("new york") ++ Seq("the cat", "the dog", "the cow"))
+      .toDF("text")
+    // tokens: new 3, york 3, the 3, cat/dog/cow 1 each; N = 12
+    // pairs: (new,york) 3, (the,*) 1 each -> only (new,york) survives minPair=2
+    // score = 3 * 12 * 1000 DIV (3 * 3) = 4000
+    val got = TextOps.collocations(docs, $"text", minPair = 2, k = 5)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("new york", 3L, 4000L)))
+  }
+
   test("jsonFieldStats: schema-on-read extraction, garbage stays NULL") {
     val ev = Seq(
       ("a", """{"k": 3}"""), ("a", """{"k": 7}"""), ("a", """{"x": 1}"""),

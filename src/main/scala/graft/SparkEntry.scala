@@ -85,8 +85,12 @@ object SparkEntry {
     // through the codec-decompressing file source. Oracle = kg_parse_nation.
     "kg_parse_gzip" -> ((s, dir) => {
       val rows = nationCorpus(s, dir).collect().sortBy(_.path)
-      val d = new java.io.File("/tmp/graft_gzip_src"); d.mkdirs()
+      // per-run temp dir: a fixed shared path would let two concurrent
+      // runs (e.g. Verify + a test suite) interleave writes into one file
+      val d = java.nio.file.Files.createTempDirectory("graft_gzip_src").toFile
+      d.deleteOnExit()
       val f = new java.io.File(d, "nation.nt.gz")
+      f.deleteOnExit()
       val out = new java.io.OutputStreamWriter(
         new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f)), "UTF-8")
       try rows.foreach { r => out.write(r.content); out.write("\n") }
@@ -1308,12 +1312,15 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "td_funnel" ->
-      """WITH s AS (SELECT user_id,
-        |             string_agg(CASE event_type WHEN 'view' THEN 'a'
-        |                          WHEN 'click' THEN 'b'
-        |                          WHEN 'purchase' THEN 'c'
-        |                          ELSE '-' END, '' ORDER BY ts) AS seq
-        |           FROM events GROUP BY 1)
+      """WITH e AS (SELECT user_id, ts,
+        |             CASE event_type WHEN 'view' THEN 'a'
+        |               WHEN 'click' THEN 'b'
+        |               WHEN 'purchase' THEN 'c'
+        |               ELSE '-' END AS l
+        |           FROM events),
+        |s AS (SELECT user_id,
+        |        string_agg(l, '' ORDER BY ts, l) AS seq
+        |      FROM e GROUP BY 1)
         |SELECT 1 AS step, 'view' AS step_name,
         |       sum(CASE WHEN regexp_matches(seq, 'a') THEN 1 ELSE 0 END) AS n_users FROM s
         |UNION ALL

@@ -233,11 +233,17 @@ object Curation {
                     trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       "need train + val < 100 with a nonempty test remainder")
-    val clusters = graft.kg.GraphOps.connectedComponents(pairs, "a", "b", maxIter = 8)
-      .withColumnRenamed("node_id", "id")
-    val pct = conv(substring(sha2(
-      concat(lit("split:"), col("cluster").cast("string")), 256), 1, 15), 16, 10)
-      .cast("long") % 100
+    // convergence is REQUIRED: partially-contracted clusters would put
+    // two near-dup docs in different splits — the exact leak this
+    // function exists to prevent — so a warn-and-continue is not enough
+    val (cc, converged) =
+      graft.kg.GraphOps.connectedComponentsWithStatus(pairs, "a", "b")
+    require(converged,
+      "leakFreeSplit: connected components did not converge; refusing to " +
+        "emit a split that could leak near-duplicates across train/eval")
+    val clusters = cc.withColumnRenamed("node_id", "id")
+    val pct = Dedup.hash64(
+      concat(lit("split:"), col("cluster").cast("string"))) % 100
     docs.select(id.as("id"))
       .join(clusters, Seq("id"), "left")
       .withColumn("cluster", coalesce(col("component"), col("id")))

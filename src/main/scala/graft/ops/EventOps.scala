@@ -65,9 +65,11 @@ object EventOps {
    *
    * Scale shape: one shuffle keyed on user_id; the per-user sequence is
    * bounded by events-per-user (array_sort of a collected struct list —
-   * collect_list order is nondeterministic, the sort by unique ts makes
-   * the sequence exact). Output: (step, step_name, n_users), step i
-   * counting users who completed the first i funnel stages.
+   * collect_list order is nondeterministic; the sort is by (ts, letter),
+   * so same-timestamp ties deterministically order earlier funnel steps
+   * first — the generous reading: a view and a click in the same instant
+   * count as view-then-click). Output: (step, step_name, n_users), step
+   * i counting users who completed the first i funnel stages.
    */
   def funnel(events: DataFrame, user: Column, ts: Column, eventType: Column,
              steps: Seq[String]): DataFrame = {
@@ -176,11 +178,13 @@ object EventOps {
    */
   def latestState(events: DataFrame, key: Column, ts: Column,
                   tieBreak: Column): DataFrame = {
-    val w = Window.partitionBy("__k").orderBy(col("__ts").desc, col("__tb").desc)
-    events.withColumn("__k", key).withColumn("__ts", ts)
-      .withColumn("__tb", tieBreak)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__k", "__ts", "__tb", "__rn")
+    val w = Window.partitionBy(key).orderBy(ts.desc, tieBreak.desc)
+    // one temp column is unavoidable (window functions can't sit in a
+    // filter); pick a name the caller's frame provably doesn't use
+    val rn = Iterator.from(0).map(i => s"__graft_rn$i")
+      .find(n => !events.columns.contains(n)).get
+    events.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 }

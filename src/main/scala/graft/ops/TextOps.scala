@@ -161,7 +161,13 @@ object TextOps {
       .crossJoin(broadcast(total))
       .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
         col("cab").as("n_pair"),
-        expr("(cab * total * 1000) DIV (ca * cb)").as("score_milli"))
+        // the numerator is computed in DECIMAL(38,0): at web scale
+        // cab * N * 1000 exceeds Long (N ~ 1e10 tokens, cab ~ 1e6 ->
+        // ~1e19), which would throw under ANSI mode / wrap without it.
+        // DuckDB's sum() already yields HUGEINT, so the oracle mirror
+        // is exact without changes; the quotient fits BIGINT.
+        expr("(CAST(cab AS DECIMAL(38,0)) * total * 1000) DIV (ca * cb)")
+          .as("score_milli"))
       .orderBy(col("score_milli").desc, col("bigram"))
       .limit(k)
   }

@@ -583,6 +583,38 @@ object SparkEntry {
         col("event_type"), col("n"))
     }),
 
+    // watermarked APPEND-mode streaming windows — the production shape
+    // (complete mode can't scale: it re-emits all state every batch).
+    // A window row is emitted exactly when the watermark (max event time
+    // minus 10 min) passes its end, so the emitted set is deterministic:
+    // windows with end <= max(ts) - 10min — precisely what the oracle
+    // computes relationally. Trailing windows still open at stream end
+    // stay unemitted BY DESIGN; that is watermark semantics, not loss.
+    // Watermarks REQUIRE instant-typed timestamps (Spark rejects
+    // timestamp_ntz), so the naive value is recovered via ntz first and
+    // then pinned to an instant under the harness's UTC session — for
+    // whole-hour-offset sessions the rendered naive results are
+    // identical; the batch queries stay ntz-pure.
+    "td_stream_watermark" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_wm").toString
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+        .select(col("ts").cast("timestamp_ntz").cast("timestamp").as("ts"),
+          col("event_type"))
+      ev0.write.mode("overwrite").parquet(s"$base/src")
+      val stream = s.readStream.schema(ev0.schema).parquet(s"$base/src")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = stream.writeStream.format("memory").queryName("graft_stream_wm")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_wm").select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:00").as("w"),
+        col("event_type"), col("n"))
+    }),
+
     // event-time sessionization (12h gap) over the events table; interval
     // arithmetic on timestamp_ntz — session-timezone-independent
     "td_sessionize" -> ((s, dir) => {
@@ -1310,6 +1342,16 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS w, event_type,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // append emits a window when the watermark (max ts - 10 min over the
+    // whole replay) passes its END — the relational mirror below
+    "td_stream_watermark" ->
+      """WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS w,
+        |       event_type, count(*) AS n
+        |FROM events, m
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m.wm
+        |GROUP BY 1, 2""".stripMargin,
 
     "td_funnel" ->
       """WITH e AS (SELECT user_id, ts,

@@ -680,6 +680,15 @@ object SparkEntry {
     "td_collocations" -> ((s, dir) =>
       TextOps.collocations(docs(s, dir), col("text"), minPair = 5, k = 20)),
 
+    // inverted index over 3-gram shingles with df in [2, 20] — the
+    // decontamination-lookup structure; df-filter BEFORE collecting
+    // postings, so per-shingle state is bounded at any scale
+    "td_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndexFromTokens(
+        Dedup.wordShingles(docs(s, dir), col("doc_id"), col("text"), 3)
+          .withColumnRenamed("shingle", "term"),
+        minDf = 2, maxDf = 20)),
+
     // per-document salient terms: integer TF-IDF ordering
     // (df ASC, tf DESC, term) — exact, hash-checkable, no float log
     "td_salient_terms" -> ((s, dir) =>
@@ -1396,6 +1405,17 @@ object SparkEntry {
         |      WHERE len(w) >= 2)
         |SELECT ngram, count(*) AS n FROM g GROUP BY 1
         |ORDER BY n DESC, ngram LIMIT 50""".stripMargin,
+
+    "td_inverted_index" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term
+        |        FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
+        |rare AS (SELECT term, count(*) df FROM tok GROUP BY 1
+        |         HAVING count(*) BETWEEN 2 AND 20)
+        |SELECT r.term, r.df,
+        |       string_agg(tok.doc_id, ',' ORDER BY tok.doc_id) AS postings
+        |FROM rare r JOIN tok ON tok.term = r.term
+        |GROUP BY 1, 2""".stripMargin,
 
     "td_collocations" ->
       """WITH d AS (SELECT string_split(text, ' ') w FROM documents),

@@ -122,6 +122,37 @@ object TextOps {
   }
 
   /**
+   * Inverted-index builder for rare terms: term -> (document frequency,
+   * ordered posting list) for terms whose df lies in [minDf, maxDf] —
+   * the retrieval/contamination-lookup side table of a corpus.
+   *
+   * Scale shape: the df table is computed FIRST and filtered, and only
+   * postings of surviving terms are shuffled and collected — so
+   * aggregation state per term is bounded by maxDf (a stopword like
+   * "the" never reaches collect_list; its postings would be corpus-sized
+   * otherwise). The rare-term join is vocabulary-sized (broadcast when
+   * it fits). Postings are sorted, so output is deterministic.
+   *
+   * Output: (term, df, postings) with postings = comma-joined sorted ids.
+   */
+  def invertedIndex(docs: DataFrame, id: Column, text: Column,
+                    minDf: Int, maxDf: Int): DataFrame =
+    invertedIndexFromTokens(
+      docs.select(id.as("id"), explode(split(text, " ")).as("term")).distinct(),
+      minDf, maxDf)
+
+  /** As `invertedIndex` over a pre-tokenized DISTINCT (id, term) frame —
+    * e.g. n-gram shingles (Dedup.wordShingles), the unit real
+    * decontamination indexes use. */
+  def invertedIndexFromTokens(tok: DataFrame, minDf: Int, maxDf: Int): DataFrame = {
+    val rare = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    tok.join(rare, Seq("term"))
+      .groupBy("term", "df")
+      .agg(concat_ws(",", sort_array(collect_list(col("id")))).as("postings"))
+  }
+
+  /**
    * Collocation (phrase) extraction: adjacent word pairs ranked by a
    * PMI-style association score — how much more often the pair occurs
    * than its parts predict. The float log-PMI ordering is replaced by

@@ -263,6 +263,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("invertedIndex: df-bounded postings, sorted, stopwords excluded") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog ran"),
+      (4L, "the fox")).toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(docs, $"doc_id", $"text", minDf = 2, maxDf = 3)
+      .as[(String, Long, String)].collect().toSet
+    // "the" (df 4) exceeds maxDf; "sat"/"dog"/"fox" (df 1) below minDf
+    assert(got == Set(("cat", 2L, "1,2"), ("ran", 2L, "2,3")))
+  }
+
   test("collocations: integer PMI ordering, hand-checked") {
     val docs = (Seq.fill(3)("new york") ++ Seq("the cat", "the dog", "the cow"))
       .toDF("text")

@@ -615,6 +615,43 @@ object SparkEntry {
         col("event_type"), col("n"))
     }),
 
+    // watermarked STREAM-STREAM interval join: each purchase picks up the
+    // same user's view events from the preceding hour. Both sides carry
+    // watermarks and the event-time range condition, so join state is
+    // bounded (views older than the watermark minus the interval are
+    // evicted) — the production attribution-join shape. Inner join: the
+    // emitted pair set equals the relational join, which is the oracle.
+    "td_stream_join" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_j").toString
+      val ev0 = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").cast("timestamp").as("ts"),
+          col("event_type"))
+      // ONE source file -> one micro-batch: within a single batch no row
+      // is late relative to the other side's watermark, so the inner
+      // join's emitted set is exactly the relational join (multi-batch
+      // replays of unordered files could legitimately drop late rows —
+      // that's production watermark semantics, not what this gate pins)
+      ev0.coalesce(1).write.mode("overwrite").parquet(s"$base/src")
+      def side(t: String, prefix: String) =
+        s.readStream.schema(ev0.schema).parquet(s"$base/src")
+          .filter(col("event_type") === t)
+          .select(col("event_id").as(s"${prefix}_id"),
+            col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "10 minutes")
+      val joined = side("purchase", "p").join(side("view", "v"),
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      val q = joined.writeStream.format("memory").queryName("graft_stream_j")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_j").select(col("p_id"), col("v_id"))
+    }),
+
     // event-time sessionization (12h gap) over the events table; interval
     // arithmetic on timestamp_ntz — session-timezone-independent
     "td_sessionize" -> ((s, dir) => {
@@ -1351,6 +1388,16 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS w, event_type,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // a watermarked inner stream-stream join emits exactly the
+    // relational join pairs (watermarks bound STATE, and nothing is
+    // late within one ordered replay)
+    "td_stream_join" ->
+      """SELECT p.event_id AS p_id, v.event_id AS v_id
+        |FROM events p
+        |JOIN events v ON v.user_id = p.user_id
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin,
 
     // append emits a window when the watermark (max ts - 10 min over the
     // whole replay) passes its END — the relational mirror below

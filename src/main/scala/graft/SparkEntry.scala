@@ -53,6 +53,29 @@ object SparkEntry {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /**
+   * Shared streaming-replay scaffold for the event-stream gates: write
+   * `src` as ONE parquet file — a single micro-batch, because replaying
+   * unordered multi-file sources in several batches makes genuinely-old
+   * rows late against watermarks advanced by earlier batches (correct
+   * production watermark semantics, but NOT the deterministic
+   * batch-equivalence these oracles pin) — run `build` on the file
+   * stream into a memory sink with AvailableNow, return the sink table.
+   * (kg_stream_parity / kg_stream_dedup intentionally keep their own
+   * scaffold: they exercise the parquet sink + checkpoint path.)
+   */
+  private def replayToTable(s: SparkSession, src: DataFrame, name: String,
+                            mode: String)(build: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    src.coalesce(1).write.mode("overwrite").parquet(s"$base/src")
+    val stream = s.readStream.schema(src.schema).parquet(s"$base/src")
+    build(stream).writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.table(name)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     fanOut(s, s.read.parquet(s"$dir/documents.parquet"))
 
@@ -565,22 +588,13 @@ object SparkEntry {
     // window boundaries session-timezone-independent, like
     // td_event_windows.
     "td_stream_event_windows" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_ev").toString
       val ev0 = s.read.parquet(s"$dir/events.parquet")
         .select(col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
-      ev0.write.mode("overwrite").parquet(s"$base/src")
-      val stream = s.readStream.schema(ev0.schema).parquet(s"$base/src")
-      val agg = stream
-        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val q = agg.writeStream.format("memory").queryName("graft_stream_event_windows")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("graft_stream_event_windows").select(
-        date_format(col("win.start"), "yyyy-MM-dd HH:00").as("w"),
-        col("event_type"), col("n"))
+      replayToTable(s, ev0, "graft_stream_event_windows", "complete")(
+        _.groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n")))
+        .select(date_format(col("win.start"), "yyyy-MM-dd HH:00").as("w"),
+          col("event_type"), col("n"))
     }),
 
     // watermarked APPEND-mode streaming windows — the production shape
@@ -596,23 +610,15 @@ object SparkEntry {
     // whole-hour-offset sessions the rendered naive results are
     // identical; the batch queries stay ntz-pure.
     "td_stream_watermark" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_wm").toString
       val ev0 = s.read.parquet(s"$dir/events.parquet")
         .select(col("ts").cast("timestamp_ntz").cast("timestamp").as("ts"),
           col("event_type"))
-      ev0.write.mode("overwrite").parquet(s"$base/src")
-      val stream = s.readStream.schema(ev0.schema).parquet(s"$base/src")
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val q = stream.writeStream.format("memory").queryName("graft_stream_wm")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("graft_stream_wm").select(
-        date_format(col("win.start"), "yyyy-MM-dd HH:00").as("w"),
-        col("event_type"), col("n"))
+      replayToTable(s, ev0, "graft_stream_wm", "append")(
+        _.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n")))
+        .select(date_format(col("win.start"), "yyyy-MM-dd HH:00").as("w"),
+          col("event_type"), col("n"))
     }),
 
     // watermarked STREAM-STREAM interval join: each purchase picks up the
@@ -622,34 +628,22 @@ object SparkEntry {
     // evicted) — the production attribution-join shape. Inner join: the
     // emitted pair set equals the relational join, which is the oracle.
     "td_stream_join" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_j").toString
       val ev0 = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"),
           col("ts").cast("timestamp_ntz").cast("timestamp").as("ts"),
           col("event_type"))
-      // ONE source file -> one micro-batch: within a single batch no row
-      // is late relative to the other side's watermark, so the inner
-      // join's emitted set is exactly the relational join (multi-batch
-      // replays of unordered files could legitimately drop late rows —
-      // that's production watermark semantics, not what this gate pins)
-      ev0.coalesce(1).write.mode("overwrite").parquet(s"$base/src")
-      def side(t: String, prefix: String) =
-        s.readStream.schema(ev0.schema).parquet(s"$base/src")
-          .filter(col("event_type") === t)
+      def side(stream: DataFrame, t: String, prefix: String) =
+        stream.filter(col("event_type") === t)
           .select(col("event_id").as(s"${prefix}_id"),
             col("user_id").as(s"${prefix}_user"),
             col("ts").as(s"${prefix}_ts"))
           .withWatermark(s"${prefix}_ts", "10 minutes")
-      val joined = side("purchase", "p").join(side("view", "v"),
-        col("p_user") === col("v_user") &&
-          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("v_ts") <= col("p_ts"))
-      val q = joined.writeStream.format("memory").queryName("graft_stream_j")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("graft_stream_j").select(col("p_id"), col("v_id"))
+      replayToTable(s, ev0, "graft_stream_j", "append")(stream =>
+        side(stream, "purchase", "p").join(side(stream, "view", "v"),
+          col("p_user") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") <= col("p_ts")))
+        .select(col("p_id"), col("v_id"))
     }),
 
     // event-time sessionization (12h gap) over the events table; interval

@@ -242,6 +242,59 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("asofJoin matches a naive per-key scan oracle (randomized)") {
+    val rnd = new scala.util.Random(7)
+    // distinct right-side (key, ts) per the operator's determinism contract
+    val right = (for (k <- 1 to 8) yield {
+      val times = rnd.shuffle((0 until 360).toList).take(rnd.nextInt(20) + 1)
+      times.map(m => (k.toLong, f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00",
+        (k * 1000 + m).toLong, rnd.nextInt(100).toDouble))
+    }).flatten
+    val left = (for (k <- 1 to 10; _ <- 1 to rnd.nextInt(15) + 1) yield {
+      val m = rnd.nextInt(360)
+      (k.toLong, f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    }).zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong, 0.0) }
+    def df(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("user_id", "s", "event_id", "value")
+        .withColumn("ts", $"s".cast("timestamp_ntz"))
+    val got = EventOps.asofJoin(df(left.toSeq), $"user_id", $"ts", $"event_id",
+        df(right), $"user_id", $"ts", $"event_id", $"value")
+      .select($"lid", $"asof_id").as[(Long, Option[Long])].collect().toMap
+    val byKey = right.groupBy(_._1)
+    val expected = left.map { case (k, ts, lid, _) =>
+      lid -> byKey.getOrElse(k, Nil).filter(_._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("sessionize matches a naive gap-scan oracle (randomized)") {
+    val rnd = new scala.util.Random(11)
+    val events = for (u <- 1 to 12; _ <- 1 to rnd.nextInt(25) + 1) yield {
+      val m = rnd.nextInt(1440)
+      (u.toLong, f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    }
+    val gapMin = 45
+    val got = EventOps.sessionize(
+        events.toDF("user_id", "s").withColumn("ts", $"s".cast("timestamp_ntz")),
+        $"user_id", $"ts", gapMinutes = gapMin)
+      .select($"user_id", $"session_idx", $"start_s", $"end_s", $"n_events")
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    val expected = events.groupBy(_._1).flatMap { case (u, es) =>
+      // duplicates INCLUDED: a tie row's gap to its twin is zero
+      val sorted = es.map(_._2).sorted
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, t) =>
+        val mins = (java.time.LocalDateTime.parse(t.replace(" ", "T")).toEpochSecond(java.time.ZoneOffset.UTC) -
+          java.time.LocalDateTime.parse(acc.head.head.replace(" ", "T")).toEpochSecond(java.time.ZoneOffset.UTC)) / 60
+        if (mins > gapMin) List(t) :: acc else (t :: acc.head) :: acc.tail
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (ses, i) =>
+        (u, (i + 1).toLong, ses.head, ses.last, ses.size.toLong)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("funnel matches a naive per-user subsequence oracle (randomized)") {
     val rnd = new scala.util.Random(42)
     val types = Vector("view", "click", "purchase", "error", "signup", "view_ad")

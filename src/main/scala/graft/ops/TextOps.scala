@@ -145,9 +145,12 @@ object TextOps {
     * e.g. n-gram shingles (Dedup.wordShingles), the unit real
     * decontamination indexes use. */
   def invertedIndexFromTokens(tok: DataFrame, minDf: Int, maxDf: Int): DataFrame = {
-    val rare = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    // tok feeds both the df table and the posting join — checkpoint so
+    // the corpus-scale tokenize runs ONCE, not once per consumer
+    val t = tok.localCheckpoint(true)
+    val rare = t.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
-    tok.join(rare, Seq("term"))
+    t.join(rare, Seq("term"))
       .groupBy("term", "df")
       .agg(concat_ws(",", sort_array(collect_list(col("id")))).as("postings"))
   }
@@ -179,8 +182,12 @@ object TextOps {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= minPair)
+    // uni feeds both per-word joins AND the corpus total — checkpoint the
+    // vocabulary-sized frame so the corpus tokenize+count runs ONCE, not
+    // three times (the un-checkpointed plan re-scanned the corpus per use)
     val uni = docs.select(explode(words).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // the corpus-total scalar attaches via a single-row broadcast cross
     // join — the ONE shape where a broadcast nested loop is exactly
     // right at any scale (the grand-total aggregate is ≤ 1 row by
@@ -220,9 +227,12 @@ object TextOps {
    * Output: (id, rank, term, tf, df), rank in 1..k.
    */
   def salientTerms(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    // tf feeds both the df rollup and the final join — checkpoint so the
+    // corpus tokenize+count runs ONCE
     val tf = docs
       .select(id.as("id"), explode(split(text, " ")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("df").asc, col("tf").desc, col("term").asc)

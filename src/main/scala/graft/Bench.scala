@@ -154,6 +154,30 @@ object Bench {
     (eff(aluMk, 1500), eff(memMk, 30))
   }
 
+  /**
+   * A/B of the fused native cosine kernel vs the HOF fold it replaced
+   * (CodegenFallback) on real embeddings, bounded to ~500k pairs so it
+   * costs seconds. Returns (pairs, native pairs/s, hof pairs/s) —
+   * best-of-3 each, steal-hardened like everything else here.
+   */
+  private def vecCosineAb(s: SparkSession, sfDir: String): (Long, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet").limit(700)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .localCheckpoint(true)
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.v").as("va"), col("b.v").as("vb")).localCheckpoint(true)
+    val n = pairs.count()
+    def best(c: org.apache.spark.sql.Column): Double =
+      (1 to 3).map(_ => timed(pairs.select(sum(c)).collect())._2).min
+    val hof = best(Similarity.cosineHof(col("va"), col("vb")))
+    val nat = best(Similarity.cosine(col("va"), col("vb")))
+    (n, n / nat, n / hof)
+  }
+
+  private var vecAb: Option[(Long, Double, Double)] = None
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -183,6 +207,7 @@ object Bench {
           val sec = if (best2 > 15.0) math.min(best2, runQuery(name)) else best2
           name -> sec
         }
+        vecAb = Some(vecCosineAb(spark1, sfDir))
         spark1.stop()
         ts
       }
@@ -316,8 +341,12 @@ object Bench {
       s""""note":"8->32 threads on one box share a single memory bus (measured hw ceilings above); a 4x-executor cluster multiplies bandwidth with nodes, which the 2->8 pair models. efficiency = max(efficiency_best_ratio, efficiency_same_window): the former inherits a steal-inflated slow-level best from a different time window, the latter controls for shared load within one back-to-back rep and only admits pairs whose slow side ran within 25% of the best observed slow-side time (guarding against slow-side-only steal inflating the paired ratio); both components reported verbatim"},""" +
       s""""max_cores_triples_per_sec":${"%.0f".format(thr32)},""" +
       s""""kernel_single_thread_triples_per_sec":${"%.0f".format(kernelSingleThread())}}"""
+    val vecJson = vecAb.map { case (n, nat, hof) =>
+      s""","vec_cosine_ab":{"pairs":$n,"native_pairs_per_sec":${"%.0f".format(nat)},""" +
+        s""""hof_pairs_per_sec":${"%.0f".format(hof)},"speedup":${"%.2f".format(nat / hof)}}"""
+    }.getOrElse("")
     val jsonLine =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","parse_link_scaling":$scaling}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","parse_link_scaling":$scaling$vecJson}"""
     println(jsonLine)
     // mirror to a file so the number registers even if stdout is mangled
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -178,6 +178,27 @@ object Bench {
 
   private var vecAb: Option[(Long, Double, Double)] = None
 
+  /**
+   * Single-thread ALU storm-o-meter: sha256 ops/s over a hot 64 KB buffer,
+   * best-of-3. Cache-resident and compute-bound, so on an idle VM it reads
+   * a stable hardware constant; a depressed reading means neighbor-CPU
+   * steal during THIS window. Emitted before and after the headline query
+   * section so a stormy artifact self-documents (r3's driver run posted a
+   * 2.8x headline regression with no way to tell steal from regression).
+   */
+  private def aluProbe(): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](65536)
+    def pass(iters: Int): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < iters) { md.reset(); md.update(buf); sink ^= md.digest()(0); i += 1 }
+      iters / ((System.nanoTime() - t0) / 1e9)
+    }
+    pass(200) // JIT warm
+    (1 to 3).map(_ => pass(600)).max
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -187,6 +208,21 @@ object Bench {
       "kg_parse_documents", "kg_entry_graph", "kg_nodes", "kg_edges",
       "td_dedup_minhash_lsh", "td_dedup_jaccard", "td_dedup_simhash",
       "td_ann_topk", "td_fingerprint", "td_multimodal")
+    // Headline measurement is ADAPTIVE and INTERLEAVED: the r3 driver run
+    // posted 7-11x inflations on four queries that read ~0.5-5s locally —
+    // best-of-2 back-to-back samples share a steal storm. Now reps cycle
+    // across ALL queries (consecutive samples of one query are minutes
+    // apart), and any query whose two best samples disagree by > 25%
+    // keeps re-running (bounded) until they agree — in a quiet window
+    // this is exactly two rounds, in a storm it hunts for a clean slot
+    // and marks never-converged queries "unstable" in the artifact.
+    val agreeBand = 1.25
+    def agreed(ss: Seq[Double]): Boolean = {
+      val s2 = ss.sorted.take(2)
+      s2.size == 2 && s2(1) <= s2(0) * agreeBand
+    }
+    var probeBefore, probeAfter = 0.0
+    var qSamples: Map[String, Seq[Double]] = Map.empty
     // SPARK_GRAFT_BENCH_SKIP_QUERIES=1: part-2-only iteration loop
     val qTimes: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("1")) Seq.empty
@@ -196,20 +232,27 @@ object Bench {
         // the first measured query isn't charged for session start
         spark1.read.parquet(s"$sfDir/nation.parquet").count()
         SparkEntry.queries("kg_parse_nation")(spark1, sfDir).count()
+        probeBefore = aluProbe()
         def runQuery(name: String): Double = timed {
           try SparkEntry.queries(name)(spark1, sfDir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
         }._2
-        val ts = headline.map { name =>
-          // neighbor-CPU steal swings single timings 2-3x: best of two
-          // runs per query, plus one more for extreme outliers
-          val best2 = math.min(runQuery(name), runQuery(name))
-          val sec = if (best2 > 15.0) math.min(best2, runQuery(name)) else best2
-          name -> sec
+        val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+          .withDefaultValue(Vector.empty)
+        def round(names: Seq[String]): Unit =
+          names.foreach(n => samples(n) = samples(n) :+ runQuery(n))
+        round(headline)
+        round(headline)
+        var extraRounds = 0
+        while (extraRounds < 4 && headline.exists(n => !agreed(samples(n)))) {
+          round(headline.filterNot(n => agreed(samples(n))))
+          extraRounds += 1
         }
+        probeAfter = aluProbe()
+        qSamples = headline.map(n => n -> (samples(n): Seq[Double])).toMap
         vecAb = Some(vecCosineAb(spark1, sfDir))
         spark1.stop()
-        ts
+        headline.map(n => n -> samples(n).min)
       }
 
     // ---- part 2: parse+link scaling on one pre-materialized corpus --------
@@ -289,56 +332,78 @@ object Bench {
       (nTriples / sec, sec)
     }
     /**
-     * Best SAME-WINDOW paired efficiency: ratio within one rep's
-     * back-to-back runs (both levels see the same neighbor load).
-     * Guarded against SLOW-SIDE-ONLY inflation — a steal burst that hits
-     * only the rep's low-core run would inflate that pair's ratio above
-     * the true value — by admitting only pairs whose low-core time is
-     * within 25% of the best observed low-core time (i.e. the pair's
-     * slow side itself ran in a near-clean window). No qualifying pair
-     * -> 0, so max() falls back to the ratio-of-bests.
+     * SAME-WINDOW paired efficiency: ratio within one rep's back-to-back
+     * runs (both levels see the same neighbor load). Qualification is
+     * SYMMETRIC — a pair counts only when BOTH of its runs are within
+     * 15% of that level's best observed time, so neither a slow-side-only
+     * nor a fast-side-only steal burst can tilt the ratio (r3 ADVICE: the
+     * old one-sided 25% window let a steal-inflated low-core run overstate
+     * the pair by up to ~25%, and max() promoted it). Per-pair ratios are
+     * clamped at 1.0 (>1 is only ever measurement noise), and the
+     * estimate is the upper median of qualified pairs, not their max.
+     * None qualifying -> None (headline falls back to ratio-of-bests).
      */
-    def sameWindowEff(lo: Int, hi: Int): Double = {
+    def sameWindowEff(lo: Int, hi: Int): Option[Double] = {
       val bestLo = runs.collect { case (`lo`, s) => s }.min
-      val qualified = repRuns.filter(m => m(lo) <= bestLo * 1.25)
-      if (qualified.isEmpty) 0.0
-      else qualified.map(m => (m(lo) / m(hi)) / 4.0).max
+      val bestHi = runs.collect { case (`hi`, s) => s }.min
+      val ratios = repRuns
+        .filter(m => m(lo) <= bestLo * 1.15 && m(hi) <= bestHi * 1.15)
+        .map(m => math.min(1.0, (m(lo) / m(hi)) / 4.0))
+        .sorted
+      if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
     }
     val triplesN = nTriples
     val (thr2, sec2) = best(2)
     val (thr8, sec8) = best(8)
     val (thr32, sec32) = best(32)
-    // Two estimators of the same quantity, each noisy in a different way
-    // on this steal-prone VM: the ratio of per-level bests inherits a
-    // steal-inflated slow-level best from a different time window; the
-    // per-rep paired ratio controls for shared load but rides one rep's
-    // luck. The HEADLINE efficiency takes the max — across r1-r3 the
-    // clean-machine value is 0.86-0.97, and every sub-0.8 draw of either
-    // estimator coincided with the other reading >= 0.85 under observed
-    // neighbor load. Both components are reported verbatim next to it.
-    val ratio2to8 = (thr8 / thr2) / 4.0
-    val ratio8to32 = (thr32 / thr8) / 4.0
-    val efficiency2to8 = math.max(ratio2to8, sameWindowEff(2, 8))
-    val efficiency8to32 = math.max(ratio8to32, sameWindowEff(8, 32))
+    // HEADLINE efficiency: prefer the symmetric-clean paired estimator
+    // (controls for shared neighbor load AND for one-sided bursts); fall
+    // back to the ratio of per-level bests only when no rep had both
+    // levels near-clean. No max() of estimators — that construction is
+    // biased high (r3 ADVICE). Both raw components stay in the JSON.
+    val ratio2to8 = math.min(1.0, (thr8 / thr2) / 4.0)
+    val ratio8to32 = math.min(1.0, (thr32 / thr8) / 4.0)
+    val sw2to8 = sameWindowEff(2, 8)
+    val sw8to32 = sameWindowEff(8, 32)
+    val efficiency2to8 = sw2to8.getOrElse(ratio2to8)
+    val efficiency8to32 = sw8to32.getOrElse(ratio8to32)
     val (aluEff, memEff) = hwCeilings()
 
     // ---- report ------------------------------------------------------------
     val total = qTimes.map(_._2).sum
     val qs = qTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    def optJson(o: Option[Double]): String = o.map("%.3f".format(_)).getOrElse("null")
+    // per-query sample evidence: counts, all samples, and which queries
+    // never got two agreeing samples (a storm that the artifact admits to
+    // instead of silently shipping an inflated "best")
+    val unstable = qSamples.collect { case (n, ss) if !agreed(ss) => n }.toSeq.sorted
+    val headlineMeta =
+      if (qSamples.isEmpty) ""
+      else {
+        val samplesJson = qTimes.map { case (n, _) =>
+          s""""$n":[${qSamples(n).map("%.3f".format(_)).mkString(",")}]"""
+        }.mkString("{", ",", "}")
+        s""","headline_meta":{"agree_band":$agreeBand,""" +
+          s""""alu_probe_before_ops_per_sec":${"%.0f".format(probeBefore)},""" +
+          s""""alu_probe_after_ops_per_sec":${"%.0f".format(probeAfter)},""" +
+          s""""unstable":[${unstable.map(n => s""""$n"""").mkString(",")}],""" +
+          s""""samples":$samplesJson,""" +
+          s""""note":"each query = min over interleaved samples; sampling repeats until the two best samples agree within agree_band (bounded). alu probes are single-thread sha256 ops/s on a hot 64KB buffer before/after the query section — a hardware constant on an idle VM (~this box: compare across rounds), depressed readings mean neighbor-CPU steal during this run"}"""
+      }
     val scaling =
       s"""{"cores_n":2,"triples_per_sec_n":${"%.0f".format(thr2)},"sec_n":${"%.2f".format(sec2)},""" +
       s""""cores_4n":8,"triples_per_sec_4n":${"%.0f".format(thr8)},"sec_4n":${"%.2f".format(sec8)},""" +
       s""""efficiency":${"%.3f".format(efficiency2to8)},""" +
       s""""efficiency_best_ratio":${"%.3f".format(ratio2to8)},""" +
-      s""""efficiency_same_window":${"%.3f".format(sameWindowEff(2, 8))},"triples":$triplesN,""" +
+      s""""efficiency_same_window":${optJson(sw2to8)},"triples":$triplesN,""" +
       s""""pair_8_to_32":{"triples_per_sec_n":${"%.0f".format(thr8)},""" +
       s""""triples_per_sec_4n":${"%.0f".format(thr32)},"sec_4n":${"%.2f".format(sec32)},""" +
       s""""efficiency":${"%.3f".format(efficiency8to32)},""" +
       s""""efficiency_best_ratio":${"%.3f".format(ratio8to32)},""" +
-      s""""efficiency_same_window":${"%.3f".format(sameWindowEff(8, 32))},""" +
+      s""""efficiency_same_window":${optJson(sw8to32)},""" +
       s""""hw_alu_efficiency_8_to_32":${"%.3f".format(aluEff)},""" +
       s""""hw_stream_efficiency_8_to_32":${"%.3f".format(memEff)},""" +
-      s""""note":"8->32 threads on one box share a single memory bus (measured hw ceilings above); a 4x-executor cluster multiplies bandwidth with nodes, which the 2->8 pair models. efficiency = max(efficiency_best_ratio, efficiency_same_window): the former inherits a steal-inflated slow-level best from a different time window, the latter controls for shared load within one back-to-back rep and only admits pairs whose slow side ran within 25% of the best observed slow-side time (guarding against slow-side-only steal inflating the paired ratio); both components reported verbatim"},""" +
+      s""""note":"8->32 threads on one box share a single memory bus (measured hw ceilings above); a 4x-executor cluster multiplies bandwidth with nodes, which the 2->8 pair models. efficiency = efficiency_same_window (median over back-to-back reps where BOTH levels ran within 15% of their best — symmetric cleanliness, per-pair ratios clamped at 1.0) with efficiency_best_ratio as the fallback when no rep qualifies; both components reported verbatim"},""" +
       s""""max_cores_triples_per_sec":${"%.0f".format(thr32)},""" +
       s""""kernel_single_thread_triples_per_sec":${"%.0f".format(kernelSingleThread())}}"""
     val vecJson = vecAb.map { case (n, nat, hof) =>
@@ -346,7 +411,7 @@ object Bench {
         s""""hof_pairs_per_sec":${"%.0f".format(hof)},"speedup":${"%.2f".format(nat / hof)}}"""
     }.getOrElse("")
     val jsonLine =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","parse_link_scaling":$scaling$vecJson}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","parse_link_scaling":$scaling$vecJson$headlineMeta}"""
     println(jsonLine)
     // mirror to a file so the number registers even if stdout is mangled
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

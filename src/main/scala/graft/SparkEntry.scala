@@ -878,10 +878,13 @@ object SparkEntry {
 
   /** One unrolled scaled-integer PageRank iteration in DuckDB (BIGINT
     * floor division mirrors Spark's DIV; see GraphOps.pagerankScaled). */
+  // CAST every iteration's pr back to BIGINT: DuckDB sum() yields HUGEINT,
+  // which the driver's arrow/pandas fetch renders differently from int64
+  // even when the values are identical (the r3 hash-failure class).
   private def pagerankIterSql(i: Int): String =
     s"""c$i AS (SELECT e.d AS n, sum(p.pr // g.dg) s
        |      FROM e JOIN p$i p ON p.n = e.s JOIN deg g ON g.n = e.s GROUP BY 1),
-       |p${i + 1} AS (SELECT nodes.n, 150000000000 + COALESCE(c$i.s, 0) * 85 // 100 AS pr
+       |p${i + 1} AS (SELECT nodes.n, CAST(150000000000 + COALESCE(c$i.s, 0) * 85 // 100 AS BIGINT) AS pr
        |      FROM nodes LEFT JOIN c$i ON c$i.n = nodes.n)""".stripMargin
 
   private def nationTripleSql(valueCol: String, colName: String, extra: String = "") =
@@ -1285,7 +1288,7 @@ object SparkEntry {
         |SELECT pred, count(*) AS n, count(DISTINCT v) AS n_distinct_values FROM t GROUP BY pred""".stripMargin,
 
     "kg_typed_values" ->
-      """SELECT 'urn:col:orders:o_custkey' AS pred, count(*) AS n, sum(o_custkey) AS sum_long,
+      """SELECT 'urn:col:orders:o_custkey' AS pred, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_long,
         |       CAST(NULL AS VARCHAR) AS sum_dec, CAST(NULL AS VARCHAR) AS min_date, CAST(NULL AS BIGINT) AS n_true
         |FROM orders
         |UNION ALL SELECT 'urn:col:orders:o_totalprice', count(*), NULL,
@@ -1293,7 +1296,7 @@ object SparkEntry {
         |UNION ALL SELECT 'urn:col:orders:o_orderdate', count(*), NULL, NULL,
         |       strftime(min(o_orderdate), '%Y-%m-%d'), NULL FROM orders
         |UNION ALL SELECT 'urn:col:orders:o_even', count(*), NULL, NULL, NULL,
-        |       sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) FROM orders""".stripMargin,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT) FROM orders""".stripMargin,
 
     "kg_enrich_customer" ->
       """SELECT 'urn:g:orders:' || CAST(o_orderkey AS VARCHAR) AS order_iri, c_name, c_mktsegment
@@ -1414,19 +1417,19 @@ object SparkEntry {
         |        string_agg(l, '' ORDER BY ts, l) AS seq
         |      FROM e GROUP BY 1)
         |SELECT 1 AS step, 'view' AS step_name,
-        |       sum(CASE WHEN regexp_matches(seq, 'a') THEN 1 ELSE 0 END) AS n_users FROM s
+        |       CAST(sum(CASE WHEN regexp_matches(seq, 'a') THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM s
         |UNION ALL
         |SELECT 2, 'view>click',
-        |       sum(CASE WHEN regexp_matches(seq, 'a.*b') THEN 1 ELSE 0 END) FROM s
+        |       CAST(sum(CASE WHEN regexp_matches(seq, 'a.*b') THEN 1 ELSE 0 END) AS BIGINT) FROM s
         |UNION ALL
         |SELECT 3, 'view>click>purchase',
-        |       sum(CASE WHEN regexp_matches(seq, 'a.*b.*c') THEN 1 ELSE 0 END) FROM s""".stripMargin,
+        |       CAST(sum(CASE WHEN regexp_matches(seq, 'a.*b.*c') THEN 1 ELSE 0 END) AS BIGINT) FROM s""".stripMargin,
 
     "td_json_props" ->
       """SELECT event_type,
         |       count(*) AS n_events,
         |       count(try_cast(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS n_valid,
-        |       sum(try_cast(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS sum_k,
+        |       CAST(sum(try_cast(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS sum_k,
         |       min(try_cast(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS min_k,
         |       max(try_cast(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
@@ -1466,7 +1469,7 @@ object SparkEntry {
         |       FROM d, unnest(generate_series(1, len(w) - 1)) t(i)
         |       WHERE len(w) >= 2 GROUP BY 1, 2),
         |s AS (SELECT bi.a || ' ' || bi.b AS bigram, bi.cab,
-        |        (bi.cab * n.total * 1000) // (ca.c * cb.c) AS score_milli
+        |        CAST((bi.cab * n.total * 1000) // (ca.c * cb.c) AS BIGINT) AS score_milli
         |      FROM bi
         |      CROSS JOIN n
         |      JOIN uni ca ON ca.term = bi.a
@@ -1488,7 +1491,7 @@ object SparkEntry {
         |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3""".stripMargin,
 
     "td_rollup_stats" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       GROUPING(lang) AS g_lang, GROUPING(source) AS g_source
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
 
@@ -1552,7 +1555,7 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END AS ns
         |  FROM events),
         |g AS (SELECT user_id, ts,
-        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
+        |        CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         |      FROM f)
         |SELECT user_id, session_idx,
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,

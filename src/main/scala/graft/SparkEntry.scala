@@ -66,7 +66,7 @@ object SparkEntry {
    */
   private def replayToTable(s: SparkSession, src: DataFrame, name: String,
                             mode: String)(build: DataFrame => DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val base = tempWorkDir("graft_replay").toString
     src.coalesce(1).write.mode("overwrite").parquet(s"$base/src")
     val stream = s.readStream.schema(src.schema).parquet(s"$base/src")
     build(stream).writeStream.format("memory").queryName(name)
@@ -74,6 +74,23 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
     s.table(name)
+  }
+
+  /**
+   * Per-run temp scaffolding dir with a shutdown-hook recursive delete:
+   * the stream/codec gates write full parquet/nt copies of the test corpus
+   * there, and plain createTempDirectory would leak them across repeated
+   * Verify/test runs (File.deleteOnExit cannot remove non-empty dirs).
+   */
+  private def tempWorkDir(prefix: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+      }
+      rm(d)
+    }))
+    d
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -110,16 +127,47 @@ object SparkEntry {
       val rows = nationCorpus(s, dir).collect().sortBy(_.path)
       // per-run temp dir: a fixed shared path would let two concurrent
       // runs (e.g. Verify + a test suite) interleave writes into one file
-      val d = java.nio.file.Files.createTempDirectory("graft_gzip_src").toFile
-      d.deleteOnExit()
+      val d = tempWorkDir("graft_gzip_src")
       val f = new java.io.File(d, "nation.nt.gz")
-      f.deleteOnExit()
       val out = new java.io.OutputStreamWriter(
         new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f)), "UTF-8")
       try rows.foreach { r => out.write(r.content); out.write("\n") }
       finally out.close()
       parsedTriples(NtFileSource.documents(s, f.getAbsolutePath))
         .select(col("subj.value").as("subj"), col("pred"), col("obj.value").as("obj"))
+    }),
+
+    // A2 parity for the OTHER codec the reference's Loader sniffs
+    // (Loader.scala:76-129 handles gzip AND bzip2): same corpus through a
+    // real .nt.bz2 file and the suffix-driven Hadoop codec path.
+    "kg_parse_bz2" -> ((s, dir) => {
+      val rows = nationCorpus(s, dir).collect().sortBy(_.path)
+      val d = tempWorkDir("graft_bz2_src")
+      val f = new java.io.File(d, "nation.nt.bz2")
+      val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+      codec.setConf(s.sparkContext.hadoopConfiguration)
+      val out = new java.io.OutputStreamWriter(
+        codec.createOutputStream(new java.io.FileOutputStream(f)), "UTF-8")
+      try rows.foreach { r => out.write(r.content); out.write("\n") }
+      finally out.close()
+      parsedTriples(NtFileSource.documents(s, f.getAbsolutePath))
+        .select(col("subj.value").as("subj"), col("pred"), col("obj.value").as("obj"))
+    }),
+
+    // A5 charset surface (reference Loader.scala:34-44 takes arbitrary
+    // codecs): a REAL ISO-8859-1 file — whose bytes are NOT valid UTF-8 —
+    // through binaryFile + decode, then the parse kernel.
+    "kg_parse_charset" -> ((s, dir) => {
+      val d = tempWorkDir("graft_charset_src")
+      val f = new java.io.File(d, "latin1.nt")
+      val content =
+        "<urn:city:1> <urn:p:name> \"Zürich\" .\n" +
+        "<urn:city:2> <urn:p:name> \"café\" .\n" +
+        "<urn:city:3> <urn:p:name> \"Ångström\" .\n"
+      java.nio.file.Files.write(f.toPath,
+        content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      parsedTriples(NtFileSource.documentsWithCharset(s, f.getAbsolutePath, "ISO-8859-1"))
+        .select(col("line"), col("subj.value").as("subj"), col("obj.value").as("name"))
     }),
 
     // E6 (skew salting) through the driver gate: saltedRepartition must
@@ -183,12 +231,22 @@ object SparkEntry {
     // window extends across physical lines while a """...""" literal is
     // open; statements keep their FIRST physical line number
     "kg_lenient_multiline" -> ((s, dir) => {
+      // adv.nt is the O(window) adversary for the long-literal scanner: a
+      // 50k-line open literal where EVERY line ends in \""" — an escaped
+      // quote immediately followed by two quotes, the pattern that made a
+      // naive rescan-per-line scanner O(n^2) (LongLitScan is escape-exact
+      // and scans each char once; a quadratic regression here would blow
+      // the gate's runtime, so the bound is driver-protected, not just
+      // spec-protected)
+      val advLines = 50000
+      val adv = "<a:b> <p:q> \"\"\"\n" + ("x\\\"\"\"\n" * advLines) + "end\"\"\" ."
       val corpus = inlineCorpus(s, Seq(
         ("ml.nt", "nt-lenient",
           "<a:b> <p:q> \"\"\"multi\nline \"quoted\"\ntext\"\"\" .\n" + // lines 1-3
           "<a:b> <p:q> \"\"\"tag\nged\"\"\"@en .\n" +                  // lines 4-5
           "bad line\n" +                                                // line 6
-          "<a:b> <p:q> \"last\" .")))                                   // line 7
+          "<a:b> <p:q> \"last\" ."),                                    // line 7
+        ("adv.nt", "nt-lenient", adv)))
       val parsed = TripleExtract.parse(corpus)
       TripleExtract.triples(parsed).toDF().select(
         col("path"), col("line"), col("obj.value").as("obj"), col("obj.lang").as("lang"))
@@ -423,7 +481,7 @@ object SparkEntry {
     // as a file stream source, parsed rows written to a parquet sink and
     // read back; the oracle is the batch result on the same corpus
     "kg_stream_parity" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val base = tempWorkDir("graft_stream").toString
       nationCorpus(s, dir).write.mode("overwrite").parquet(s"$base/src")
       val parsed = NtStream.parsedStream(NtStream.corpusStream(s, s"$base/src"))
       NtStream.writer(parsed, s"$base/out", s"$base/ck").start().awaitTermination()
@@ -438,7 +496,7 @@ object SparkEntry {
     // state drops the second copy — deterministic because duplicates are
     // identical rows, across however many micro-batches AvailableNow cuts
     "kg_stream_dedup" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+      val base = tempWorkDir("graft_stream_dd").toString
       val corpus = nationCorpus(s, dir)
       corpus.union(corpus).write.mode("overwrite").parquet(s"$base/src")
       val deduped = NtStream.dedupStream(NtStream.corpusStream(s, s"$base/src"))
@@ -818,8 +876,28 @@ object SparkEntry {
       val dups = Dedup.jaccardPairsFromShingles(sh, candidates = Some(cands))
         .filter(col("inter") * 5 >= col("union_") * 4)
         .select("a", "b")
-      GraphOps.connectedComponents(dups, "a", "b", maxIter = 8)
-        .select(col("node_id").as("id"), col("component").as("cluster"))
+      // fail LOUDLY on non-convergence (ADVICE r3): partially contracted
+      // labels would otherwise surface only as a confusing hash mismatch
+      val (labels, converged) =
+        GraphOps.connectedComponentsWithStatus(dups, "a", "b", maxIter = 16)
+      require(converged, "td_dup_clusters: connected components did not converge")
+      labels.select(col("node_id").as("id"), col("component").as("cluster"))
+    }),
+
+    // E-stage PageRank at KG shape (VERDICT r3 #8): over the MATERIALIZED
+    // edges of the full nation+documents corpus — hundreds of subject
+    // nodes plus genuine hub literals (every doc points at its lang and
+    // source values, so 'en'-style nodes concentrate in-degree exactly
+    // like rdf:type targets do at web scale). sha256 node ids are mapped
+    // to 60-bit longs with the established cross-engine recipe; ranks are
+    // scaled-integer BIGINT, so the result is EXACT and hash-comparable.
+    "kg_pagerank_edges" -> ((s, dir) => {
+      val corpus = nationCorpus(s, dir).union(documentsCorpus(s, dir))
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(corpus))))
+      def idLong(c: String) = conv(substr(col(c), lit(1), lit(15)), 16, 10).cast("long")
+      GraphOps.pagerankScaled(
+        e.select(idLong("subj_id").as("src"), idLong("obj_id").as("dst")),
+        "src", "dst", iters = 3)
     })
   )
 
@@ -906,6 +984,20 @@ object SparkEntry {
          |UNION ALL
          |${nationTripleSql("n_regionkey", "n_regionkey")}""".stripMargin,
 
+    // identical expected triples via the bzip2 codec path
+    "kg_parse_bz2" ->
+      s"""${nationTripleSql("n_name", "n_name")}
+         |UNION ALL
+         |${nationTripleSql("n_regionkey", "n_regionkey")}""".stripMargin,
+
+    // the ISO-8859-1 bytes decode to these exact code points
+    "kg_parse_charset" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'urn:city:1', 'Z' || chr(252) || 'rich'),
+        |  (2, 'urn:city:2', 'caf' || chr(233)),
+        |  (3, 'urn:city:3', chr(197) || 'ngstr' || chr(246) || 'm')
+        |) t(line, subj, name)""".stripMargin,
+
     // two edges per nation row (n_name + n_regionkey), salted exchange
     // must preserve exactly that
     "kg_salted_edges" ->
@@ -944,11 +1036,14 @@ object SparkEntry {
         |  ('strict.nt', 1, 'plain', NULL)
         |) t(path, line, obj, lang)""".stripMargin,
 
+    // adv.nt: each of the 50k body lines contributes x + an escaped quote
+    // (-> ") + two literal quotes + the newline
     "kg_lenient_multiline" ->
       """SELECT * FROM (VALUES
         |  ('ml.nt', 1, 'multi' || chr(10) || 'line "quoted"' || chr(10) || 'text', CAST(NULL AS VARCHAR)),
         |  ('ml.nt', 4, 'tag' || chr(10) || 'ged', 'en'),
-        |  ('ml.nt', 7, 'last', NULL)
+        |  ('ml.nt', 7, 'last', NULL),
+        |  ('adv.nt', 1, chr(10) || repeat('x' || repeat(chr(34), 3) || chr(10), 50000) || 'end', NULL)
         |) t(path, line, obj, lang)""".stripMargin,
 
     "kg_skolemize" ->
@@ -1623,12 +1718,33 @@ object SparkEntry {
         |tri AS (SELECT tu, tx, ty FROM wed
         |        WHERE EXISTS (SELECT 1 FROM und WHERE und.a = wed.tx AND und.b = wed.ty)),
         |ex AS (SELECT tu n FROM tri UNION ALL SELECT tx FROM tri UNION ALL SELECT ty FROM tri),
-        |cnt AS (SELECT n, count(*) c FROM ex GROUP BY 1)
-        |SELECT deg.n AS node_id, COALESCE(cnt.c, 0) AS n_triangles
-        |FROM deg LEFT JOIN cnt ON cnt.n = deg.n""".stripMargin,
+        |cnt AS (SELECT n, count(*) c FROM ex GROUP BY 1),
+        |alln AS (SELECT DISTINCT s n FROM e0 UNION SELECT DISTINCT d FROM e0)
+        |SELECT alln.n AS node_id, COALESCE(cnt.c, 0) AS n_triangles
+        |FROM alln LEFT JOIN cnt ON cnt.n = alln.n""".stripMargin,
 
     "kg_pagerank" ->
       s"""WITH e AS (SELECT CAST(n_nationkey + 100 AS BIGINT) s, CAST(n_regionkey AS BIGINT) d FROM nation),
+         |nodes AS (SELECT DISTINCT s AS n FROM e UNION SELECT DISTINCT d FROM e),
+         |deg AS (SELECT s AS n, count(*) dg FROM e GROUP BY 1),
+         |p0 AS (SELECT n, CAST(1000000000000 AS BIGINT) pr FROM nodes),
+         |${pagerankIterSql(0)},
+         |${pagerankIterSql(1)},
+         |${pagerankIterSql(2)}
+         |SELECT n AS node_id, pr AS pr_scaled FROM p3""".stripMargin,
+
+    // same scaled-integer iteration over the materialized corpus edge
+    // list: term ids by the kg_edges sha256 formulas, then the 60-bit
+    // hash->long recipe both engines share
+    "kg_pagerank_edges" ->
+      s"""WITH ed AS (
+         |  SELECT '<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '>' st, '"' || n_name || '"^^<$XSD_STR>' ot FROM nation
+         |  UNION ALL SELECT '<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '>', '"' || CAST(n_regionkey AS VARCHAR) || '"^^<$XSD_STR>' FROM nation
+         |  UNION ALL SELECT '<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>', '"' || text || '"^^<$XSD_STR>' FROM documents
+         |  UNION ALL SELECT '<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>', '"' || lang || '"^^<$XSD_STR>' FROM documents
+         |  UNION ALL SELECT '<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>', '"' || source || '"^^<$XSD_STR>' FROM documents),
+         |e AS (SELECT ('0x' || substr(sha256(st), 1, 15))::BIGINT s,
+         |             ('0x' || substr(sha256(ot), 1, 15))::BIGINT d FROM ed),
          |nodes AS (SELECT DISTINCT s AS n FROM e UNION SELECT DISTINCT d FROM e),
          |deg AS (SELECT s AS n, count(*) dg FROM e GROUP BY 1),
          |p0 AS (SELECT n, CAST(1000000000000 AS BIGINT) pr FROM nodes),

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** A media blob row: opaque bytes + typed metadata. */
 final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
 
-/** Extracted per-blob features (decode stubbed — see Multimodal). */
+/** Extracted per-blob features from the real pure-JVM decoders (see
+  * Multimodal — the sha-derived stub fires only for undecodable blobs). */
 final case class MediaFeatures(
     media_id: Long,
     kind: String,
@@ -44,9 +45,10 @@ final case class MediaFeatures(
 object Multimodal {
 
   /**
-   * Deterministic fallback for kinds without a real decoder. Derives fake
-   * dimensions from the content digest (portable: any engine computing
-   * sha256 gets the same values).
+   * Deterministic DEGRADATION path, not a primary decoder: fires only for
+   * blobs every real decoder rejects (corrupt bytes must never fail the
+   * job). Derives fake dimensions from the content digest (portable: any
+   * engine computing sha256 gets the same values).
    */
   private def decodeStub(kind: String, sha256hex: String): (Int, Int, Int) = {
     val h = java.lang.Integer.parseInt(sha256hex.substring(0, 7), 16) // 28 bits, positive

@@ -306,7 +306,12 @@ object Bench {
     // interleaved across levels and we take the best per level, because
     // the sandbox VM sees neighbor CPU steal that can inflate a single
     // timing 2-3x.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // 3 since r4: the symmetric pair qualification (both levels within
+    // 15% of their bests) is stricter than the old one-sided 25% window,
+    // so two reps often leave no qualified pair and the headline falls
+    // back to ratio-of-bests; a third rep materially raises the odds of
+    // one both-sides-clean rep at ~2 min cost
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     def once(n: Int): Double = {
       val s = session(n)
       val r = timed(parseLinkMaterialize(s, corpusPath))

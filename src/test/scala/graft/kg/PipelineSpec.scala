@@ -249,12 +249,21 @@ class PipelineSpec extends AnyFunSuite {
       "<a:b> <p:q> \"\"\"", "\"\"\"", "\"\"\" .", "\"\"\"@en .", "x y", "\\",
       "\\\\", "\\\"", "\"", "\"\"", "\\u00", "41", "\\\"\"\"",
       "<a:b> <p:q> \"v\" .", "# c", "")
-    val docs = (0 until 300).map { seed =>
+    // campaign 2 (r4): the same token pool with RANDOM line terminators
+    // (\n, \r\n, lone \r) between lines — web corpora are CRLF-dense and
+    // a long-literal window spanning a \r\n boundary must behave exactly
+    // like the per-line re-parse oracle on both kernels
+    val terminators = Array("\n", "\r\n", "\r")
+    val docs = (0 until 450).map { seed =>
       val rnd = new scala.util.Random(seed)
       val nLines = 3 + rnd.nextInt(12)
-      val content = (0 until nLines).map { _ =>
+      val lines = (0 until nLines).map { _ =>
         (0 until (1 + rnd.nextInt(3))).map(_ => pool(rnd.nextInt(pool.length))).mkString("")
-      }.mkString("\n")
+      }
+      val content =
+        if (seed < 300) lines.mkString("\n")
+        else lines.init.map(l => l + terminators(rnd.nextInt(terminators.length)))
+          .mkString("") + lines.last
       CorpusRow("r", s"f$seed.nt", "c", TripleExtract.LangLenient, content)
     }
     val expected = docs.map(d => d.path ->

@@ -188,14 +188,9 @@ object Bench {
    */
   private def dedupSkew(s: SparkSession, sfDir: String): (Long, Long, Double) = {
     import org.apache.spark.sql.functions._
-    import graft.ops.Dedup
+    import graft.ops.{Dedup, SkewCorpus}
     val clones = 2000L
-    val base = s.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
-    val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
-    val dupText = base.orderBy(col("doc_id")).select(col("text")).limit(1).collect()(0).getString(0)
-    val docs = base.unionByName(
-        s.range(1, clones + 1).select((col("id") + maxId).as("doc_id"), lit(dupText).as("text")))
-      .localCheckpoint(true)
+    val (docs, _) = SkewCorpus(s, sfDir, clones) // shared with DedupSkewSpec
     def run(): (Long, Double) = {
       val (n, sec) = timed(Dedup.lshCandidates(docs, col("doc_id"), col("text")).count())
       (n, sec)
@@ -252,6 +247,7 @@ object Bench {
     }
     var probeBefore, probeAfter = 0.0
     var qSamples: Map[String, Seq[Double]] = Map.empty
+    val qFailed = scala.collection.mutable.Set.empty[String]
     // SPARK_GRAFT_BENCH_SKIP_QUERIES=1: part-2-only iteration loop
     val qTimes: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("1")) Seq.empty
@@ -262,19 +258,30 @@ object Bench {
         spark1.read.parquet(s"$sfDir/nation.parquet").count()
         SparkEntry.queries("kg_parse_nation")(spark1, sfDir).count()
         probeBefore = aluProbe()
-        def runQuery(name: String): Double = timed {
-          try SparkEntry.queries(name)(spark1, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-        }._2
+        // a throwing query must surface as FAILED in the artifact, never
+        // as a fast, stable, agreed sample (the sub-second failure time
+        // would trivially satisfy agreed() and mask the regression)
+        def runQuery(name: String): Option[Double] = {
+          val (ok, sec) = timed {
+            try { SparkEntry.queries(name)(spark1, sfDir).count(); true }
+            catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+          }
+          if (ok) Some(sec) else { qFailed += name; None }
+        }
         val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
           .withDefaultValue(Vector.empty)
         def round(names: Seq[String]): Unit =
-          names.foreach(n => samples(n) = samples(n) :+ runQuery(n))
+          names.foreach(n => runQuery(n).foreach(sec => samples(n) = samples(n) :+ sec))
+        def settled(n: String): Boolean = qFailed(n) || agreed(samples(n))
         round(headline)
         round(headline)
         var extraRounds = 0
-        while (extraRounds < 4 && headline.exists(n => !agreed(samples(n)))) {
-          round(headline.filterNot(n => agreed(samples(n))))
+        while (extraRounds < 4 && !headline.forall(settled)) {
+          // re-run the FULL round, not just the unstable queries:
+          // back-to-back samples of one query share a steal storm, which
+          // is exactly the correlation interleaving exists to break — the
+          // stable queries' extra samples are cheap and only improve bests
+          round(headline)
           extraRounds += 1
         }
         probeAfter = aluProbe()
@@ -282,7 +289,7 @@ object Bench {
         vecAb = Some(vecCosineAb(spark1, sfDir))
         skewRes = Some(dedupSkew(spark1, sfDir))
         spark1.stop()
-        headline.map(n => n -> samples(n).min)
+        headline.map(n => n -> (if (samples(n).isEmpty) -1.0 else samples(n).min))
       }
 
     // ---- part 2: parse+link scaling on one pre-materialized corpus --------
@@ -391,17 +398,29 @@ object Bench {
     val (thr2, sec2) = best(2)
     val (thr8, sec8) = best(8)
     val (thr32, sec32) = best(32)
-    // HEADLINE efficiency: prefer the symmetric-clean paired estimator
-    // (controls for shared neighbor load AND for one-sided bursts); fall
-    // back to the ratio of per-level bests only when no rep had both
-    // levels near-clean. No max() of estimators — that construction is
-    // biased high (r3 ADVICE). Both raw components stay in the JSON.
+    // HEADLINE efficiency = clamped RATIO OF PER-LEVEL BESTS, with the
+    // symmetric-clean paired median as corroborating evidence beside it.
+    // Statistics, not preference: steal noise is strictly one-sided
+    // (inflation), so min-over-samples converges to the clean time as
+    // samples accumulate — and the adaptive hunt above keeps sampling
+    // each level until improvement stops. The ratio of two such minima is
+    // a CONSISTENT estimator, and its residual error is symmetric (a
+    // still-inflated slow-level best overstates, a still-inflated
+    // fast-level best understates). The paired estimator, by contrast,
+    // carries each rep's full ±15%-band noise no matter how many reps run
+    // (its median converges to the median of eta*(1+a)/(1+b), not eta),
+    // and short fast-level runs are proportionally MORE exposed to a
+    // fixed-length steal burst, biasing pairs low in storms — observed
+    // r4 run B: paired 0.800 vs ratio 0.907 with the in-run ALU probe
+    // degraded ~10%. No max() of estimators either (r3 ADVICE: biased
+    // high). Both components are in the JSON; a large gap between them
+    // IS the storm signal, alongside the probes in headline_meta.
     val ratio2to8 = math.min(1.0, (thr8 / thr2) / 4.0)
     val ratio8to32 = math.min(1.0, (thr32 / thr8) / 4.0)
     val sw2to8 = sameWindowEff(2, 8)
     val sw8to32 = sameWindowEff(8, 32)
-    val efficiency2to8 = sw2to8.getOrElse(ratio2to8)
-    val efficiency8to32 = sw8to32.getOrElse(ratio8to32)
+    val efficiency2to8 = ratio2to8
+    val efficiency8to32 = ratio8to32
     val (aluEff, memEff) = hwCeilings()
 
     // ---- report ------------------------------------------------------------
@@ -411,7 +430,9 @@ object Bench {
     // per-query sample evidence: counts, all samples, and which queries
     // never got two agreeing samples (a storm that the artifact admits to
     // instead of silently shipping an inflated "best")
-    val unstable = qSamples.collect { case (n, ss) if !agreed(ss) => n }.toSeq.sorted
+    val unstable = qSamples.collect {
+      case (n, ss) if !qFailed(n) && !agreed(ss) => n
+    }.toSeq.sorted
     val headlineMeta =
       if (qSamples.isEmpty) ""
       else {
@@ -422,6 +443,7 @@ object Bench {
           s""""alu_probe_before_ops_per_sec":${"%.0f".format(probeBefore)},""" +
           s""""alu_probe_after_ops_per_sec":${"%.0f".format(probeAfter)},""" +
           s""""unstable":[${unstable.map(n => s""""$n"""").mkString(",")}],""" +
+          s""""failed":[${qFailed.toSeq.sorted.map(n => s""""$n"""").mkString(",")}],""" +
           s""""samples":$samplesJson,""" +
           s""""note":"each query = min over interleaved samples; sampling repeats until the two best samples agree within agree_band (bounded). alu probes are single-thread sha256 ops/s on a hot 64KB buffer before/after the query section — a hardware constant on an idle VM (~this box: compare across rounds), depressed readings mean neighbor-CPU steal during this run"}"""
       }
@@ -438,7 +460,7 @@ object Bench {
       s""""efficiency_same_window":${optJson(sw8to32)},""" +
       s""""hw_alu_efficiency_8_to_32":${"%.3f".format(aluEff)},""" +
       s""""hw_stream_efficiency_8_to_32":${"%.3f".format(memEff)},""" +
-      s""""note":"8->32 threads on one box share a single memory bus (measured hw ceilings above); a 4x-executor cluster multiplies bandwidth with nodes, which the 2->8 pair models. efficiency = efficiency_same_window (median over back-to-back reps where BOTH levels ran within 15% of their best — symmetric cleanliness, per-pair ratios clamped at 1.0) with efficiency_best_ratio as the fallback when no rep qualifies; both components reported verbatim"},""" +
+      s""""note":"8->32 threads on one box share a single memory bus (measured hw ceilings above); a 4x-executor cluster multiplies bandwidth with nodes, which the 2->8 pair models. efficiency = efficiency_best_ratio, clamped at 1.0: steal noise is one-sided, so the adaptive-hunted per-level minima converge to clean times and their ratio is the consistent estimator with symmetric residual error. efficiency_same_window (median over back-to-back reps where BOTH levels ran within 15% of their best, pairs clamped at 1.0) is corroboration — a large gap between the two, or a degraded alu probe in headline_meta, flags a steal storm"},""" +
       s""""max_cores_triples_per_sec":${"%.0f".format(thr32)},""" +
       s""""kernel_single_thread_triples_per_sec":${"%.0f".format(kernelSingleThread())}}"""
     val vecJson = vecAb.map { case (n, nat, hof) =>

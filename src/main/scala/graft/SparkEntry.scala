@@ -82,14 +82,26 @@ object SparkEntry {
    * there, and plain createTempDirectory would leak them across repeated
    * Verify/test runs (File.deleteOnExit cannot remove non-empty dirs).
    */
-  private def tempWorkDir(prefix: String): java.io.File = {
-    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+  private val tempDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.io.File]())
+
+  // ONE hook draining a shared list: a hook per call would accumulate
+  // threads unboundedly across repeated query builds in a long-lived JVM
+  // (and addShutdownHook throws if a query is ever built during shutdown)
+  private lazy val tempDirHookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
       }
-      rm(d)
+      tempDirs.forEach(rm(_))
     }))
+    true
+  }
+
+  private def tempWorkDir(prefix: String): java.io.File = {
+    require(tempDirHookInstalled)
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    tempDirs.add(d)
     d
   }
 

@@ -36,8 +36,10 @@ class OraclePortabilitySpec extends AnyFunSuite {
   test("every oracle binds in DuckDB with driver-portable result types") {
     assume(pythonWithDuckdb, "python3+duckdb unavailable in this environment")
 
+    // deleted in the finally below — File.deleteOnExit cannot remove a
+    // non-empty directory, which would leak one dir per test run
     val tmp = Files.createTempDirectory("oracle-portability")
-    tmp.toFile.deleteOnExit()
+    try {
 
     val oraclePath = tmp.resolve("oracle_sql.json")
     Files.writeString(oraclePath,
@@ -60,5 +62,11 @@ class OraclePortabilitySpec extends AnyFunSuite {
     val report = out.toString
     assert(rc == 0, s"oracle portability check failed:\n$report")
     assert(!report.contains("NO-ORACLE"), s"query without oracle:\n$report")
+    } finally {
+      val fs = tmp.toFile.listFiles()
+      if (fs != null) fs.foreach(_.delete())
+      tmp.toFile.delete()
+      ()
+    }
   }
 }

@@ -16,17 +16,9 @@ class DedupSkewSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val K = 2000
 
-  private lazy val skewed = {
-    val s = spark
-    val base = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
-    val dupText = base.orderBy(col("doc_id")).select(col("text"))
-      .limit(1).collect()(0).getString(0)
-    val clones = s.range(1, K + 1L)
-      .select((col("id") + maxId).as("doc_id"), lit(dupText).as("text"))
-    (base.unionByName(clones).localCheckpoint(true), maxId)
-  }
+  // same scaffold Bench's `dedup_skew` datum times — one definition, so
+  // the assertions here and the artifact's wall-time measure ONE corpus
+  private lazy val skewed = SkewCorpus(spark, "/root/testdata/sf0.001", K)
 
   test(s"$K-copy duplicate cluster trips the oversized-bucket stats") {
     val (docs, _) = skewed

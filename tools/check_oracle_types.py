@@ -58,4 +58,5 @@ for name in sorted(oracles):
 extra = [n for n in spark_cols if n not in oracles]
 for n in extra:
     print(f"NO-ORACLE {n} (rows-only check — every operator should have an oracle)")
+    fail += 1
 sys.exit(1 if fail else 0)

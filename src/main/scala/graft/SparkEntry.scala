@@ -781,6 +781,39 @@ object SparkEntry {
     "td_collocations" -> ((s, dir) =>
       TextOps.collocations(docs(s, dir), col("text"), minPair = 5, k = 20)),
 
+    // KMV distinct-count sketch (engine-portable alternative to HLL,
+    // which can never be hash-checked): per-lang distinct 3-gram shingle
+    // cardinality, estimate next to the exact truth so the gate pins
+    // BOTH the sketch arithmetic and its accuracy on this corpus
+    "td_sketch_distinct" -> ((s, dir) => {
+      val sh = Dedup.wordShingles(docs(s, dir), col("lang"), col("text"), 3)
+        .localCheckpoint(true) // shared by the sketch and the exact truth
+      val sk = Sketches.kmvDistinct(sh, col("id"), col("shingle"), 256)
+      val truth = sh.groupBy(col("id")).agg(count(lit(1)).as("n_true"))
+      sk.join(truth, sk("g") === truth("id"))
+        .select(col("g").as("lang"), col("n_true"), col("n_kept"),
+          col("kth_hash"), col("est_distinct"))
+    }),
+
+    // count-min frequency sketch: depth-4 x width-64 integer counters
+    // over the corpus bigram stream, point estimates for the top-5 true
+    // heavy hitters emitted NEXT TO their exact counts (cm_est >= true_n
+    // is the classic guarantee; the overshoot on this corpus is pinned)
+    "td_sketch_countmin" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val cnt = size(words) - 1
+      val grams = when(cnt >= 1,
+        transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(words, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val g = docs(s, dir).select(explode(grams).as("gram")).localCheckpoint(true)
+      val counters = Sketches.countMinCounters(g, col("gram"), depth = 4, width = 64)
+      val truth = g.groupBy("gram").agg(count(lit(1)).as("true_n"))
+      val top5 = truth.orderBy(col("true_n").desc, col("gram")).limit(5)
+      Sketches.cmEstimate(counters, top5, col("gram"), depth = 4, width = 64)
+        .join(top5, col("value") === col("gram"))
+        .select(col("gram"), col("true_n"), col("cm_est"))
+    }),
+
     // inverted index over 3-gram shingles with df in [2, 20] — the
     // decontamination-lookup structure; df-filter BEFORE collecting
     // postings, so per-shingle state is bounded at any scale
@@ -1584,6 +1617,41 @@ object SparkEntry {
         |      WHERE bi.cab >= 5)
         |SELECT bigram, cab AS n_pair, score_milli FROM s
         |ORDER BY score_milli DESC, bigram LIMIT 20""".stripMargin,
+
+    // same 60-bit hash; (k-1)*2^60 = 255.0 * 2^60 is exactly
+    // representable (8 significant bits), the single double division is
+    // one IEEE op — bit-identical estimates cross-engine
+    "td_sketch_distinct" ->
+      """WITH d AS (SELECT lang, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] s
+        |       FROM d, unnest(generate_series(1, len(w) - 2)) t(i) WHERE len(w) >= 3),
+        |hx AS (SELECT DISTINCT lang, ('0x' || substr(sha256(s), 1, 15))::BIGINT h FROM sh),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) rn FROM hx),
+        |top AS (SELECT lang, count(*) n_kept, max(CASE WHEN rn = 256 THEN h END) kth_hash
+        |        FROM r WHERE rn <= 256 GROUP BY 1),
+        |tru AS (SELECT lang, count(*) n_true FROM sh GROUP BY 1)
+        |SELECT top.lang, tru.n_true, top.n_kept, top.kth_hash,
+        |       CASE WHEN top.kth_hash IS NULL THEN top.n_kept
+        |            ELSE CAST(floor(255.0 * 1152921504606846976.0 / top.kth_hash::DOUBLE) AS BIGINT)
+        |       END AS est_distinct
+        |FROM top JOIN tru USING (lang)""".stripMargin,
+
+    "td_sketch_countmin" ->
+      """WITH d AS (SELECT string_split(text, ' ') w FROM documents),
+        |g AS (SELECT w[i] || ' ' || w[i+1] gram
+        |      FROM d, unnest(generate_series(1, len(w) - 1)) t(i) WHERE len(w) >= 2),
+        |cell AS (SELECT dd.d, ('0x' || substr(sha256('cm' || dd.d || ':' || gram), 1, 15))::BIGINT % 64 j,
+        |                count(*) n
+        |         FROM g, unnest([0, 1, 2, 3]) dd(d) GROUP BY 1, 2),
+        |tru AS (SELECT gram, count(*) true_n FROM g GROUP BY 1),
+        |top5 AS (SELECT gram, true_n FROM tru ORDER BY true_n DESC, gram LIMIT 5),
+        |qc AS (SELECT t.gram, dd.d,
+        |              ('0x' || substr(sha256('cm' || dd.d || ':' || t.gram), 1, 15))::BIGINT % 64 j
+        |       FROM top5 t, unnest([0, 1, 2, 3]) dd(d)),
+        |est AS (SELECT qc.gram, min(c.n) cm_est
+        |        FROM qc JOIN cell c ON c.d = qc.d AND c.j = qc.j GROUP BY 1)
+        |SELECT top5.gram, top5.true_n, est.cm_est
+        |FROM top5 JOIN est USING (gram)""".stripMargin,
 
     "td_salient_terms" ->
       """WITH tok AS (SELECT doc_id, t.term, count(*) AS tf

@@ -795,6 +795,14 @@ object SparkEntry {
           col("kth_hash"), col("est_distinct"))
     }),
 
+    // GPT-style sequence packing via the distributed two-level prefix
+    // sum (a naive global cumsum window serializes on one task at
+    // scale); the oracle is the naive single-window definition, so the
+    // gate proves the distributed scan computes the identical layout
+    "td_seq_pack" -> ((s, dir) =>
+      Packing.packSequences(docs(s, dir), col("doc_id"),
+        size(split(col("text"), " ")), seqLen = 512L)),
+
     // count-min frequency sketch: depth-4 x width-64 integer counters
     // over the corpus bigram stream, point estimates for the top-5 true
     // heavy hitters emitted NEXT TO their exact counts (cm_est >= true_n
@@ -1635,6 +1643,22 @@ object SparkEntry {
         |            ELSE CAST(floor(255.0 * 1152921504606846976.0 / top.kth_hash::DOUBLE) AS BIGINT)
         |       END AS est_distinct
         |FROM top JOIN tru USING (lang)""".stripMargin,
+
+    // the naive single-window definition of the packing layout; the
+    // Spark side computes it with the two-level distributed prefix sum
+    "td_seq_pack" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) n FROM documents),
+        |o AS (SELECT doc_id, n,
+        |        CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) ofs
+        |      FROM d),
+        |b AS (SELECT doc_id, n, ofs, ofs // 512 b0, (ofs + n - 1) // 512 b1
+        |      FROM o WHERE n > 0),
+        |e AS (SELECT doc_id, n, ofs, unnest(generate_series(b0, b1)) bin_id FROM b)
+        |SELECT bin_id, doc_id,
+        |       greatest(bin_id * 512 - ofs, 0) AS start_tok,
+        |       least((bin_id + 1) * 512, ofs + n) - greatest(bin_id * 512, ofs) AS n_toks
+        |FROM e""".stripMargin,
 
     "td_sketch_countmin" ->
       """WITH d AS (SELECT string_split(text, ' ') w FROM documents),

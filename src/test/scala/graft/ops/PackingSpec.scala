@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg.TestSpark
+
+/**
+ * Invariants of [[Packing]]: the distributed two-level prefix sum equals
+ * the naive global-window definition (for ANY block size), every packed
+ * training sequence except the last carries exactly seqLen tokens, each
+ * document's spans partition its tokens in order, and the big-side
+ * window runs PARTITIONED (the whole point of the two-level scan).
+ */
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // sparse, shuffled ids with varied sizes — exercises blocks with gaps,
+  // empty blocks, and docs spanning many bins
+  private lazy val docs = {
+    val rnd = new scala.util.Random(11)
+    rnd.shuffle((0 until 500).toList)
+      .map(i => (i * 7L + (i % 3), 1L + (i * i) % 900))
+      .toDF("id", "n")
+      .repartition(8)
+      .localCheckpoint(true)
+  }
+
+  test("two-level prefix offsets equal the naive global cumsum for any block size") {
+    val naive = docs
+      .withColumn("offset", coalesce(
+        sum("n").over(org.apache.spark.sql.expressions.Window.orderBy("id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("id", "n", "offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (blockSize <- Seq(1L, 64L, 4096L)) {
+      val got = Packing.prefixOffsets(docs, col("id"), col("n"), blockSize)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === naive, s"blockSize=$blockSize")
+    }
+  }
+
+  test("every bin except the last sums to exactly seqLen, spans partition each doc") {
+    val seqLen = 128L
+    val packed = Packing.packSequences(docs, col("id"), col("n"), seqLen)
+      .localCheckpoint(true)
+    val total = docs.agg(sum("n")).collect()(0).getLong(0)
+    val lastBin = (total - 1) / seqLen
+    val binSums = packed.groupBy("bin_id").agg(sum("n_toks").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binSums.keySet === (0L to lastBin).toSet, "bins must be contiguous")
+    binSums.foreach { case (b, s) =>
+      val want = if (b == lastBin) total - lastBin * seqLen else seqLen
+      assert(s === want, s"bin $b")
+    }
+    // per-doc: spans are contiguous from 0 and cover all n tokens
+    val perDoc = packed.groupBy("doc_id").agg(
+        sum("n_toks").as("tot"), min("start_tok").as("st"),
+        max(col("start_tok") + col("n_toks")).as("end"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sizes = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { case (id, tot, st, end) =>
+      assert(st === 0L && tot === sizes(id) && end === sizes(id), s"doc $id")
+    }
+  }
+
+  test("the big-side cumsum window is partitioned, not global") {
+    val plan = Packing.prefixOffsets(docs, col("id"), col("n"))
+      .queryExecution.executedPlan.toString
+    // the only acceptable GLOBAL ordered window is the one over block
+    // subtotals; the intra-block window must carry a partition spec
+    assert(plan.contains("partitionBy" ) || plan.contains("PartitionSpec") ||
+      plan.contains("windowspecdefinition(blk"), plan.take(1200))
+  }
+}

@@ -808,15 +808,16 @@ object SparkEntry {
     // heavy hitters emitted NEXT TO their exact counts (cm_est >= true_n
     // is the classic guarantee; the overshoot on this corpus is pinned)
     "td_sketch_countmin" -> ((s, dir) => {
-      val words = split(col("text"), " ")
-      val cnt = size(words) - 1
-      val grams = when(cnt >= 1,
-        transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(words, i, lit(2)))))
-        .otherwise(array().cast("array<string>"))
-      val g = docs(s, dir).select(explode(grams).as("gram")).localCheckpoint(true)
+      val g = docs(s, dir)
+        .select(explode(TextOps.ngramArray(col("text"), 2)).as("gram"))
+        .localCheckpoint(true)
       val counters = Sketches.countMinCounters(g, col("gram"), depth = 4, width = 64)
-      val truth = g.groupBy("gram").agg(count(lit(1)).as("true_n"))
-      val top5 = truth.orderBy(col("true_n").desc, col("gram")).limit(5)
+      // top5 is referenced twice (query frame + truth join-back):
+      // checkpoint the 5 rows so the TakeOrdered over the gram stream
+      // runs once, not twice
+      val top5 = g.groupBy("gram").agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("gram")).limit(5)
+        .localCheckpoint(true)
       Sketches.cmEstimate(counters, top5, col("gram"), depth = 4, width = 64)
         .join(top5, col("value") === col("gram"))
         .select(col("gram"), col("true_n"), col("cm_est"))

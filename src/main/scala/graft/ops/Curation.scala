@@ -19,10 +19,7 @@ object Curation {
    */
   def repetitionMetrics(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val words = split(text, " ")
-    val n2 = size(words) - 1
-    val grams = when(n2 >= 1,
-      transform(sequence(lit(1), n2), i => concat_ws(" ", slice(words, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    val grams = TextOps.ngramArray(text, 2)
     val base = docs.select(id.as("id"), text.as("text"),
       size(words).as("n_tokens"),
       size(grams).as("n_2grams"),

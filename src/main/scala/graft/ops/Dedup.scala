@@ -38,15 +38,8 @@ object Dedup {
   }
 
   /** (id, shingle) pairs: distinct n-word shingles per document. */
-  def wordShingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val words = split(text, " ")
-    val cnt = size(words) - (n - 1)
-    // guard: sequence(1, 0) would generate a DESCENDING range in Spark
-    val shingles = when(cnt >= 1,
-      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(words, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(id.as("id"), explode(shingles).as("shingle")).distinct()
-  }
+  def wordShingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    docs.select(id.as("id"), explode(TextOps.ngramArray(text, n)).as("shingle")).distinct()
 
   /**
    * MinHash signature columns: ONE sha256 per distinct shingle; hash i is

@@ -34,6 +34,7 @@ object Packing {
    */
   def prefixOffsets(df: DataFrame, id: Column, n: Column,
                     blockSize: Long = 4096L): DataFrame = {
+    require(blockSize > 0, "blockSize must be positive")
     val base = df.select(id.cast("long").as("id"), n.cast("long").as("n"))
       .withColumn("blk", expr(s"id DIV $blockSize"))
     val blkOff = base.groupBy("blk").agg(sum("n").as("bn"))
@@ -58,6 +59,7 @@ object Packing {
    */
   def packSequences(docs: DataFrame, id: Column, nTokens: Column,
                     seqLen: Long, blockSize: Long = 4096L): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
     val off = prefixOffsets(docs, id, nTokens, blockSize).filter(col("n") > 0)
     off
       .withColumn("b0", expr(s"offset DIV $seqLen"))

@@ -108,14 +108,26 @@ object TextOps {
    * heaps + driver merge of k rows), never a global sort of the full
    * distinct-ngram set.
    */
+  /**
+   * Array of space-joined word n-grams of `text`; empty when the doc has
+   * fewer than n words (guarding Spark's DESCENDING `sequence(1, 0)`).
+   * The ONE definition of n-gram construction — Dedup shingles,
+   * repetition metrics, top-k n-grams, and the count-min gate all share
+   * it, so the tokenization (and its DuckDB oracle mirror) cannot drift
+   * per call site.
+   */
+  def ngramArray(text: Column, n: Int): Column = {
+    require(n >= 1, "n must be positive")
+    val words = split(text, " ")
+    val cnt = size(words) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def topNgrams(docs: DataFrame, text: Column, n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be positive")
-    val words = split(text, " ")
-    val count_ = size(words) - (n - 1)
-    val grams = when(count_ >= 1,
-      transform(sequence(lit(1), count_), i => concat_ws(" ", slice(words, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(explode(grams).as("ngram"))
+    docs.select(explode(ngramArray(text, n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)

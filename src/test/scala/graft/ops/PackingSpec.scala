@@ -68,9 +68,17 @@ class PackingSpec extends AnyFunSuite {
   test("the big-side cumsum window is partitioned, not global") {
     val plan = Packing.prefixOffsets(docs, col("id"), col("n"))
       .queryExecution.executedPlan.toString
-    // the only acceptable GLOBAL ordered window is the one over block
-    // subtotals; the intra-block window must carry a partition spec
-    assert(plan.contains("partitionBy" ) || plan.contains("PartitionSpec") ||
-      plan.contains("windowspecdefinition(blk"), plan.take(1200))
+    // A partitioned window stringifies as windowspecdefinition(blk#..,
+    // id#.. ASC ...); a GLOBAL ordered-by-id window — the one-task
+    // serialization trap this module exists to avoid — as
+    // windowspecdefinition(id#.. ASC ...). Assert the big-side shape
+    // directly: some window is partitioned by blk AND no window orders
+    // by id without a partition key. (The first review draft of this
+    // test accepted the metadata-side block-offset window as proof and
+    // could not detect the regression it guards.)
+    assert("windowspecdefinition\\(blk#\\d+L?, id#".r.findFirstIn(plan).isDefined,
+      plan.take(1200))
+    assert("windowspecdefinition\\(id#".r.findFirstIn(plan).isEmpty,
+      "global ordered-by-id window found:\n" + plan.take(1200))
   }
 }

@@ -56,8 +56,11 @@ class SketchesSpec extends AnyFunSuite {
   }
 
   test("count-min counters merge by cell-wise addition") {
-    val all = (1 to 500).map(i => s"t${i % 37}").toDF("v")
-    val (a, b) = (all.limit(200), all.exceptAll(all.limit(200)))
+    // deterministic split by key predicate — limit() without an ordering
+    // has no determinism guarantee, so two evaluations of all.limit(200)
+    // could pick different multisets and fail a correct merge
+    val all = (1 to 500).map(i => (i, s"t${i % 37}")).toDF("i", "v")
+    val (a, b) = (all.filter(col("i") <= 200), all.filter(col("i") > 200))
     def cells(df: org.apache.spark.sql.DataFrame) =
       Sketches.countMinCounters(df, col("v"), depth = 4, width = 64)
     val merged = cells(a).unionByName(cells(b))

@@ -157,4 +157,33 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(500))
   }
+
+  test("scale-critical queries stay within their shuffle budgets") {
+    // Broad plan-regression tripwire: every Exchange is a full
+    // rehash+respill of the stage's data at 100 TB, so a silent extra
+    // shuffle (a lost broadcast, a new repartition, an optimizer rule
+    // stopped firing) is a scale bug even while correctness stays green.
+    // Budgets are the counts measured at the time each query's plan was
+    // last reviewed (AQE off to expose raw Exchanges; frames behind a
+    // localCheckpoint were audited when their operators landed).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val budgets = Map(
+      "kg_nodes" -> 2, "kg_edges" -> 1, "kg_salted_edges" -> 3,
+      "td_dedup_exact" -> 3, "td_dedup_minhash_lsh" -> 4,
+      "td_dedup_jaccard" -> 2, "td_dedup_simhash" -> 3,
+      "td_sessionize" -> 2, "td_asof_join" -> 3, "td_quota_sample" -> 3,
+      "td_seq_pack" -> 5, "td_sketch_distinct" -> 3,
+      "td_sketch_countmin" -> 2, "td_inverted_index" -> 2,
+      "td_ngram_topk" -> 2, "td_interdoc_dedup" -> 6,
+      "td_salient_terms" -> 2, "td_split_leakfree" -> 8)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      val n = SparkEntry.queries(name)(s2, dir).queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }.size
+      if (n > budget) Some(s"$name: $n > $budget") else None
+    }
+    assert(over.isEmpty, s"shuffle budget exceeded — audit the plan before raising: ${over.mkString("; ")}")
+  }
 }

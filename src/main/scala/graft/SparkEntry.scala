@@ -952,6 +952,109 @@ object SparkEntry {
       GraphOps.pagerankScaled(
         e.select(idLong("subj_id").as("src"), idLong("obj_id").as("dst")),
         "src", "dst", iters = 3)
+    }),
+
+    // SPARQL-style basic-graph-pattern match over the MATERIALIZED
+    // documents edges: a star pattern with a selective constant
+    // (lang = "en" by node id, pushed to the scan) and a free variable
+    // (?src) — the KG query primitive over what the parser built
+    "kg_bgp_match" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+      Bgp.matchPatterns(e, Seq(
+        Bgp.TriplePattern(Bgp.V("doc"), Bgp.C("urn:col:documents:lang"),
+          Bgp.C(Bgp.litId("en"))),
+        Bgp.TriplePattern(Bgp.V("doc"), Bgp.C("urn:col:documents:source"),
+          Bgp.V("src"))))
+    }),
+
+    // chain-shaped BGP over a predicate-labeled graph: ?a next ?b,
+    // ?b next ?c, ?a skip ?c — two different join variables plus a
+    // cycle-closing third pattern (the path/closure query shape)
+    "kg_bgp_path" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      def lbl(pred: String, off: Int) = n.select(
+        col("n_nationkey").cast("long").cast("string").as("subj_id"),
+        lit(pred).as("pred"),
+        ((col("n_nationkey") + off) % 25).cast("long").cast("string").as("obj_id"))
+      Bgp.matchPatterns(lbl("next", 1).union(lbl("skip", 2)), Seq(
+        Bgp.TriplePattern(Bgp.V("a"), Bgp.C("next"), Bgp.V("b")),
+        Bgp.TriplePattern(Bgp.V("b"), Bgp.C("next"), Bgp.V("c")),
+        Bgp.TriplePattern(Bgp.V("a"), Bgp.C("skip"), Bgp.V("c"))))
+    }),
+
+    // entity resolution over label variants: 5 deterministic variants per
+    // nation (labels are 12-hex sha256 prefixes, pairwise FAR apart so
+    // distinct entities can never merge): exact, case+punctuation,
+    // 2-char end typo, head typo (links via the SUFFIX block only), and
+    // a 3-edit variant that shares a block but must be REJECTED by the
+    // levenshtein verify. Expected: 25 clusters of 4 + 25 singletons.
+    "kg_entity_resolution" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val base = substring(sha2(col("n_name"), 256), 1, 12)
+      val idb = col("n_nationkey").cast("long") * 10
+      val ents = n.select(explode(array(
+        struct(idb.as("id"), base.as("label")),
+        struct((idb + 1).as("id"), concat(upper(base), lit(".")).as("label")),
+        struct((idb + 2).as("id"), concat(base, lit("xx")).as("label")),
+        struct((idb + 3).as("id"), substring(sha2(col("n_name"), 256), 2, 11).as("label")),
+        struct((idb + 4).as("id"), concat(base, lit("zzz")).as("label"))
+      )).as("e")).select(col("e.id").as("id"), col("e.label").as("label"))
+      EntityResolution.resolveEntities(ents, "id", "label", maxEdit = 2)
+    }),
+
+    // RDFS forward chaining: customer typed by nation class, nation
+    // subClassOf region, region subClassOf 'thing' — rdfs11 transitive
+    // closure (iterative doubling) + rdfs9 type inheritance over a
+    // broadcast vocabulary-sized hierarchy
+    "kg_rdfs_closure" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val sub = n.select(concat(lit("n:"), col("n_nationkey")).as("sub"),
+          concat(lit("r:"), col("n_regionkey")).as("sup"))
+        .union(n.select(concat(lit("r:"), col("n_regionkey")).as("sub"),
+          lit("thing").as("sup")))
+        .distinct()
+      val types = s.read.parquet(s"$dir/customer.parquet")
+        .select(concat(lit("c:"), col("c_custkey")).as("inst"),
+          concat(lit("n:"), col("c_nationkey")).as("cls"))
+      Inference.materializeTypes(types, "inst", "cls", sub, "sub", "sup")
+        .select(col("instance"), col("class"))
+    }),
+
+    // k-core (k=3) of a tree + K6-clique graph: the tree fringe peels
+    // away over several iterations (leaves first, then their parents),
+    // the clique survives — exercises the multi-round peeling fixpoint
+    "kg_kcore" -> ((s, dir) => {
+      val keys = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("i"))
+      val tree = keys.filter(col("i") >= 1)
+        .select(col("i").as("src"), expr("i DIV 2").as("dst"))
+      // clique pairs via ascending sequence explode (i < 5 keeps the
+      // sequence non-empty and ascending — Spark 4's sequence(a, b)
+      // DESCENDS when a > b)
+      val clique = keys.filter(col("i") < 5)
+        .select(col("i").as("src"), explode(sequence(col("i") + 1, lit(5))).as("dst"))
+      GraphOps.kCore(tree.union(clique), "src", "dst", k = 3)
+    }),
+
+    // long->wide property-table pivot of the materialized documents
+    // edges: one row per subject, a column per predicate, min-object
+    // determinism (the "KG to ML feature table" step)
+    "kg_property_table" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+      Materialize.propertyTable(e, Seq(
+          "urn:col:documents:lang", "urn:col:documents:source", "urn:col:documents:text"))
+        .select(col("subj_id").as("doc"),
+          col("urn:col:documents:lang").as("lang_id"),
+          col("urn:col:documents:source").as("source_id"),
+          col("urn:col:documents:text").as("text_id"))
+    }),
+
+    // integer-exact BM25 relevance: top-50 documents for a 3-term query
+    // (scores in scaled BIGINT arithmetic — see TextOps.bm25Scaled)
+    "td_bm25" -> ((s, dir) => {
+      TextOps.bm25Scaled(docs(s, dir), col("doc_id"), col("text"),
+          Seq("spark", "window", "merge"), 50)
+        .select(col("id").as("doc_id"), col("score_scaled"))
     })
   )
 
@@ -1018,6 +1121,15 @@ object SparkEntry {
        |      FROM e JOIN p$i p ON p.n = e.s JOIN deg g ON g.n = e.s GROUP BY 1),
        |p${i + 1} AS (SELECT nodes.n, CAST(150000000000 + COALESCE(c$i.s, 0) * 85 // 100 AS BIGINT) AS pr
        |      FROM nodes LEFT JOIN c$i ON c$i.n = nodes.n)""".stripMargin
+
+  /** One unrolled k-core peel round in DuckDB (degree, weak set, filtered
+    * edges) — mirrors GraphOps.kCore's fixpoint; extra rounds are
+    * idempotent once peeling stops, so a fixed unroll >= the actual
+    * round count reproduces the Spark fixpoint exactly. */
+  private def kcoreIterSql(i: Int, k: Int): String =
+    s"""d$i AS MATERIALIZED (SELECT n, count(*) dg FROM (SELECT a n FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY 1),
+       |w$i AS MATERIALIZED (SELECT n FROM d$i WHERE dg < $k),
+       |e${i + 1} AS MATERIALIZED (SELECT e$i.* FROM e$i WHERE a NOT IN (SELECT n FROM w$i) AND b NOT IN (SELECT n FROM w$i))""".stripMargin
 
   private def nationTripleSql(valueCol: String, colName: String, extra: String = "") =
     s"""SELECT 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
@@ -1837,6 +1949,108 @@ object SparkEntry {
          |${pagerankIterSql(1)},
          |${pagerankIterSql(2)}
          |SELECT n AS node_id, pr AS pr_scaled FROM p3""".stripMargin,
+
+    // star BGP with a pushed constant: docs with lang = 'en' and their
+    // source node — ids via the same n3+sha256 recipe as kg_edges
+    "kg_bgp_match" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS doc,
+         |       sha256('"' || source || '"^^<$XSD_STR>') AS src
+         |FROM documents WHERE lang = 'en'""".stripMargin,
+
+    // chain BGP over the labeled ring: each a matches exactly the
+    // (a, a+1, a+2) closure, because skip(a) = a+2 = next(next(a))
+    "kg_bgp_path" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS a,
+        |       CAST((n_nationkey + 1) % 25 AS VARCHAR) AS b,
+        |       CAST((n_nationkey + 2) % 25 AS VARCHAR) AS c
+        |FROM nation""".stripMargin,
+
+    // mirrors EntityResolution.resolveEntities: same variants, same
+    // normalization, same two block keys (incl. the greatest(1, ...)
+    // suffix-start definition), same levenshtein bound, CC via the
+    // established recursive-reach CTE, singletons label themselves
+    "kg_entity_resolution" ->
+      """WITH RECURSIVE ents AS (
+        |  SELECT CAST(n_nationkey * 10 AS BIGINT) id, substr(sha256(n_name), 1, 12) lbl FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 1, upper(substr(sha256(n_name), 1, 12)) || '.' FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 2, substr(sha256(n_name), 1, 12) || 'xx' FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 3, substr(sha256(n_name), 2, 11) FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 4, substr(sha256(n_name), 1, 12) || 'zzz' FROM nation),
+        |nz AS (SELECT id, regexp_replace(lower(lbl), '[^a-z0-9]+', '', 'g') norm FROM ents
+        |       WHERE length(regexp_replace(lower(lbl), '[^a-z0-9]+', '', 'g')) > 0),
+        |keys AS (SELECT DISTINCT id, norm, bkey FROM (
+        |  SELECT id, norm, 'p:' || substr(norm, 1, 4) bkey FROM nz
+        |  UNION ALL SELECT id, norm, 's:' || substr(norm, greatest(1, length(norm) - 3), 4) bkey FROM nz)),
+        |ok AS (SELECT bkey FROM keys GROUP BY 1 HAVING count(*) <= 1000),
+        |kb AS (SELECT keys.* FROM keys JOIN ok USING (bkey)),
+        |pairs AS (SELECT DISTINCT x.id a, y.id b FROM kb x JOIN kb y
+        |          ON x.bkey = y.bkey AND x.id < y.id AND levenshtein(x.norm, y.norm) <= 2),
+        |und AS MATERIALIZED (SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT x, x FROM (SELECT DISTINCT x FROM und)
+        |  UNION SELECT r.src, u.y FROM reach r JOIN und u ON u.x = r.dst),
+        |lab AS (SELECT src id, min(dst) canonical FROM reach GROUP BY 1)
+        |SELECT e.id, CAST(COALESCE(lab.canonical, e.id) AS BIGINT) AS canonical
+        |FROM ents e LEFT JOIN lab ON lab.id = e.id""".stripMargin,
+
+    // rdfs11 closure via recursive reach + rdfs9 inheritance join —
+    // asserted types plus every transitive superclass
+    "kg_rdfs_closure" ->
+      """WITH RECURSIVE sub AS (
+        |  SELECT DISTINCT 'n:' || CAST(n_nationkey AS VARCHAR) a, 'r:' || CAST(n_regionkey AS VARCHAR) b FROM nation
+        |  UNION SELECT DISTINCT 'r:' || CAST(n_regionkey AS VARCHAR), 'thing' FROM nation),
+        |reach(a, b) AS (SELECT a, b FROM sub UNION SELECT r.a, s.b FROM reach r JOIN sub s ON s.a = r.b),
+        |types AS (SELECT 'c:' || CAST(c_custkey AS VARCHAR) i, 'n:' || CAST(c_nationkey AS VARCHAR) c FROM customer)
+        |SELECT DISTINCT instance, class FROM (
+        |  SELECT i AS instance, c AS class FROM types
+        |  UNION ALL SELECT t.i, r.b FROM types t JOIN reach r ON r.a = t.c)""".stripMargin,
+
+    // tree + K6 clique; 6 unrolled peel rounds (the graph reaches its
+    // fixpoint in 3 — extra rounds are idempotent). Every CTE is
+    // MATERIALIZED: DuckDB inlines plain CTEs, and each round references
+    // its predecessor ~4 times, so the inlined tree re-evaluates e0
+    // exponentially (4^6 scans re-opening the parquet view exhausted the
+    // process fd limit)
+    "kg_kcore" ->
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) a, greatest(s, d) b FROM (
+         |    SELECT CAST(n_nationkey AS BIGINT) s, CAST(n_nationkey // 2 AS BIGINT) d FROM nation WHERE n_nationkey >= 1
+         |    UNION ALL
+         |    SELECT CAST(x.n_nationkey AS BIGINT), CAST(y.n_nationkey AS BIGINT) FROM nation x JOIN nation y
+         |      ON x.n_nationkey < y.n_nationkey AND y.n_nationkey <= 5
+         |  ) WHERE s <> d),
+         |${(0 until 6).map(kcoreIterSql(_, 3)).mkString(",\n")},
+         |core AS (SELECT DISTINCT n FROM (SELECT a n FROM e6 UNION ALL SELECT b FROM e6))
+         |SELECT n AS node_id FROM core""".stripMargin,
+
+    // pivot mirror: every doc has exactly one value per predicate, so
+    // min-object == the value; ids by the kg_edges sha256 recipe
+    "kg_property_table" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS doc,
+         |       sha256('"' || lang || '"^^<$XSD_STR>') AS lang_id,
+         |       sha256('"' || source || '"^^<$XSD_STR>') AS source_id,
+         |       sha256('"' || text || '"^^<$XSD_STR>') AS text_id
+         |FROM documents""".stripMargin,
+
+    // same integer BM25 formula (rational idf, 20L-cleared denominator);
+    // DuckDB's HUGEINT sum is CAST back to BIGINT per the r3 rule.
+    // The numerator must be HUGEINT, NOT DECIMAL(38,0): DuckDB's `//`
+    // on DECIMAL operands divides at scale 0 with ROUNDING before the
+    // floor (371646.56 -> 371647), while HUGEINT `//` is exact floor —
+    // which is what Spark's DIV (truncating integral divide) computes
+    "td_bm25" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) dl FROM documents),
+        |tot AS (SELECT count(*) n, CAST(sum(dl) AS BIGINT) l FROM d),
+        |tf AS (SELECT doc_id, t term, count(*) tf
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents)
+        |       WHERE t IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |idf AS (SELECT term, CAST(((n - df) * 1000000) // (df + 1) AS BIGINT) idf FROM df, tot),
+        |c AS (SELECT tf.doc_id,
+        |             CAST((CAST(idf.idf AS HUGEINT) * 44 * l * tf) //
+        |                  (20*l*tf + 6*l + 18*d.dl*n) AS BIGINT) contrib
+        |      FROM tf JOIN idf USING (term) JOIN d ON d.doc_id = tf.doc_id, tot)
+        |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_scaled FROM c GROUP BY 1
+        |ORDER BY score_scaled DESC, doc_id LIMIT 50""".stripMargin,
 
     // same scaled-integer iteration over the materialized corpus edge
     // list: term ids by the kg_edges sha256 formulas, then the 60-bit

@@ -151,6 +151,85 @@ object GraphOps {
   }
 
   /**
+   * Transitive closure of a directed relation by ITERATIVE DOUBLING:
+   * paths' = paths UNION (paths JOIN paths), so path length covered
+   * doubles each round and a diameter-D hierarchy closes in O(log D)
+   * joins — the property that matters for deep ontology chains, where
+   * naive one-hop expansion (frontier semi-naive) costs D shuffle
+   * rounds. Each round is one equi-join + distinct; lineage cut and
+   * convergence detected by a count+xor checksum action (same recipe as
+   * connectedComponents). Output: distinct (src, dst) with src <> dst
+   * reachable in >= 1 step.
+   *
+   * Closure SIZE is inherently O(n*reach) — at web scale you close
+   * curated hierarchy predicates (subClassOf over a vocabulary), never
+   * the instance graph; `maxIter` bounds runaway inputs.
+   */
+  def transitiveClosure(edges: DataFrame, src: String, dst: String,
+                        maxIter: Int = 20): DataFrame = {
+    var paths = edges.select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+
+    def checksum(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var cs = checksum(paths)
+    var converged = paths.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val hop = paths.as("l").join(paths.as("r"), col("l.b") === col("r.a"))
+        .select(col("l.a").as("a"), col("r.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      paths = paths.union(hop).distinct().localCheckpoint(true)
+      val next = checksum(paths)
+      converged = next == cs
+      cs = next
+      i += 1
+    }
+    require(converged, s"transitiveClosure: not closed after $maxIter doubling rounds " +
+      "(covers paths up to 2^iter hops — the input is deeper than expected or cyclic " +
+      "beyond the bound)")
+    paths
+  }
+
+  /**
+   * k-core: the maximal subgraph where every node has degree >= k, by
+   * the standard ITERATIVE PEELING fixpoint — drop nodes of degree < k,
+   * recompute, repeat. Peeling a layer is one degree aggregate + two
+   * anti-joins on the (uniformly hashed) node id; rounds are bounded by
+   * the graph's degeneracy layering, and each round's cost shrinks with
+   * the surviving edge set. The k-core is where KG curation looks for
+   * the "dense nucleus" (well-connected entities) vs peelable fringe.
+   *
+   * Input treated as undirected, self-loops dropped. Output: (node_id)
+   * rows — the members of the k-core (empty frame if none).
+   */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+            maxIter: Int = 100): DataFrame = {
+    var e = edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val weak = deg.filter(col("dg") < k).select("n").localCheckpoint(true)
+      if (weak.isEmpty) done = true
+      else {
+        e = e.join(weak.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
+          .join(weak.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
+          .localCheckpoint(true)
+        i += 1
+      }
+    }
+    require(done, s"kCore: peeling did not reach a fixpoint in $maxIter rounds")
+    e.select(col("a").as("node_id")).union(e.select(col("b").as("node_id"))).distinct()
+  }
+
+  /**
    * Connected components by alternating large-star / small-star
    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
    * SoCC'14 — the published O(log n)-round algorithm): edges are kept

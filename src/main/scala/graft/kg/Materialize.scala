@@ -89,6 +89,30 @@ object Materialize {
       col("repo"), col("path"), col("commit"), col("line"))
 
   /**
+   * Property-table pivot: the edges (subj_id, pred, obj_id) long format
+   * -> ONE WIDE ROW PER SUBJECT with a column per requested predicate —
+   * the "KG to ML feature table" step (and the physical layout RDF
+   * stores call a property table). Multi-valued predicates keep the
+   * MINIMUM object id: deterministic, engine-independent (a bare
+   * `first()` would depend on partition order and could never be
+   * hash-checked — same reasoning as the scaled-integer PageRank).
+   *
+   * Scale shape: predicates are projected to conditional-aggregate
+   * columns BEFORE the aggregate, so the shuffle carries exactly one
+   * (subj_id, k columns) row per input edge and combines map-side; one
+   * shuffle total, keyed on the uniformly-distributed sha256 subject.
+   * The predicate list is an explicit argument (vocabulary-sized, known
+   * to the pipeline author) — never inferred with a driver-side
+   * distinct-collect over the corpus.
+   */
+  def propertyTable(edgesDf: DataFrame, preds: Seq[String]): DataFrame = {
+    require(preds.nonEmpty, "propertyTable: empty predicate list")
+    val aggs = preds.map(p =>
+      min(when(col("pred") === lit(p), col("obj_id"))).as(p))
+    edgesDf.groupBy(col("subj_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * E7+: bucketed (hash-clustered, sorted) edges table in the session
    * catalog. Bucketing on subj_id means every downstream self-join /
    * graph-traversal join on subject is SHUFFLE-FREE (bucket pruning +

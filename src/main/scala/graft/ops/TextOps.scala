@@ -223,6 +223,56 @@ object TextOps {
   }
 
   /**
+   * BM25 relevance ranking of documents against a bag-of-words query —
+   * the retrieval scorer behind training-data relevance filtering and
+   * RAG-corpus selection — in EXACT integer arithmetic so results are
+   * bit-portable across engines (the float/log formula is not).
+   *
+   * Real BM25 (k1 = 1.2, b = 0.75):
+   *   sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+   * Two substitutions, both monotone in the real quantities:
+   *   - idf_scaled = ((N - df) * 1000000) DIV (df + 1): the Robertson
+   *     idf argument (N - df + .5)/(df + .5) without the log — log is
+   *     monotone, so per-term ordering is preserved, and the scale
+   *     factor keeps integer resolution;
+   *   - avgdl enters as the exact rational L/N (L = total tokens).
+   * Multiplying numerator and denominator by 20*L turns the per-term
+   * contribution into pure integers:
+   *   (idf_scaled * 44 * L * tf) DIV (20*L*tf + 6*L + 18*dl*N)
+   * The numerator is DECIMAL(38,0) (idf ~ 1e6*N, times L*tf overflows
+   * Long at web scale); the quotient and the final sum fit BIGINT.
+   *
+   * Scale shape: the token explode filters to QUERY terms before any
+   * shuffle (the tf aggregate carries only hit rows); df and idf are
+   * query-vocabulary-sized broadcasts; N and L attach as a single-row
+   * broadcast; the doc-length join keys on doc id; top-k is a
+   * TakeOrderedAndProject with ties broken by id.
+   *
+   * Output: (id, score_scaled), top-k by (score DESC, id ASC).
+   */
+  def bm25Scaled(docs: DataFrame, id: Column, text: Column,
+                 queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scaled: empty query")
+    val d = docs.select(id.as("id"), size(split(text, " ")).as("dl"))
+      .localCheckpoint(true) // feeds totals AND the per-doc join
+    val tot = d.agg(count(lit(1)).as("nn"), sum(col("dl")).as("ll"))
+    val tf = docs.select(id.as("id"), explode(split(text, " ")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds df AND the contribution join
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .join(d, Seq("id"))
+      .crossJoin(broadcast(tot))
+      .select(col("id"),
+        expr("(CAST(((nn - df) * 1000000) DIV (df + 1) AS DECIMAL(38,0)) * 44 * ll * tf)" +
+          " DIV (20*ll*tf + 6*ll + 18*dl*nn)").as("contrib"))
+      .groupBy("id").agg(sum(col("contrib")).cast("long").as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /**
    * Per-document salient terms: the k terms that best characterize each
    * document, ranked by (document frequency ASC, term frequency DESC,
    * term ASC) — the TF-IDF ordering expressed with integers only. A

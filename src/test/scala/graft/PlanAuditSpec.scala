@@ -16,10 +16,10 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // td_ann_topk is the documented EXACT baseline: a broadcast nested-loop
   // of a tiny query set against the corpus is its intended shape.
-  // td_collocations attaches the grand-total scalar (a no-grouping
-  // aggregate, <= 1 row by construction) via a single-row broadcast
-  // cross join — bounded at any scale, not an all-pairs risk.
-  private val allPairsAllowed = Set("td_ann_topk", "td_collocations")
+  // td_collocations and td_bm25 attach grand-total scalars (no-grouping
+  // aggregates, <= 1 row by construction) via single-row broadcast
+  // cross joins — bounded at any scale, not an all-pairs risk.
+  private val allPairsAllowed = Set("td_ann_topk", "td_collocations", "td_bm25")
 
   test("no driver query plans a cartesian / broadcast nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
@@ -116,6 +116,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), plan.take(800))
     assert(!plan.contains("Exchange"),
       s"bucketed subject self-join still shuffles:\n${plan.take(1200)}")
+  }
+
+  test("BGP star patterns over the bucketed edges table join without Exchange") {
+    // the F1 operator composed with the E7 layout: every pattern of a
+    // star BGP keys its join on subj_id, so over the bucketed table the
+    // whole match is shuffle-free — the property that makes repeated
+    // KG-pattern queries viable at 100 TB.
+    import graft.kg.Bgp
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    SparkEntry.queries("kg_bucketed_traversal")(s2, dir).collect() // materializes the table
+    val t = s2.table("graft_edges_bucketed")
+    val plan = Bgp.matchPatterns(t, Seq(
+      Bgp.TriplePattern(Bgp.V("e"), Bgp.C("urn:col:nation:n_name"), Bgp.V("name")),
+      Bgp.TriplePattern(Bgp.V("e"), Bgp.C("urn:col:nation:n_regionkey"), Bgp.V("rk"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("Exchange"),
+      s"bucketed star BGP still shuffles:\n${plan.take(1200)}")
   }
 
   test("latest-state compaction plans a per-key top-1, not a full sort") {

@@ -1,0 +1,149 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/**
+ * The KG *query* layer over the constructed graph: BGP matching ([[Bgp]]),
+ * entity resolution ([[EntityResolution]]), RDFS forward chaining
+ * ([[Inference]]), and the k-core / transitive-closure additions to
+ * [[GraphOps]].
+ */
+class GraphQuerySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import Bgp.{C, TriplePattern, V}
+
+  private def edges(rows: (String, String, String)*) =
+    rows.toDF("subj_id", "pred", "obj_id")
+
+  test("BGP star pattern with a selective constant") {
+    val e = edges(
+      ("d1", "lang", "en"), ("d1", "source", "web"),
+      ("d2", "lang", "fr"), ("d2", "source", "web"),
+      ("d3", "lang", "en"), ("d3", "source", "book"))
+    val out = Bgp.matchPatterns(e, Seq(
+      TriplePattern(V("doc"), C("lang"), C("en")),
+      TriplePattern(V("doc"), C("source"), V("src"))))
+    assert(out.columns.toSet === Set("doc", "src"))
+    assert(out.collect().map(r => (r.getAs[String]("doc"), r.getAs[String]("src"))).toSet ===
+      Set(("d1", "web"), ("d3", "book")))
+  }
+
+  test("BGP chain pattern joins across different variables") {
+    val e = edges(("a", "next", "b"), ("b", "next", "c"), ("a", "skip", "c"),
+      ("x", "next", "y"))
+    val out = Bgp.matchPatterns(e, Seq(
+      TriplePattern(V("p"), C("next"), V("q")),
+      TriplePattern(V("q"), C("next"), V("r")),
+      TriplePattern(V("p"), C("skip"), V("r"))))
+    assert(out.collect().map(r =>
+      (r.getAs[String]("p"), r.getAs[String]("q"), r.getAs[String]("r"))).toSeq ===
+      Seq(("a", "b", "c")))
+  }
+
+  test("a variable repeated within one pattern binds by equality (self-loops)") {
+    val e = edges(("a", "p", "a"), ("a", "p", "b"), ("c", "p", "c"))
+    val out = Bgp.matchPatterns(e, Seq(TriplePattern(V("x"), C("p"), V("x"))))
+    assert(out.collect().map(_.getAs[String]("x")).toSet === Set("a", "c"))
+  }
+
+  test("disconnected patterns are rejected, not cross-joined") {
+    val e = edges(("a", "p", "b"))
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.matchPatterns(e, Seq(
+        TriplePattern(V("x"), C("p"), V("y")),
+        TriplePattern(V("u"), C("p"), V("v"))))
+    }
+    assert(ex.getMessage.contains("disconnected"))
+  }
+
+  test("Bgp constant ids reproduce Canonicalize.nodeId exactly") {
+    val df = Seq(
+      (RdfTerm.IRI, "http://Ex.org:80/a", null: String, null: String),
+      (RdfTerm.LITERAL, "hi", null: String, "http://www.w3.org/2001/XMLSchema#string"),
+      (RdfTerm.LITERAL, "bonjour", "fr", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+      .toDF("kind", "value", "lang", "dt")
+      .select(struct(col("kind").cast("byte").as("kind"), col("value"),
+        col("lang"), col("dt")).as("t"))
+    val ids = df.select(Canonicalize.nodeId(
+      // nodeId expects canonicalized terms; canonicalize the IRI first
+      when(col("t.kind") === lit(RdfTerm.IRI),
+        struct(col("t.kind"), Canonicalize.canonicalIri(col("t.value")).as("value"),
+          col("t.lang"), col("t.dt"))).otherwise(col("t"))).as("id"))
+      .collect().map(_.getString(0))
+    assert(ids(0) === Bgp.iriId("http://Ex.org:80/a"))
+    assert(ids(1) === Bgp.litId("hi"))
+    assert(ids(2) === Bgp.litId("bonjour",
+      dt = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", lang = Some("fr")))
+  }
+
+  test("entity resolution links variants, rejects beyond maxEdit, keeps singletons") {
+    val ents = Seq(
+      (1L, "Acme Corporation"), (2L, "ACME-corporation."), (3L, "acmecorporationx"),
+      (4L, "cmecorporation"),   // head typo: suffix block only
+      (5L, "acmecorporationzzz"), // 3 edits: candidate, must be rejected
+      (6L, "Zenith Widgets")     // unrelated singleton
+    ).toDF("id", "label")
+    val got = EntityResolution.resolveEntities(ents, "id", "label", maxEdit = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L))
+  }
+
+  test("mega-blocks are dropped from pairing and visible in blockStats") {
+    val many = (1 to 200).map(i => (i.toLong, f"aaaa-suffix$i%04d")).toDF("id", "label")
+    val stats = EntityResolution.blockStats(many, "id", "label", maxBlock = 100)
+      .filter(col("dropped")).collect()
+    assert(stats.nonEmpty, "expected the shared-prefix block to be flagged")
+    // with the discriminative blocks intact, distinct suffixes stay apart
+    val resolved = EntityResolution.resolveEntities(many, "id", "label",
+      maxEdit = 1, maxBlock = 100)
+    assert(resolved.filter(col("id") =!= col("canonical")).count() === 0)
+  }
+
+  test("transitive closure of a deep chain and a cycle") {
+    val chain = (0 until 8).map(i => (i.toLong, i + 1L)).toDF("s", "d")
+    val closed = GraphOps.transitiveClosure(chain, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for (a <- 0 to 8; b <- a + 1 to 8) yield (a.toLong, b.toLong)).toSet
+    assert(closed === expected)
+
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val cc = GraphOps.transitiveClosure(cycle, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cc === (for (a <- 1L to 3L; b <- 1L to 3L if a != b) yield (a, b)).toSet)
+  }
+
+  test("rdfs9 materialization inherits every transitive superclass") {
+    val sub = Seq(("cat", "mammal"), ("mammal", "animal"), ("animal", "thing"))
+      .toDF("sub", "sup")
+    val types = Seq(("felix", "cat"), ("rex", "animal")).toDF("inst", "cls")
+    val got = Inference.materializeTypes(types, "inst", "cls", sub, "sub", "sup")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("felix", "cat"), ("felix", "mammal"), ("felix", "animal"), ("felix", "thing"),
+      ("rex", "animal"), ("rex", "thing")))
+  }
+
+  test("property-table pivot: one wide row per subject, min-object determinism") {
+    val e = Seq(
+      ("s1", "name", "n1"), ("s1", "type", "tB"), ("s1", "type", "tA"),
+      ("s2", "name", "n2"))
+      .toDF("subj_id", "pred", "obj_id")
+    val got = Materialize.propertyTable(e, Seq("name", "type"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // multi-valued 'type' keeps the MIN object; missing 'type' is null
+    assert(got === Set(("s1", "n1", "tA"), ("s2", "n2", null)))
+  }
+
+  test("k-core peels the tree fringe over multiple rounds, keeps the clique") {
+    val tree = (1 to 24).map(i => (i.toLong, (i / 2).toLong)).toDF("src", "dst")
+    val clique = (for (a <- 0 to 5; b <- a + 1 to 5) yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val core = GraphOps.kCore(tree.union(clique), "src", "dst", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(core === Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // k above the clique degree: nothing survives
+    assert(GraphOps.kCore(clique, "src", "dst", k = 6).count() === 0)
+  }
+}

@@ -202,6 +202,24 @@ object Bench {
 
   private var skewRes: Option[(Long, Long, Double)] = None
 
+  /** Round-4 KG query-layer ops, timed best-of-2 on the warm session —
+    * informational (not part of the pinned headline set, which stays
+    * fixed for cross-round comparability). */
+  private val queryOpNames = Seq("kg_bgp_match", "kg_entity_resolution",
+    "kg_rdfs_closure", "kg_property_table", "td_bm25")
+  private var queryOps: Option[Seq[(String, Double)]] = None
+
+  private def timeQueryOps(s: SparkSession, sfDir: String): Seq[(String, Double)] =
+    queryOpNames.map { n =>
+      try {
+        val t1 = timed(SparkEntry.queries(n)(s, sfDir).count())._2
+        val t2 = timed(SparkEntry.queries(n)(s, sfDir).count())._2
+        n -> math.min(t1, t2)
+      } catch { // surface as -1, never a crashed artifact
+        case e: Throwable => System.err.println(s"[bench] $n: $e"); n -> -1.0
+      }
+    }
+
   /**
    * Single-thread ALU storm-o-meter: sha256 ops/s over a hot 64 KB buffer,
    * best-of-3. Cache-resident and compute-bound, so on an idle VM it reads
@@ -288,6 +306,7 @@ object Bench {
         qSamples = headline.map(n => n -> (samples(n): Seq[Double])).toMap
         vecAb = Some(vecCosineAb(spark1, sfDir))
         skewRes = Some(dedupSkew(spark1, sfDir))
+        queryOps = Some(timeQueryOps(spark1, sfDir))
         spark1.stop()
         headline.map(n => n -> (if (samples(n).isEmpty) -1.0 else samples(n).min))
       }
@@ -471,8 +490,12 @@ object Bench {
       s""","dedup_skew":{"clones":$k,"candidates":$cands,"sec":${"%.3f".format(sec)},""" +
         s""""note":"LSH candidates over the corpus + an injected $k-copy duplicate cluster; clique would be ~${k * (k + 1) / 2} pairs, keeper star keeps it linear"}"""
     }.getOrElse("")
+    val queryOpsJson = queryOps.map { ops =>
+      val fields = ops.map { case (n, sec) => s""""$n":${"%.3f".format(sec)}""" }.mkString(",")
+      s""","kg_query_ops":{$fields,"note":"round-4 KG query layer (BGP match, entity resolution, RDFS closure, property pivot, BM25), best-of-2 on the warm session; informational, not in the pinned headline set"}"""
+    }.getOrElse("")
     val jsonLine =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","parse_link_scaling":$scaling$vecJson$skewJson$headlineMeta}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","parse_link_scaling":$scaling$vecJson$skewJson$queryOpsJson$headlineMeta}"""
     println(jsonLine)
     // mirror to a file so the number registers even if stdout is mangled
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

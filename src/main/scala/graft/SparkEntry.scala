@@ -957,9 +957,15 @@ object SparkEntry {
     // SPARQL-style basic-graph-pattern match over the MATERIALIZED
     // documents edges: a star pattern with a selective constant
     // (lang = "en" by node id, pushed to the scan) and a free variable
-    // (?src) — the KG query primitive over what the parser built
+    // (?src) — the KG query primitive over what the parser built.
+    // localCheckpoint = "materialize edges, then match": every pattern
+    // of a BGP scans the edge relation, so matching over a derived
+    // frame would re-run the corpus parse once per pattern (over the
+    // real bucketed edges TABLE the scans are free and Exchange-free —
+    // PlanAuditSpec gates that plan)
     "kg_bgp_match" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
       Bgp.matchPatterns(e, Seq(
         Bgp.TriplePattern(Bgp.V("doc"), Bgp.C("urn:col:documents:lang"),
           Bgp.C(Bgp.litId("en"))),

@@ -83,6 +83,10 @@ object EntityResolution {
       .distinct() // the two passes re-find the same pair; verify once
       .filter(levenshtein(col("na"), col("nb")) <= maxEdit)
       .select("a", "b")
+      // feeds CC's per-round contraction AND its node universe AND the
+      // final label join — materialize the (small) verified edge list
+      // once instead of re-running the block self-join per consumer
+      .localCheckpoint(true)
     val (labels, converged) =
       GraphOps.connectedComponentsWithStatus(pairs, "a", "b", maxIter = 50)
     require(converged, "resolveEntities: connected components did not converge")

@@ -195,7 +195,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "td_seq_pack" -> 5, "td_sketch_distinct" -> 3,
       "td_sketch_countmin" -> 2, "td_inverted_index" -> 2,
       "td_ngram_topk" -> 2, "td_interdoc_dedup" -> 6,
-      "td_salient_terms" -> 2, "td_split_leakfree" -> 8)
+      "td_salient_terms" -> 2, "td_split_leakfree" -> 8,
+      "kg_property_table" -> 2, "kg_bgp_match" -> 0, "td_bm25" -> 3,
+      "kg_rdfs_closure" -> 1, "kg_entity_resolution" -> 3)
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,109 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/**
+ * Randomized differentials for the KG query layer: each distributed
+ * operator vs an obviously-correct in-memory brute force on seeded
+ * random inputs. Catches the class of bug a hand-picked fixture can't:
+ * join-plan edge cases that only appear on particular graph shapes.
+ */
+class GraphQueryDifferentialSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import Bgp.{C, TriplePattern, V}
+
+  test("BGP match equals brute-force pattern enumeration on random graphs") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val nodes = (0 until 12).map(i => s"n$i")
+      val preds = Seq("p", "q", "r")
+      val es = Seq.fill(60)((nodes(rnd.nextInt(12)), preds(rnd.nextInt(3)), nodes(rnd.nextInt(12)))).distinct
+      val df = es.toDF("subj_id", "pred", "obj_id")
+      // chain with a constant mid-pattern: ?a p ?b . ?b q ?c
+      val got = Bgp.matchPatterns(df, Seq(
+        TriplePattern(V("a"), C("p"), V("b")),
+        TriplePattern(V("b"), C("q"), V("c"))))
+        .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[String]("c")))
+        .sorted.toSeq
+      val brute = (for {
+        (s1, p1, o1) <- es if p1 == "p"
+        (s2, p2, o2) <- es if p2 == "q" && s2 == o1
+      } yield (s1, o1, o2)).sorted
+      assert(got === brute, s"trial $trial")
+      // star with object constant: ?x p n0 . ?x r ?y
+      val got2 = Bgp.matchPatterns(df, Seq(
+        TriplePattern(V("x"), C("p"), C("n0")),
+        TriplePattern(V("x"), C("r"), V("y"))))
+        .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y"))).sorted.toSeq
+      val brute2 = (for {
+        (s1, p1, o1) <- es if p1 == "p" && o1 == "n0"
+        (s2, p2, o2) <- es if p2 == "r" && s2 == s1
+      } yield (s1, o2)).sorted
+      assert(got2 === brute2, s"trial $trial star")
+    }
+  }
+
+  test("k-core equals the sequential peeling fixpoint on random graphs") {
+    val rnd = new Random(7)
+    for ((n, m, k) <- Seq((15, 30, 2), (20, 60, 3), (25, 40, 3))) {
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = GraphOps.kCore(es.toDF("src", "dst"), "src", "dst", k)
+        .collect().map(_.getLong(0)).toSet
+      // brute force: peel sequentially until stable
+      var und = es.map { case (a, b) => (a min b, a max b) }.filter(p => p._1 != p._2).distinct
+      var stable = false
+      while (!stable) {
+        val deg = und.flatMap(p => Seq(p._1, p._2)).groupBy(identity).map { case (x, xs) => x -> xs.size }
+        val weak = deg.filter(_._2 < k).keySet
+        if (weak.isEmpty) stable = true
+        else und = und.filter(p => !weak(p._1) && !weak(p._2))
+      }
+      val brute = und.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(got === brute, s"n=$n m=$m k=$k")
+    }
+  }
+
+  test("transitive closure equals iterated-BFS reachability on random DAG-ish graphs") {
+    val rnd = new Random(13)
+    for (trial <- 1 to 3) {
+      // mix of forward edges (dag) + a few back edges (cycles)
+      val es = (Seq.fill(25) { val a = rnd.nextInt(14); (a.toLong, (a + 1 + rnd.nextInt(15 - a)).toLong % 15) } ++
+        Seq.fill(3)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))).filter(p => p._1 != p._2).distinct
+      val got = GraphOps.transitiveClosure(es.toDF("s", "d"), "s", "d")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val adj = es.groupBy(_._1).map { case (a, xs) => a -> xs.map(_._2).toSet }
+      def reach(a: Long): Set[Long] = {
+        var seen = Set.empty[Long]; var frontier = adj.getOrElse(a, Set.empty)
+        while (frontier.nonEmpty) {
+          seen ++= frontier
+          frontier = frontier.flatMap(x => adj.getOrElse(x, Set.empty)) -- seen
+        }
+        seen - a
+      }
+      val brute = adj.keySet.flatMap(a => reach(a).map(b => (a, b)))
+      assert(got === brute, s"trial $trial")
+    }
+  }
+
+  test("entity resolution never false-merges and recovers single-end-edit variants") {
+    val rnd = new Random(99)
+    // far-apart random base labels (hex-ish), each with a tail-edit variant
+    val bases = (0 until 20).map(i => (0 until 10).map(_ => "abcdef0123456789".charAt(rnd.nextInt(16))).mkString)
+      .distinct
+    val ents = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq((i * 2L, b), (i * 2L + 1, b.dropRight(1) + "z")) // 1 substitution at the tail
+    }
+    val got = EntityResolution.resolveEntities(ents.toDF("id", "label"), "id", "label", maxEdit = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute truth: cluster iff levenshtein <= 2 transitively. Random
+    // 10-hex strings are pairwise far, so truth = the 2-element pairs —
+    // verify no cross-base merge and every variant pair linked (the edit
+    // is at the tail, so the PREFIX block must catch it)
+    for (i <- bases.indices) {
+      assert(got(i * 2L) === got(i * 2L + 1), s"variant pair $i split")
+    }
+    assert(got.values.toSet.size === bases.size, "cross-base false merge")
+  }
+}

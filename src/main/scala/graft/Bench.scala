@@ -211,12 +211,20 @@ object Bench {
 
   private def timeQueryOps(s: SparkSession, sfDir: String): Seq[(String, Double)] =
     queryOpNames.map { n =>
-      try {
-        val t1 = timed(SparkEntry.queries(n)(s, sfDir).count())._2
-        val t2 = timed(SparkEntry.queries(n)(s, sfDir).count())._2
-        n -> math.min(t1, t2)
-      } catch { // surface as -1, never a crashed artifact
-        case e: Throwable => System.err.println(s"[bench] $n: $e"); n -> -1.0
+      // noop-sink materialization, NOT count(): count() lets Catalyst
+      // prune every projection the query exists to compute (the
+      // kg_property_table pivot would degenerate to a subject distinct)
+      def once: Option[Double] =
+        try Some(timed(SparkEntry.queries(n)(s, sfDir)
+          .write.format("noop").mode("overwrite").save())._2)
+        catch { case e: Throwable => System.err.println(s"[bench] $n: $e"); None }
+      // per-run try so one transient failure doesn't discard the other
+      // sample; -1 in the artifact only when BOTH runs failed
+      (once, once) match {
+        case (Some(a), Some(b)) => n -> math.min(a, b)
+        case (Some(a), None)    => n -> a
+        case (None, Some(b))    => n -> b
+        case (None, None)       => n -> -1.0
       }
     }
 

@@ -988,6 +988,22 @@ object SparkEntry {
         Bgp.TriplePattern(Bgp.V("a"), Bgp.C("skip"), Bgp.V("c"))))
     }),
 
+    // SPARQL OPTIONAL: 'skip' edges exist only for EVEN nodes, so the
+    // optional group binds ?c for half the rows and NULL for the rest —
+    // the left-join semantics of the well-designed OPTIONAL fragment
+    "kg_bgp_optional" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      def lbl(pred: String, off: Int) = n.select(
+        col("n_nationkey").cast("long").cast("string").as("subj_id"),
+        lit(pred).as("pred"),
+        ((col("n_nationkey") + off) % 25).cast("long").cast("string").as("obj_id"))
+      val e = lbl("next", 1)
+        .union(lbl("skip", 2).filter(col("subj_id").cast("long") % 2 === 0))
+      Bgp.matchWithOptional(e,
+        Seq(Bgp.TriplePattern(Bgp.V("a"), Bgp.C("next"), Bgp.V("b"))),
+        Seq(Seq(Bgp.TriplePattern(Bgp.V("a"), Bgp.C("skip"), Bgp.V("c")))))
+    }),
+
     // entity resolution over label variants: 5 deterministic variants per
     // nation (labels are 12-hex sha256 prefixes, pairwise FAR apart so
     // distinct entities can never merge): exact, case+punctuation,
@@ -1969,6 +1985,14 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS VARCHAR) AS a,
         |       CAST((n_nationkey + 1) % 25 AS VARCHAR) AS b,
         |       CAST((n_nationkey + 2) % 25 AS VARCHAR) AS c
+        |FROM nation""".stripMargin,
+
+    // the optional group resolves closed-form: even nodes bind c = a+2
+    "kg_bgp_optional" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS a,
+        |       CAST((n_nationkey + 1) % 25 AS VARCHAR) AS b,
+        |       CASE WHEN n_nationkey % 2 = 0
+        |            THEN CAST((n_nationkey + 2) % 25 AS VARCHAR) END AS c
         |FROM nation""".stripMargin,
 
     // mirrors EntityResolution.resolveEntities: same variants, same

@@ -56,11 +56,16 @@ object Bgp {
     sha256Hex("<" + IriCanon.canonicalString(iri) + ">")
 
   /** Node id of a literal constant (n3 always prints the datatype,
-    * reference types.scala:34-38). */
+    * reference types.scala:34-38). A language-tagged literal is typed
+    * rdf:langString per RDF 1.1 — the parser always materializes that
+    * pairing (terms.scala:49), so defaulting dt to xsd:string alongside
+    * a lang tag would hash an id no edge can ever carry. */
   def litId(value: String,
-            dt: String = "http://www.w3.org/2001/XMLSchema#string",
-            lang: Option[String] = None): String =
-    sha256Hex("\"" + value + "\"" + lang.map("@" + _).getOrElse("") + "^^<" + dt + ">")
+            dt: String = RdfTerm.XsdString,
+            lang: Option[String] = None): String = {
+    val dtEff = if (lang.isDefined && dt == RdfTerm.XsdString) RdfTerm.RdfLangString else dt
+    sha256Hex("\"" + value + "\"" + lang.map("@" + _).getOrElse("") + "^^<" + dtEff + ">")
+  }
 
   /**
    * Match `patterns` against an edges frame with columns
@@ -99,6 +104,43 @@ object Bgp {
           "the patterns before it (reorder, or run components separately) — " +
           "a cartesian product at KG scale is always a bug")
       acc.join(r, shared, "inner")
+    }
+  }
+
+  /**
+   * BGP with SPARQL OPTIONAL groups: `required` matches as
+   * [[matchPatterns]]; each optional group is itself a BGP, matched
+   * independently and LEFT-joined to the required bindings on its
+   * shared variables — rows keep their required bindings and take NULL
+   * for the group's new variables when the group has no match.
+   *
+   * Restricted to the WELL-DESIGNED case (Pérez et al., "Semantics and
+   * Complexity of SPARQL", TODS'09 — the fragment where OPTIONAL is
+   * exactly a left outer join): every group must share >= 1 variable
+   * with `required`, and a variable bound by one optional group may not
+   * appear in another (cross-group correlation reintroduces the
+   * non-monotone cases that need bag-difference plans, and is almost
+   * always a query bug). Each group is one equi-left-join keyed on the
+   * shared variables — same shuffle shape as the inner joins.
+   */
+  def matchWithOptional(edges: DataFrame, required: Seq[TriplePattern],
+                        optional: Seq[Seq[TriplePattern]]): DataFrame = {
+    val base = matchPatterns(edges, required)
+    val reqVars = base.columns.toSet
+    val newVarsSeen = scala.collection.mutable.Set.empty[String]
+    optional.foldLeft(base) { (acc, group) =>
+      val g = matchPatterns(edges, group)
+      val shared = g.columns.toSeq.filter(reqVars.contains)
+      require(shared.nonEmpty,
+        s"optional group ${group.mkString(", ")} shares no variable with the " +
+          "required pattern — an unanchored OPTIONAL is a cartesian product")
+      val fresh = g.columns.toSeq.filterNot(reqVars.contains)
+      val overlap = fresh.filter(newVarsSeen.contains)
+      require(overlap.isEmpty,
+        s"variable(s) ${overlap.mkString(", ")} bound by two optional groups — " +
+          "only well-designed patterns (each optional var bound once) are supported")
+      newVarsSeen ++= fresh
+      acc.join(g, shared, "left")
     }
   }
 }

@@ -53,7 +53,12 @@ object EntityResolution {
         concat(lit("s:"), col("norm").substr(
           greatest(lit(1), length(col("norm")) - (prefixLen - 1)), lit(prefixLen)))
       )).as("bkey"))
-      .distinct() // short norms make prefix == suffix; emit the block once
+      // defensive only — the 'p:'/'s:' markers keep the two keys distinct
+      // even when a short norm's prefix equals its suffix; this dedups
+      // nothing unless the INPUT carries duplicate (id, label) rows.
+      // The DuckDB oracle carries the same DISTINCT so both engines see
+      // identical block membership either way.
+      .distinct()
   }
 
   /** Blocking observability: (bkey, n_members, dropped) — the mega-block

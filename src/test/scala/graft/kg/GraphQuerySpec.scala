@@ -48,6 +48,33 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(out.collect().map(_.getAs[String]("x")).toSet === Set("a", "c"))
   }
 
+  test("OPTIONAL groups left-join: bind where matched, NULL where not") {
+    val e = edges(
+      ("d1", "lang", "en"), ("d1", "title", "t1"),
+      ("d2", "lang", "fr"))
+    val out = Bgp.matchWithOptional(e,
+      Seq(TriplePattern(V("d"), C("lang"), V("l"))),
+      Seq(Seq(TriplePattern(V("d"), C("title"), V("t")))))
+    assert(out.collect().map(r =>
+      (r.getAs[String]("d"), r.getAs[String]("l"), r.getAs[String]("t"))).toSet ===
+      Set(("d1", "en", "t1"), ("d2", "fr", null)))
+  }
+
+  test("OPTIONAL rejects unanchored groups and doubly-bound variables") {
+    val e = edges(("a", "p", "b"))
+    val req = Seq(TriplePattern(V("x"), C("p"), V("y")))
+    val ex1 = intercept[IllegalArgumentException] {
+      Bgp.matchWithOptional(e, req, Seq(Seq(TriplePattern(V("u"), C("p"), V("v")))))
+    }
+    assert(ex1.getMessage.contains("unanchored"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Bgp.matchWithOptional(e, req, Seq(
+        Seq(TriplePattern(V("x"), C("q"), V("z"))),
+        Seq(TriplePattern(V("y"), C("r"), V("z")))))
+    }
+    assert(ex2.getMessage.contains("two optional groups"))
+  }
+
   test("disconnected patterns are rejected, not cross-joined") {
     val e = edges(("a", "p", "b"))
     val ex = intercept[IllegalArgumentException] {
@@ -76,6 +103,9 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(ids(1) === Bgp.litId("hi"))
     assert(ids(2) === Bgp.litId("bonjour",
       dt = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", lang = Some("fr")))
+    // a lang tag implies rdf:langString (RDF 1.1) — the default dt must
+    // follow, or the constant could never match a materialized edge
+    assert(ids(2) === Bgp.litId("bonjour", lang = Some("fr")))
   }
 
   test("entity resolution links variants, rejects beyond maxEdit, keeps singletons") {

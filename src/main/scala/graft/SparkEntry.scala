@@ -1024,6 +1024,26 @@ object SparkEntry {
       EntityResolution.resolveEntities(ents, "id", "label", maxEdit = 2)
     }),
 
+    // blocking OBSERVABILITY gated: the per-block member counts and the
+    // mega-block drop flag over the same variant entities. maxBlock = 3
+    // so each nation's size-4 shared-prefix block (base, case variant,
+    // end typo, 3-edit reject candidate) trips the drop flag while the
+    // singleton/suffix blocks stay retained — both branches exercised
+    "kg_er_blocks" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val base = substring(sha2(col("n_name"), 256), 1, 12)
+      val idb = col("n_nationkey").cast("long") * 10
+      val ents = n.select(explode(array(
+        struct(idb.as("id"), base.as("label")),
+        struct((idb + 1).as("id"), concat(upper(base), lit(".")).as("label")),
+        struct((idb + 2).as("id"), concat(base, lit("xx")).as("label")),
+        struct((idb + 3).as("id"), substring(sha2(col("n_name"), 256), 2, 11).as("label")),
+        struct((idb + 4).as("id"), concat(base, lit("zzz")).as("label"))
+      )).as("e")).select(col("e.id").as("id"), col("e.label").as("label"))
+      EntityResolution.blockStats(ents, "id", "label", maxBlock = 3)
+        .select(col("bkey"), col("n_members"), col("dropped").cast("int").as("dropped_i"))
+    }),
+
     // RDFS forward chaining: customer typed by nation class, nation
     // subClassOf region, region subClassOf 'thing' — rdfs11 transitive
     // closure (iterative doubling) + rdfs9 type inheritance over a
@@ -2022,6 +2042,24 @@ object SparkEntry {
         |lab AS (SELECT src id, min(dst) canonical FROM reach GROUP BY 1)
         |SELECT e.id, CAST(COALESCE(lab.canonical, e.id) AS BIGINT) AS canonical
         |FROM ents e LEFT JOIN lab ON lab.id = e.id""".stripMargin,
+
+    // same variants -> same two block keys -> member counts; the drop
+    // flag mirrors maxBlock = 3
+    "kg_er_blocks" ->
+      """WITH ents AS (
+        |  SELECT CAST(n_nationkey * 10 AS BIGINT) id, substr(sha256(n_name), 1, 12) lbl FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 1, upper(substr(sha256(n_name), 1, 12)) || '.' FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 2, substr(sha256(n_name), 1, 12) || 'xx' FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 3, substr(sha256(n_name), 2, 11) FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 4, substr(sha256(n_name), 1, 12) || 'zzz' FROM nation),
+        |nz AS (SELECT id, regexp_replace(lower(lbl), '[^a-z0-9]+', '', 'g') norm FROM ents
+        |       WHERE length(regexp_replace(lower(lbl), '[^a-z0-9]+', '', 'g')) > 0),
+        |keys AS (SELECT DISTINCT id, norm, bkey FROM (
+        |  SELECT id, norm, 'p:' || substr(norm, 1, 4) bkey FROM nz
+        |  UNION ALL SELECT id, norm, 's:' || substr(norm, greatest(1, length(norm) - 3), 4) bkey FROM nz))
+        |SELECT bkey, CAST(count(*) AS BIGINT) AS n_members,
+        |       CASE WHEN count(*) > 3 THEN 1 ELSE 0 END AS dropped_i
+        |FROM keys GROUP BY 1""".stripMargin,
 
     // rdfs11 closure via recursive reach + rdfs9 inheritance join —
     // asserted types plus every transitive superclass

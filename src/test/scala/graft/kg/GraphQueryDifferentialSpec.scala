@@ -45,6 +45,27 @@ class GraphQueryDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIONAL equals brute-force left join on random partial graphs") {
+    val rnd = new Random(21)
+    for (trial <- 1 to 4) {
+      val nodes = (0 until 10).map(i => s"n$i")
+      val es = (Seq.fill(25)((nodes(rnd.nextInt(10)), "p", nodes(rnd.nextInt(10)))) ++
+        Seq.fill(8)((nodes(rnd.nextInt(10)), "opt", nodes(rnd.nextInt(10))))).distinct
+      val got = Bgp.matchWithOptional(es.toDF("subj_id", "pred", "obj_id"),
+        Seq(TriplePattern(V("x"), C("p"), V("y"))),
+        Seq(Seq(TriplePattern(V("x"), C("opt"), V("z")))))
+        .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y"), r.getAs[String]("z")))
+        .sorted.toSeq
+      val req = es.filter(_._2 == "p").map(e => (e._1, e._3))
+      val opt = es.filter(_._2 == "opt").map(e => (e._1, e._3))
+      val brute = req.flatMap { case (x, y) =>
+        val zs = opt.filter(_._1 == x).map(_._2)
+        if (zs.isEmpty) Seq((x, y, null: String)) else zs.map(z => (x, y, z))
+      }.sorted
+      assert(got === brute, s"trial $trial")
+    }
+  }
+
   test("k-core equals the sequential peeling fixpoint on random graphs") {
     val rnd = new Random(7)
     for ((n, m, k) <- Seq((15, 30, 2), (20, 60, 3), (25, 40, 3))) {

@@ -2034,7 +2034,9 @@ object SparkEntry {
         |ok AS (SELECT bkey FROM keys GROUP BY 1 HAVING count(*) <= 1000),
         |kb AS (SELECT keys.* FROM keys JOIN ok USING (bkey)),
         |pairs AS (SELECT DISTINCT x.id a, y.id b FROM kb x JOIN kb y
-        |          ON x.bkey = y.bkey AND x.id < y.id AND levenshtein(x.norm, y.norm) <= 2),
+        |          ON x.bkey = y.bkey AND x.id < y.id
+        |          AND abs(length(x.norm) - length(y.norm)) <= 2
+        |          AND levenshtein(x.norm, y.norm) <= 2),
         |und AS MATERIALIZED (SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs),
         |reach(src, dst) AS (
         |  SELECT x, x FROM (SELECT DISTINCT x FROM und)

@@ -35,6 +35,18 @@ object Verify {
       .filter { case (name, _) => subset.forall(_.contains(name)) }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       Verify.jsonObject(oracleOut.view.mapValues(jsonString).toMap))
+    // a subset run into a dir holding an older FULL run would leave the
+    // other queries' parquet in place with their oracles gone — a later
+    // check over that dir would silently grade only the subset. Marker
+    // file makes the mix detectable: check_oracles.py refuses a marked
+    // dir unless explicitly told the subset is intended; full runs
+    // remove any stale marker.
+    val marker = Paths.get(s"$outDir/_subset_run.json")
+    subset match {
+      case Some(names) => Files.writeString(marker,
+        names.toSeq.sorted.map(jsonString).mkString("[", ",", "]"))
+      case None => Files.deleteIfExists(marker): Unit
+    }
     spark.stop()
   }
 

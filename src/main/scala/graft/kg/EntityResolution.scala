@@ -37,8 +37,12 @@ import org.apache.spark.sql.functions._
  */
 object EntityResolution {
 
-  private def normalized(label: Column): Column =
-    regexp_replace(lower(label), "[^a-z0-9]+", "")
+  // native single-pass expression, exact parity with the regex
+  // formulation regexp_replace(lower(label), "[^a-z0-9]+", "") it
+  // replaced (NormalizeLabelSpec) — the blocking stage's per-row hot
+  // loop at 1e9 labels, same pattern class the r2 IRI canonicalization
+  // replaced for a measured ~50x
+  private def normalized(label: Column): Column = NormalizeLabel(label)
 
   private def blockKeys(entities: DataFrame, idCol: String, labelCol: String,
                         prefixLen: Int): DataFrame = {
@@ -72,6 +76,11 @@ object EntityResolution {
   /**
    * Resolve near-duplicate entities: returns (id, canonical) for EVERY
    * input entity, canonical = min id of its verified-similarity cluster.
+   *
+   * PRECONDITION: `idCol` uniquely identifies rows (one label per id).
+   * Duplicate ids with conflicting labels would emit one output row per
+   * variant and verify each independently — dedupe upstream (the KG
+   * node table this stage consumes is id-unique by construction).
    */
   def resolveEntities(entities: DataFrame, idCol: String, labelCol: String,
                       maxEdit: Int, prefixLen: Int = 4,
@@ -86,7 +95,11 @@ object EntityResolution {
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.norm").as("na"), col("y.norm").as("nb"))
       .distinct() // the two passes re-find the same pair; verify once
-      .filter(levenshtein(col("na"), col("nb")) <= maxEdit)
+      // length prefilter: |len(a) - len(b)| > maxEdit already implies
+      // edit distance > maxEdit, and the cheap column compare short-
+      // circuits the O(len^2) levenshtein DP for most cross-block pairs
+      .filter(abs(length(col("na")) - length(col("nb"))) <= maxEdit &&
+        levenshtein(col("na"), col("nb")) <= maxEdit)
       .select("a", "b")
       // feeds CC's per-round contraction AND its node universe AND the
       // final label join — materialize the (small) verified edge list

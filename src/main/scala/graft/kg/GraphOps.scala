@@ -158,8 +158,8 @@ object GraphOps {
    * naive one-hop expansion (frontier semi-naive) costs D shuffle
    * rounds. Each round is one equi-join + distinct; lineage cut and
    * convergence detected by a count+xor checksum action (same recipe as
-   * connectedComponents). Output: distinct (src, dst) with src <> dst
-   * reachable in >= 1 step.
+   * connectedComponents). Output: distinct pairs reachable in >= 1 step
+   * (src <> dst), under the CALLER'S `src`/`dst` column names.
    *
    * Closure SIZE is inherently O(n*reach) — at web scale you close
    * curated hierarchy predicates (subClassOf over a vocabulary), never
@@ -191,7 +191,7 @@ object GraphOps {
     require(converged, s"transitiveClosure: not closed after $maxIter doubling rounds " +
       "(covers paths up to 2^iter hops — the input is deeper than expected or cyclic " +
       "beyond the bound)")
-    paths
+    paths.select(col("a").as(src), col("b").as(dst))
   }
 
   /**

@@ -28,7 +28,7 @@ object Inference {
   def subClassClosure(subClassOf: DataFrame, sub: String, sup: String,
                       maxIter: Int = 20): DataFrame =
     GraphOps.transitiveClosure(subClassOf, sub, sup, maxIter)
-      .select(col("a").as("sub"), col("b").as("sup"))
+      .select(col(sub).as("sub"), col(sup).as("sup"))
 
   /**
    * Materialized instance types under rdfs9: the asserted (instance,

@@ -248,6 +248,14 @@ object TextOps {
    * broadcast; the doc-length join keys on doc id; top-k is a
    * TakeOrderedAndProject with ties broken by id.
    *
+   * Ranking caveat: each substitution is monotone PER TERM, but the
+   * final score is a SUM of per-term contributions and a sum of
+   * monotone transforms is not itself monotone — for multi-term
+   * queries this ranking can diverge from float BM25's, because the
+   * dropped log over-weights rare terms linearly. Treat the output as
+   * a deterministic, engine-portable relevance proxy (single-term
+   * rankings ARE BM25-order), not as BM25-equivalent multi-term order.
+   *
    * Output: (id, score_scaled), top-k by (score DESC, id ASC).
    */
   def bm25Scaled(docs: DataFrame, id: Column, text: Column,

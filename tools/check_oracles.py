@@ -6,8 +6,21 @@ name; rows compared as sorted multisets of stringified values."""
 import sys, os, json, glob
 import duckdb
 
-sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:] if a != "--allow-subset"]
+allow_subset = "--allow-subset" in sys.argv[1:]
+sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
+
+# A Verify subset run drops a marker: its oracle_sql.json covers only the
+# subset, so stale parquet from an earlier full run into the same dir
+# would silently grade only the subset. Refuse unless told it's intended.
+marker = f"{outdir}/_subset_run.json"
+if os.path.exists(marker) and not allow_subset:
+    names = json.load(open(marker))
+    print(f"SUBSET-RUN {outdir} holds a Verify SUBSET run ({len(names)} queries: "
+          f"{', '.join(names[:6])}{'...' if len(names) > 6 else ''}); this is NOT a "
+          "full gate pass. Re-run without the marker file, or pass --allow-subset.")
+    sys.exit(2)
 
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "

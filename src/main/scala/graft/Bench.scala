@@ -179,6 +179,30 @@ object Bench {
   private var vecAb: Option[(Long, Double, Double)] = None
 
   /**
+   * A/B of the fused NormalizeLabel expression vs the regex formulation
+   * it replaced in EntityResolution's blocking stage
+   * (regexp_replace(lower(l), "[^a-z0-9]+", "")) over 2M synthetic
+   * mixed-case/punctuated labels. sum(length(...)) forces every value
+   * to evaluate with no sink overhead; best-of-3 per side.
+   */
+  private def normLabelAb(s: SparkSession): (Long, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.kg.NormalizeLabel
+    val n = 2000000L
+    val labels = s.range(n)
+      .select(concat(lit("The Entity-"), col("id") % 100000,
+        lit(" (Variant_"), col("id") % 7, lit(")!")).as("lbl"))
+      .localCheckpoint(true)
+    def best(c: org.apache.spark.sql.Column): Double =
+      (1 to 3).map(_ => timed(labels.select(sum(length(c))).collect())._2).min
+    val re = best(regexp_replace(lower(col("lbl")), "[^a-z0-9]+", ""))
+    val nat = best(NormalizeLabel(col("lbl")))
+    (n, n / nat, n / re)
+  }
+
+  private var normAb: Option[(Long, Double, Double)] = None
+
+  /**
    * Dedup-at-skew datum: inject a 2000-copy exact-duplicate cluster into
    * the sf corpus and time LSH candidate generation end-to-end. The
    * in-bucket clique would emit ~2.0M pairs (executor OOM at real scale);
@@ -272,7 +296,9 @@ object Bench {
       s2.size == 2 && s2(1) <= s2(0) * agreeBand
     }
     var probeBefore, probeAfter = 0.0
+    var stormExtraRounds = 0
     var qSamples: Map[String, Seq[Double]] = Map.empty
+    var bridgeCount: Map[String, Double] = Map.empty
     val qFailed = scala.collection.mutable.Set.empty[String]
     // SPARK_GRAFT_BENCH_SKIP_QUERIES=1: part-2-only iteration loop
     val qTimes: Seq[(String, Double)] =
@@ -286,10 +312,22 @@ object Bench {
         probeBefore = aluProbe()
         // a throwing query must surface as FAILED in the artifact, never
         // as a fast, stable, agreed sample (the sub-second failure time
-        // would trivially satisfy agreed() and mask the regression)
+        // would trivially satisfy agreed() and mask the regression).
+        // Headline semantics since r5: NOOP-SINK materialization, same
+        // as part 2 and kg_query_ops — count() lets Catalyst prune the
+        // computed columns for edges-shaped plans (the doc at
+        // parseLinkMaterialize proves the count plan contains no
+        // sha2/skolemize/canonicalize work at all), so r1-r4 part-1
+        // numbers under-measured the link stage. bridge_count below
+        // re-times every query under the old count() semantics so the
+        // cross-round series stays interpretable.
         def runQuery(name: String): Option[Double] = {
           val (ok, sec) = timed {
-            try { SparkEntry.queries(name)(spark1, sfDir).count(); true }
+            try {
+              SparkEntry.queries(name)(spark1, sfDir)
+                .write.format("noop").mode("overwrite").save()
+              true
+            }
             catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
           }
           if (ok) Some(sec) else { qFailed += name; None }
@@ -310,9 +348,31 @@ object Bench {
           round(headline)
           extraRounds += 1
         }
+        // storm escalation (r4 shipped 6 unstable flags under a probed
+        // steal storm with the hunt hard-capped at 4): when queries are
+        // STILL unsettled and the ALU probe reads depressed >15% vs the
+        // pre-section probe, the non-convergence is ambient steal, not
+        // query variance — grant extra rounds (bounded) to keep hunting
+        // for a clean slot. A healthy probe with disagreement left means
+        // genuine variance; stop as before.
+        while (stormExtraRounds < 6 && !headline.forall(settled) &&
+               aluProbe() < probeBefore * 0.85) {
+          round(headline)
+          stormExtraRounds += 1
+        }
         probeAfter = aluProbe()
+        // count()-semantics bridge, best-of-2 per query (informational,
+        // full artifact only): the r1-r4 part-1 headline was count()-
+        // timed, so this map is the like-for-like point of comparison
+        // for the old series alongside the new noop-sink headline
+        bridgeCount = headline.filterNot(qFailed).map { n =>
+          def once: Double =
+            timed(SparkEntry.queries(n)(spark1, sfDir).count())._2
+          n -> math.min(once, once)
+        }.toMap
         qSamples = headline.map(n => n -> (samples(n): Seq[Double])).toMap
         vecAb = Some(vecCosineAb(spark1, sfDir))
+        normAb = Some(normLabelAb(spark1))
         skewRes = Some(dedupSkew(spark1, sfDir))
         queryOps = Some(timeQueryOps(spark1, sfDir))
         spark1.stop()
@@ -451,62 +511,105 @@ object Bench {
     val (aluEff, memEff) = hwCeilings()
 
     // ---- report ------------------------------------------------------------
+    // TWO renderings of ONE record (r4 lesson: the driver parses the
+    // stdout JSON line from a ~2 kB tail window, and the full record —
+    // 60 raw samples plus notes — outgrew it, shipping BENCH_r04.json
+    // with "parsed": null). stdout gets the COMPACT line: every
+    // headline number, scaling efficiency, flags, probes. bench_out.json
+    // gets the FULL record: same fields plus raw samples, the
+    // count()-semantics bridge, and the explanatory notes.
     val total = qTimes.map(_._2).sum
-    val qs = qTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    def fmtMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    val qs = fmtMap(qTimes)
     def optJson(o: Option[Double]): String = o.map("%.3f".format(_)).getOrElse("null")
-    // per-query sample evidence: counts, all samples, and which queries
-    // never got two agreeing samples (a storm that the artifact admits to
-    // instead of silently shipping an inflated "best")
+    // per-query sample evidence: which queries never got two agreeing
+    // samples (a storm the artifact admits to instead of silently
+    // shipping an inflated "best")
     val unstable = qSamples.collect {
       case (n, ss) if !qFailed(n) && !agreed(ss) => n
     }.toSeq.sorted
-    val headlineMeta =
+    val kernelThr = kernelSingleThread()
+
+    def headlineMeta(verbose: Boolean): String =
       if (qSamples.isEmpty) ""
       else {
-        val samplesJson = qTimes.map { case (n, _) =>
-          s""""$n":[${qSamples(n).map("%.3f".format(_)).mkString(",")}]"""
-        }.mkString("{", ",", "}")
-        s""","headline_meta":{"agree_band":$agreeBand,""" +
-          s""""alu_probe_before_ops_per_sec":${"%.0f".format(probeBefore)},""" +
-          s""""alu_probe_after_ops_per_sec":${"%.0f".format(probeAfter)},""" +
-          s""""unstable":[${unstable.map(n => s""""$n"""").mkString(",")}],""" +
-          s""""failed":[${qFailed.toSeq.sorted.map(n => s""""$n"""").mkString(",")}],""" +
-          s""""samples":$samplesJson,""" +
-          s""""note":"each query = min over interleaved samples; sampling repeats until the two best samples agree within agree_band (bounded). alu probes are single-thread sha256 ops/s on a hot 64KB buffer before/after the query section — a hardware constant on an idle VM (~this box: compare across rounds), depressed readings mean neighbor-CPU steal during this run"}"""
+        val base =
+          s""","headline_meta":{"agree_band":$agreeBand,"semantics":"noop_sink",""" +
+            s""""alu_probe_before_ops_per_sec":${"%.0f".format(probeBefore)},""" +
+            s""""alu_probe_after_ops_per_sec":${"%.0f".format(probeAfter)},""" +
+            s""""storm_extra_rounds":$stormExtraRounds,""" +
+            s""""unstable":[${unstable.map(n => s""""$n"""").mkString(",")}],""" +
+            s""""failed":[${qFailed.toSeq.sorted.map(n => s""""$n"""").mkString(",")}]"""
+        if (!verbose) base + "}"
+        else {
+          val samplesJson = qTimes.map { case (n, _) =>
+            s""""$n":[${qSamples(n).map("%.3f".format(_)).mkString(",")}]"""
+          }.mkString("{", ",", "}")
+          val bridgeJson = fmtMap(headline.flatMap(n => bridgeCount.get(n).map(n -> _)))
+          base +
+            s""","samples":$samplesJson,"bridge_count_sec":$bridgeJson,""" +
+            s""""note":"headline = min over interleaved NOOP-SINK-materialized samples. count() timed r1-r4 part 1, but it lets Catalyst prune the link-stage expressions for edges-shaped plans — bridge_count_sec re-times each query under that old count() semantics (best-of-2, warm) so the old series stays comparable. Sampling repeats until the two best samples agree within agree_band (bounded), plus up to 6 storm rounds granted while the mid-hunt alu probe reads >15% below the pre-section probe. alu probes are single-thread sha256 ops/s on a hot 64KB buffer — a hardware constant on an idle VM, depressed readings mean neighbor-CPU steal during this run"}"""
+        }
       }
-    val scaling =
-      s"""{"cores_n":2,"triples_per_sec_n":${"%.0f".format(thr2)},"sec_n":${"%.2f".format(sec2)},""" +
-      s""""cores_4n":8,"triples_per_sec_4n":${"%.0f".format(thr8)},"sec_4n":${"%.2f".format(sec8)},""" +
-      s""""efficiency":${"%.3f".format(efficiency2to8)},""" +
-      s""""efficiency_best_ratio":${"%.3f".format(ratio2to8)},""" +
-      s""""efficiency_same_window":${optJson(sw2to8)},"triples":$triplesN,""" +
-      s""""pair_8_to_32":{"triples_per_sec_n":${"%.0f".format(thr8)},""" +
-      s""""triples_per_sec_4n":${"%.0f".format(thr32)},"sec_4n":${"%.2f".format(sec32)},""" +
-      s""""efficiency":${"%.3f".format(efficiency8to32)},""" +
-      s""""efficiency_best_ratio":${"%.3f".format(ratio8to32)},""" +
-      s""""efficiency_same_window":${optJson(sw8to32)},""" +
-      s""""hw_alu_efficiency_8_to_32":${"%.3f".format(aluEff)},""" +
-      s""""hw_stream_efficiency_8_to_32":${"%.3f".format(memEff)},""" +
-      s""""note":"8->32 threads on one box share a single memory bus (measured hw ceilings above); a 4x-executor cluster multiplies bandwidth with nodes, which the 2->8 pair models. efficiency = efficiency_best_ratio, clamped at 1.0: steal noise is one-sided, so the adaptive-hunted per-level minima converge to clean times and their ratio is the consistent estimator with symmetric residual error. efficiency_same_window (median over back-to-back reps where BOTH levels ran within 15% of their best, pairs clamped at 1.0) is corroboration — a large gap between the two, or a degraded alu probe in headline_meta, flags a steal storm"},""" +
-      s""""max_cores_triples_per_sec":${"%.0f".format(thr32)},""" +
-      s""""kernel_single_thread_triples_per_sec":${"%.0f".format(kernelSingleThread())}}"""
-    val vecJson = vecAb.map { case (n, nat, hof) =>
-      s""","vec_cosine_ab":{"pairs":$n,"native_pairs_per_sec":${"%.0f".format(nat)},""" +
+
+    def scalingJson(verbose: Boolean): String = {
+      val core =
+        s"""{"cores_n":2,"triples_per_sec_n":${"%.0f".format(thr2)},"sec_n":${"%.2f".format(sec2)},""" +
+        s""""cores_4n":8,"triples_per_sec_4n":${"%.0f".format(thr8)},"sec_4n":${"%.2f".format(sec8)},""" +
+        s""""efficiency":${"%.3f".format(efficiency2to8)},""" +
+        (if (verbose) s""""efficiency_best_ratio":${"%.3f".format(ratio2to8)},""" else "") +
+        s""""efficiency_same_window":${optJson(sw2to8)},"triples":$triplesN,""" +
+        s""""pair_8_to_32":{"triples_per_sec_n":${"%.0f".format(thr8)},""" +
+        s""""triples_per_sec_4n":${"%.0f".format(thr32)},"sec_4n":${"%.2f".format(sec32)},""" +
+        s""""efficiency":${"%.3f".format(efficiency8to32)},""" +
+        (if (verbose) s""""efficiency_best_ratio":${"%.3f".format(ratio8to32)},""" else "") +
+        s""""efficiency_same_window":${optJson(sw8to32)},""" +
+        s""""hw_alu_efficiency_8_to_32":${"%.3f".format(aluEff)},""" +
+        s""""hw_stream_efficiency_8_to_32":${"%.3f".format(memEff)}"""
+      val note = if (!verbose) "" else
+        s""","note":"8->32 threads on one box share a single memory bus (measured hw ceilings above); a 4x-executor cluster multiplies bandwidth with nodes, which the 2->8 pair models. efficiency = ratio of per-level best throughputs, clamped at 1.0: steal noise is one-sided, so the adaptive-hunted per-level minima converge to clean times and their ratio is the consistent estimator with symmetric residual error. efficiency_same_window (median over back-to-back reps where BOTH levels ran within 15% of their best, pairs clamped at 1.0) is corroboration — a large gap between the two, or a degraded alu probe in headline_meta, flags a steal storm""""
+      core + note +
+        s"""},"max_cores_triples_per_sec":${"%.0f".format(thr32)},""" +
+        s""""kernel_single_thread_triples_per_sec":${"%.0f".format(kernelThr)}}"""
+    }
+
+    def vecJson(verbose: Boolean): String = vecAb.map { case (n, nat, hof) =>
+      if (!verbose) s""","vec_cosine_ab":{"speedup":${"%.2f".format(nat / hof)}}"""
+      else s""","vec_cosine_ab":{"pairs":$n,"native_pairs_per_sec":${"%.0f".format(nat)},""" +
         s""""hof_pairs_per_sec":${"%.0f".format(hof)},"speedup":${"%.2f".format(nat / hof)}}"""
     }.getOrElse("")
-    val skewJson = skewRes.map { case (k, cands, sec) =>
-      s""","dedup_skew":{"clones":$k,"candidates":$cands,"sec":${"%.3f".format(sec)},""" +
-        s""""note":"LSH candidates over the corpus + an injected $k-copy duplicate cluster; clique would be ~${k * (k + 1) / 2} pairs, keeper star keeps it linear"}"""
+    def normJson(verbose: Boolean): String = normAb.map { case (n, nat, re) =>
+      if (!verbose) s""","norm_label_ab":{"speedup":${"%.2f".format(nat / re)}}"""
+      else s""","norm_label_ab":{"labels":$n,"native_labels_per_sec":${"%.0f".format(nat)},""" +
+        s""""regex_labels_per_sec":${"%.0f".format(re)},"speedup":${"%.2f".format(nat / re)},""" +
+        s""""note":"fused NormalizeLabel expression vs the regexp_replace(lower(...)) formulation it replaced in EntityResolution blocking, 2M labels, best-of-3 per side"}"""
     }.getOrElse("")
-    val queryOpsJson = queryOps.map { ops =>
+    def skewJson(verbose: Boolean): String = skewRes.map { case (k, cands, sec) =>
+      s""","dedup_skew":{"clones":$k,"candidates":$cands,"sec":${"%.3f".format(sec)}""" +
+        (if (!verbose) "}" else
+          s""","note":"LSH candidates over the corpus + an injected $k-copy duplicate cluster; clique would be ~${k * (k + 1) / 2} pairs, keeper star keeps it linear"}""")
+    }.getOrElse("")
+    def queryOpsJson(verbose: Boolean): String = queryOps.map { ops =>
       val fields = ops.map { case (n, sec) => s""""$n":${"%.3f".format(sec)}""" }.mkString(",")
-      s""","kg_query_ops":{$fields,"note":"round-4 KG query layer (BGP match, entity resolution, RDFS closure, property pivot, BM25), best-of-2 on the warm session; informational, not in the pinned headline set"}"""
+      s""","kg_query_ops":{$fields""" +
+        (if (!verbose) "}" else
+          s""","note":"KG query layer (BGP match, entity resolution, RDFS closure, property pivot, BM25), noop-sink best-of-2 on the warm session; informational, not in the pinned headline set"}""")
     }.getOrElse("")
-    val jsonLine =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","parse_link_scaling":$scaling$vecJson$skewJson$queryOpsJson$headlineMeta}"""
-    println(jsonLine)
-    // mirror to a file so the number registers even if stdout is mangled
+
+    def render(verbose: Boolean): String =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""parse_link_scaling":${scalingJson(verbose)}${vecJson(verbose)}${normJson(verbose)}""" +
+        s"""${skewJson(verbose)}${queryOpsJson(verbose)}${headlineMeta(verbose)}}"""
+
+    val compact = render(false)
+    if (compact.length > 1800)
+      System.err.println(s"[bench] WARNING: compact stdout line is ${compact.length} bytes — " +
+        "the driver's stdout tail window is ~2 kB; trim fields")
+    println(compact)
+    // the FULL record (samples, bridge, notes) lives in the file — commit
+    // it as the round's bench evidence next to the driver artifact
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (render(true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

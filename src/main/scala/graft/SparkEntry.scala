@@ -1097,6 +1097,108 @@ object SparkEntry {
       TextOps.bm25Scaled(docs(s, dir), col("doc_id"), col("text"),
           Seq("spark", "window", "merge"), 50)
         .select(col("id").as("doc_id"), col("score_scaled"))
+    }),
+
+    // GREEDY JOIN-ORDER gate (the kg_bgp_match star, DELIBERATELY
+    // worst-case-ordered): the unselective source pattern is listed
+    // first, the 2-constant lang pattern second — Bgp's selectivity
+    // reorder must start the join tree from the selective pattern
+    // anyway (PlanAuditSpec pins the plan), and equi-join commutativity
+    // makes the bindings identical to the well-ordered twin
+    "kg_bgp_reorder" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Bgp.matchPatterns(e, Seq(
+        Bgp.TriplePattern(Bgp.V("doc"), Bgp.C("urn:col:documents:source"),
+          Bgp.V("src")),
+        Bgp.TriplePattern(Bgp.V("doc"), Bgp.C("urn:col:documents:lang"),
+          Bgp.C(Bgp.litId("en")))))
+    }),
+
+    // SPARQL FILTER over the binding columns: language restricted to an
+    // id-set disjunction and one source excluded by inequality — the
+    // post-match predicates are plain Column filters Catalyst pushes
+    // into the join where legal
+    "kg_bgp_filter" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Bgp.matchPatterns(e,
+        Seq(
+          Bgp.TriplePattern(Bgp.V("doc"), Bgp.C("urn:col:documents:lang"), Bgp.V("l")),
+          Bgp.TriplePattern(Bgp.V("doc"), Bgp.C("urn:col:documents:source"), Bgp.V("src"))),
+        Seq(col("l") === lit(Bgp.litId("en")) || col("l") === lit(Bgp.litId("fr")),
+          col("src") =!= lit(Bgp.litId("src0"))))
+    }),
+
+    // SPARQL property path <up>+ : transitive closure of ONE predicate's
+    // edge set (iterative doubling) — the 'peer' edges prove the closure
+    // is predicate-scoped, not graph-wide
+    "kg_bgp_path_plus" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val nk = col("n_nationkey").cast("long")
+      val up = n.filter(nk >= 1).select(
+        nk.cast("string").as("subj_id"), lit("up").as("pred"),
+        (nk / 2).cast("long").cast("string").as("obj_id"))
+      val peer = n.select(
+        nk.cast("string").as("subj_id"), lit("peer").as("pred"),
+        ((nk + 1) % 25).cast("string").as("obj_id"))
+      Bgp.matchPatterns(up.union(peer),
+        Seq(Bgp.TriplePattern(Bgp.V("s"), Bgp.PlusPath("up"), Bgp.V("o"))))
+    }),
+
+    // SPARQL UNION: bag union of two branches with different variable
+    // sets — the zh branch binds no ?src, so its rows NULL-pad that
+    // column (union-of-solution-mappings semantics, zero-shuffle concat)
+    "kg_bgp_union" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Bgp.matchUnion(e, Seq(
+        Seq(
+          Bgp.TriplePattern(Bgp.V("d"), Bgp.C("urn:col:documents:lang"),
+            Bgp.C(Bgp.litId("en"))),
+          Bgp.TriplePattern(Bgp.V("d"), Bgp.C("urn:col:documents:source"),
+            Bgp.V("src"))),
+        Seq(
+          Bgp.TriplePattern(Bgp.V("d"), Bgp.C("urn:col:documents:lang"),
+            Bgp.C(Bgp.litId("zh"))))))
+    }),
+
+    // the STRING front end end-to-end: Sparql.parse + run over the same
+    // materialized edges — constants hash through the engine's node-id
+    // recipe, OPTIONAL left-joins, FILTER applies after the group
+    // (SparqlParserSpec pins parsed == programmatic on every construct)
+    "kg_sparql_parse" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?doc ?src WHERE {
+          |  ?doc <urn:col:documents:lang> "en" .
+          |  OPTIONAL { ?doc <urn:col:documents:source> ?src }
+          |  FILTER (BOUND(?src) && ?src != "src0")
+          |}""".stripMargin)
+    }),
+
+    // multi-valued property-table pivot: repeated 'tag' predicate keeps
+    // ALL objects as a sorted-distinct array (duplicate edge injected to
+    // prove set semantics), 'name' exists only for even keys to prove a
+    // missing predicate yields the EMPTY array, not null; arrays are
+    // array_join'd for cross-engine hashing (the array column itself is
+    // spec-gated)
+    "kg_property_table_multi" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val nk = col("n_nationkey").cast("long")
+      val subj = concat(lit("n:"), nk).as("subj_id")
+      val tagR = n.select(subj, lit("tag").as("pred"),
+        concat(lit("r:"), col("n_regionkey").cast("long")).as("obj_id"))
+      val tagM = n.select(subj, lit("tag").as("pred"),
+        concat(lit("m:"), nk % 3).as("obj_id"))
+      val name = n.filter(nk % 2 === 0).select(subj, lit("name").as("pred"),
+        col("n_name").as("obj_id"))
+      Materialize.propertyTableMulti(tagR.union(tagM).union(tagR).union(name),
+          Seq("tag", "name"))
+        .select(col("subj_id").as("node"),
+          array_join(col("tag"), "|").as("tags"),
+          array_join(col("name"), "|").as("names"))
     })
   )
 
@@ -2186,6 +2288,66 @@ object SparkEntry {
         |  CASE r WHEN 0 THEN 1
         |         WHEN 1 THEN 400 + (media_id % 7) * 100
         |         ELSE 3 + (media_id % 6) END AS n_frames
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // identical bindings to kg_bgp_match — the join ORDER the engine
+    // picks is invisible to the result (equi-joins commute)
+    "kg_bgp_reorder" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS doc,
+         |       sha256('"' || source || '"^^<$XSD_STR>') AS src
+         |FROM documents WHERE lang = 'en'""".stripMargin,
+
+    // FILTER mirror: the id-level disjunction/inequality over node ids
+    // is exactly a value-level predicate over the source columns
+    "kg_bgp_filter" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS doc,
+         |       sha256('"' || lang || '"^^<$XSD_STR>') AS l,
+         |       sha256('"' || source || '"^^<$XSD_STR>') AS src
+         |FROM documents WHERE lang IN ('en', 'fr') AND source <> 'src0'""".stripMargin,
+
+    // transitive closure of the 'up' tree (i -> i DIV 2) as a recursive
+    // reach CTE; the peer ring must NOT leak in
+    "kg_bgp_path_plus" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) s, CAST(n_nationkey // 2 AS VARCHAR) o
+        |  FROM nation WHERE n_nationkey >= 1),
+        |reach(s, o) AS (SELECT s, o FROM e
+        |                UNION SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o)
+        |SELECT s, o FROM reach""".stripMargin,
+
+    // union-of-solution-mappings: the zh branch binds no src -> NULL
+    "kg_bgp_union" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       sha256('"' || source || '"^^<$XSD_STR>') AS src
+         |FROM documents WHERE lang = 'en'
+         |UNION ALL
+         |SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>'),
+         |       CAST(NULL AS VARCHAR)
+         |FROM documents WHERE lang = 'zh'""".stripMargin,
+
+    // the parsed OPTIONAL always binds (every doc has a source), so the
+    // FILTER reduces to the source inequality over the en docs
+    "kg_sparql_parse" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS doc,
+         |       sha256('"' || source || '"^^<$XSD_STR>') AS src
+         |FROM documents WHERE lang = 'en' AND source <> 'src0'""".stripMargin,
+
+    // multi-valued pivot mirror: sorted-distinct per-predicate object
+    // lists, '' for a subject missing the predicate (matches Spark's
+    // empty array under array_join)
+    "kg_property_table_multi" ->
+      """WITH e AS (
+        |  SELECT 'n:' || CAST(n_nationkey AS VARCHAR) s, 'tag' p,
+        |         'r:' || CAST(n_regionkey AS VARCHAR) o FROM nation
+        |  UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'tag',
+        |         'm:' || CAST(n_nationkey % 3 AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'tag',
+        |         'r:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'name', n_name
+        |         FROM nation WHERE n_nationkey % 2 = 0)
+        |SELECT s AS node,
+        |       coalesce(array_to_string(list_sort(list(DISTINCT o) FILTER (WHERE p = 'tag')), '|'), '') AS tags,
+        |       coalesce(array_to_string(list_sort(list(DISTINCT o) FILTER (WHERE p = 'name')), '|'), '') AS names
+        |FROM e GROUP BY 1""".stripMargin
   )
 }

@@ -3,7 +3,7 @@ package graft.kg
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -22,16 +22,47 @@ import org.apache.spark.sql.functions._
  *     pattern reads a fraction of the edge list, not all of it;
  *   - patterns are combined by equi-joins on their shared variables
  *     (hash-partitioned on sha256 node ids — uniformly distributed,
- *     skew-free keys), and AQE broadcasts whichever sides turn out
- *     runtime-small. Star patterns (shared subject) all join on subj_id,
- *     so over the E7 bucketed edges table every hop is Exchange-free.
+ *     skew-free keys), in GREEDY SELECTIVITY ORDER (below), and AQE
+ *     broadcasts whichever sides turn out runtime-small. Star patterns
+ *     (shared subject) all join on subj_id, so over the E7 bucketed
+ *     edges table every hop is Exchange-free.
  *
- * Disconnected patterns (no variable shared with the already-joined
- * prefix) are rejected instead of silently cross-joining: at KG scale a
- * cartesian product is always a bug, and the caller can add the linking
- *  pattern or run the components as separate queries.
+ * JOIN-ORDER SELECTION: patterns are joined most-selective-first by the
+ * classic BGP heuristic (the static ordering RDF-3X-style engines use):
+ * start from the pattern with the most constants, then repeatedly join
+ * the CONNECTED pattern with the most bound positions — a constant
+ * counts double, a variable already bound by the joined prefix counts
+ * once — with the caller's order as tiebreak. Equi-joins commute, so
+ * ordering changes only the intermediate sizes, never the result (the
+ * kg_bgp_reorder driver gate pins a deliberately worst-case-ordered
+ * query hash-equal to its well-ordered twin, and PlanAuditSpec pins the
+ * selective pattern at the head of the join tree).
  *
- * Bag semantics (standard BGP): no implicit distinct.
+ * Disconnected patterns (>= 2 components with no shared variable) are
+ * rejected instead of silently cross-joining: at KG scale a cartesian
+ * product is always a bug, and the caller can add the linking pattern
+ * or run the components as separate queries.
+ *
+ * PROPERTY PATHS: a predicate position may be [[PlusPath]] (SPARQL
+ * `<p>+`): the pattern then matches the TRANSITIVE CLOSURE of that one
+ * predicate's edge set, computed by `GraphOps.transitiveClosure`
+ * (iterative doubling, O(log diameter) self-joins). Closure size is
+ * inherently O(n * reach) — at web scale you put `+` on curated
+ * hierarchy predicates (subClassOf, partOf over a vocabulary), never on
+ * instance-scale predicates; transitiveClosure's maxIter bounds runaway
+ * inputs.
+ *
+ * FILTER: post-match column predicates over the binding columns (SPARQL
+ * FILTER in the well-behaved fragment) — pass them via the `filters`
+ * overloads; they are plain `.filter` calls, evaluated after the whole
+ * group matches (so they may reference OPTIONAL-bound variables, which
+ * are NULL for unmatched rows — as in SPARQL, where an error/unbound
+ * comparison makes the filter drop the row; use `isNull` checks for
+ * bound-ness tests).
+ *
+ * Bag semantics (standard BGP): no implicit distinct. Binding columns
+ * are emitted in VARIABLE-NAME ORDER (so results are independent of the
+ * join order the optimizer picks).
  */
 object Bgp {
 
@@ -42,6 +73,9 @@ object Bgp {
   sealed trait TermPat
   final case class V(name: String) extends TermPat
   final case class C(value: String) extends TermPat
+  /** SPARQL `<p>+` — PREDICATE position only: matches pairs connected by
+    * a path of 1..n `pred` edges (transitive closure of the predicate). */
+  final case class PlusPath(pred: String) extends TermPat
 
   final case class TriplePattern(subj: TermPat, pred: TermPat, obj: TermPat)
 
@@ -67,52 +101,107 @@ object Bgp {
     sha256Hex("\"" + value + "\"" + lang.map("@" + _).getOrElse("") + "^^<" + dtEff + ">")
   }
 
+  /** Variables of a pattern (subject/object and a variable predicate). */
+  private def patVars(p: TriplePattern): Set[String] =
+    Seq(p.subj, p.pred, p.obj).collect { case V(n) => n }.toSet
+
+  /** Constant positions of a pattern; PlusPath counts as a constant
+    * predicate (it pins the relation to one predicate's closure). */
+  private def patConsts(p: TriplePattern): Int =
+    Seq(p.subj, p.pred, p.obj).count {
+      case C(_) => true
+      case PlusPath(_) => true
+      case V(_) => false
+    }
+
+  /** One relation per triple pattern: constants -> pushed-down filters,
+    * variables -> renamed columns (a variable repeated WITHIN a pattern
+    * becomes an equality filter and binds once); a PlusPath predicate
+    * swaps the base edge relation for that predicate's closure. */
+  private def patternRel(base: DataFrame, p: TriplePattern): DataFrame = {
+    require(!p.subj.isInstanceOf[PlusPath] && !p.obj.isInstanceOf[PlusPath],
+      s"PlusPath is only valid in predicate position: $p")
+    val (rel, pos) = p.pred match {
+      case PlusPath(pr) =>
+        val hop = base.filter(col("pred") === lit(pr)).select("subj_id", "obj_id")
+        (GraphOps.transitiveClosure(hop, "subj_id", "obj_id"),
+          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
+      case _ =>
+        (base, Seq("subj_id" -> p.subj, "pred" -> p.pred, "obj_id" -> p.obj))
+    }
+    require(pos.exists(_._2.isInstanceOf[V]),
+      s"triple pattern $p has no variable — ASK-style existence checks " +
+        "are a filter on the caller's side, not a join input")
+    val filtered = pos.foldLeft(rel) {
+      case (df, (c, C(v))) => df.filter(col(c) === lit(v))
+      case (df, _)         => df
+    }
+    val varCols = pos.collect { case (c, V(n)) => (c, n) }
+    val dupEq = varCols.groupBy(_._2).values.collect {
+      case vs if vs.size > 1 => vs.map(v => col(v._1)).reduce(_ === _)
+    }
+    val withEq = dupEq.foldLeft(filtered)(_ filter _)
+    val firstBinding = varCols.groupBy(_._2).map { case (n, vs) => (vs.head._1, n) }
+    withEq.select(firstBinding.toSeq.sortBy(_._2).map { case (c, n) => col(c).as(n) }: _*)
+  }
+
+  /** Greedy selectivity join order over pattern indices (see scaladoc);
+    * private[kg] so the spec can pin the ordering heuristic directly. */
+  private[kg] def joinOrder(patterns: Seq[TriplePattern]): Seq[Int] = {
+    val idxs = patterns.indices
+    val vs = patterns.map(patVars)
+    val cs = patterns.map(patConsts)
+    // most constants first; -i makes the EARLIEST caller index win ties
+    val first = idxs.maxBy(i => (cs(i), -i))
+    var order = Vector(first)
+    var bound = vs(first)
+    var remaining = idxs.toSet - first
+    while (remaining.nonEmpty) {
+      val connected = remaining.filter(i => (vs(i) & bound).nonEmpty)
+      require(connected.nonEmpty,
+        "disconnected BGP: the patterns form >= 2 components sharing no " +
+          "variable — add a linking pattern or run the components as " +
+          "separate queries; a cartesian product at KG scale is always a bug")
+      val next = connected.maxBy(i => (2 * cs(i) + (vs(i) & bound).size, -i))
+      order :+= next
+      bound ++= vs(next)
+      remaining -= next
+    }
+    order
+  }
+
   /**
    * Match `patterns` against an edges frame with columns
    * (subj_id, pred, obj_id); extra columns are ignored. Output: one
-   * column per distinct variable, one row per binding.
+   * column per distinct variable (in variable-name order), one row per
+   * binding.
    */
   def matchPatterns(edges: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
     require(patterns.nonEmpty, "empty basic graph pattern")
     val base = edges.select("subj_id", "pred", "obj_id")
-
-    // one relation per triple pattern: constants -> pushed-down filters,
-    // variables -> renamed columns (a variable repeated WITHIN a pattern
-    // becomes an equality filter and binds once)
-    val rels: Seq[DataFrame] = patterns.map { p =>
-      val pos = Seq("subj_id" -> p.subj, "pred" -> p.pred, "obj_id" -> p.obj)
-      require(pos.exists(_._2.isInstanceOf[V]),
-        s"triple pattern $p has no variable — ASK-style existence checks " +
-          "are a filter on the caller's side, not a join input")
-      val filtered = pos.foldLeft(base) {
-        case (df, (c, C(v))) => df.filter(col(c) === lit(v))
-        case (df, _)         => df
-      }
-      val varCols = pos.collect { case (c, V(n)) => (c, n) }
-      val dupEq = varCols.groupBy(_._2).values.collect {
-        case vs if vs.size > 1 => vs.map(v => col(v._1)).reduce(_ === _)
-      }
-      val withEq = dupEq.foldLeft(filtered)(_ filter _)
-      val firstBinding = varCols.groupBy(_._2).map { case (n, vs) => (vs.head._1, n) }
-      withEq.select(firstBinding.toSeq.sortBy(_._2).map { case (c, n) => col(c).as(n) }: _*)
-    }
-
-    rels.reduceLeft { (acc, r) =>
+    val rels: Seq[DataFrame] = patterns.map(p => patternRel(base, p))
+    val joined = joinOrder(patterns).map(rels).reduceLeft { (acc, r) =>
       val shared = r.columns.toSeq.intersect(acc.columns.toSeq)
-      require(shared.nonEmpty,
-        "disconnected BGP: each triple pattern must share a variable with " +
-          "the patterns before it (reorder, or run components separately) — " +
-          "a cartesian product at KG scale is always a bug")
       acc.join(r, shared, "inner")
     }
+    joined.select(joined.columns.sorted.map(col): _*)
   }
+
+  /** [[matchPatterns]] + SPARQL FILTER predicates over the binding
+    * columns, applied after the match. */
+  def matchPatterns(edges: DataFrame, patterns: Seq[TriplePattern],
+                    filters: Seq[Column]): DataFrame =
+    filters.foldLeft(matchPatterns(edges, patterns))(_ filter _)
 
   /**
    * BGP with SPARQL OPTIONAL groups: `required` matches as
    * [[matchPatterns]]; each optional group is itself a BGP, matched
    * independently and LEFT-joined to the required bindings on its
    * shared variables — rows keep their required bindings and take NULL
-   * for the group's new variables when the group has no match.
+   * for the group's new variables when the group has no match. `filters`
+   * apply AFTER the optional joins (standard SPARQL group semantics:
+   * FILTER sees the whole group's bindings, including NULLs for
+   * unmatched optional variables).
    *
    * Restricted to the WELL-DESIGNED case (Pérez et al., "Semantics and
    * Complexity of SPARQL", TODS'09 — the fragment where OPTIONAL is
@@ -124,11 +213,12 @@ object Bgp {
    * shared variables — same shuffle shape as the inner joins.
    */
   def matchWithOptional(edges: DataFrame, required: Seq[TriplePattern],
-                        optional: Seq[Seq[TriplePattern]]): DataFrame = {
+                        optional: Seq[Seq[TriplePattern]],
+                        filters: Seq[Column] = Nil): DataFrame = {
     val base = matchPatterns(edges, required)
     val reqVars = base.columns.toSet
     val newVarsSeen = scala.collection.mutable.Set.empty[String]
-    optional.foldLeft(base) { (acc, group) =>
+    val joined = optional.foldLeft(base) { (acc, group) =>
       val g = matchPatterns(edges, group)
       val shared = g.columns.toSeq.filter(reqVars.contains)
       require(shared.nonEmpty,
@@ -142,5 +232,25 @@ object Bgp {
       newVarsSeen ++= fresh
       acc.join(g, shared, "left")
     }
+    filters.foldLeft(joined)(_ filter _)
+  }
+
+  /**
+   * SPARQL UNION: bag union of independently matched branches. Columns
+   * align on the union of all branch variables (name order); a variable
+   * unbound in a branch is NULL in that branch's rows — standard SPARQL
+   * union-of-solution-mappings semantics. Each branch is a full BGP
+   * (its own join order, its own pushed filters); the union itself is a
+   * zero-shuffle concatenation.
+   */
+  def matchUnion(edges: DataFrame, branches: Seq[Seq[TriplePattern]]): DataFrame = {
+    require(branches.nonEmpty, "empty UNION")
+    val matched = branches.map(b => matchPatterns(edges, b))
+    val allVars = matched.flatMap(_.columns).distinct.sorted
+    matched.map { m =>
+      val have = m.columns.toSet
+      m.select(allVars.map(v =>
+        (if (have(v)) col(v) else lit(null).cast("string")).as(v)): _*)
+    }.reduce(_ union _)
   }
 }

@@ -113,6 +113,30 @@ object Materialize {
   }
 
   /**
+   * Multi-valued property-table pivot: like [[propertyTable]] but a
+   * repeated predicate keeps ALL its objects as a SORTED-DISTINCT array
+   * column — what real KG property tables need for genuinely repeated
+   * predicates (rdf:type, skos:altLabel). sort_array(collect_set(...))
+   * is the deterministic, engine-independent rendering (set semantics +
+   * total order), for the same reason propertyTable takes min: a bare
+   * collect_list would depend on partition order and could never be
+   * hash-checked.
+   *
+   * Scale shape: same single shuffle on subj_id with map-side partial
+   * aggregation (ObjectHashAggregate for collect_set); per-subject state
+   * is O(distinct objects of the requested predicates) — bounded by the
+   * real data multiplicity, which is exactly what the caller asked to
+   * materialize. A subject with pathological fan-out (a hub literal)
+   * belongs in [[propertyTable]] or behind a pre-filter, not here.
+   */
+  def propertyTableMulti(edgesDf: DataFrame, preds: Seq[String]): DataFrame = {
+    require(preds.nonEmpty, "propertyTableMulti: empty predicate list")
+    val aggs = preds.map(p =>
+      sort_array(collect_set(when(col("pred") === lit(p), col("obj_id")))).as(p))
+    edgesDf.groupBy(col("subj_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * E7+: bucketed (hash-clustered, sorted) edges table in the session
    * catalog. Bucketing on subj_id means every downstream self-join /
    * graph-traversal join on subject is SHUFFLE-FREE (bucket pruning +

@@ -138,6 +138,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucketed star BGP still shuffles:\n${plan.take(1200)}")
   }
 
+  test("BGP reorder puts the selective pattern at the head of the join tree") {
+    // kg_bgp_reorder lists the unselective source pattern FIRST; the
+    // greedy join-order selection must still make the 2-constant lang
+    // pattern the first (left) join input — with broadcast + AQE off the
+    // physical join tree mirrors the fold order, and the left subtree
+    // prints first, so the lang pattern's object-constant filter must
+    // appear BEFORE the source pattern's pred-only filter in the plan.
+    import graft.kg.Bgp
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = SparkEntry.queries("kg_bgp_reorder")(s2, dir)
+      .queryExecution.executedPlan.toString
+    val enId = Bgp.litId("en")
+    val iSelective = plan.indexOf(enId)
+    val iUnselective = plan.indexOf("urn:col:documents:source")
+    assert(iSelective >= 0 && iUnselective >= 0, plan.take(1200))
+    assert(iSelective < iUnselective,
+      s"selective lang pattern is not the first join input:\n${plan.take(1500)}")
+  }
+
   test("latest-state compaction plans a per-key top-1, not a full sort") {
     // row_number + filter(=1) must plan as WindowGroupLimit (rank limit
     // pushed below the window sort) so per-key state is O(1), and the

@@ -45,6 +45,28 @@ class GraphQueryDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("every pattern-list permutation yields the same bag of bindings") {
+    // the greedy join-order selection must be invisible to results:
+    // equi-joins commute, so all 6 orders of a 3-pattern BGP agree
+    val rnd = new Random(77)
+    val nodes = (0 until 10).map(i => s"n$i")
+    val preds = Seq("p", "q", "r")
+    val es = Seq.fill(50)(
+      (nodes(rnd.nextInt(10)), preds(rnd.nextInt(3)), nodes(rnd.nextInt(10)))).distinct
+    val df = es.toDF("subj_id", "pred", "obj_id")
+    val pats = Seq(
+      TriplePattern(V("a"), C("p"), V("b")),
+      TriplePattern(V("b"), C("q"), V("c")),
+      TriplePattern(V("a"), C("r"), V("c")))
+    val results = pats.permutations.map { perm =>
+      Bgp.matchPatterns(df, perm).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[String]("c")))
+        .sorted.toSeq
+    }.toSeq
+    assert(results.distinct.size === 1,
+      s"pattern order changed the result: ${results.map(_.size)}")
+  }
+
   test("OPTIONAL equals brute-force left join on random partial graphs") {
     val rnd = new Random(21)
     for (trial <- 1 to 4) {

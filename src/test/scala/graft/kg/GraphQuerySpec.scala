@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class GraphQuerySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
-  import Bgp.{C, TriplePattern, V}
+  import Bgp.{C, PlusPath, TriplePattern, V}
 
   private def edges(rows: (String, String, String)*) =
     rows.toDF("subj_id", "pred", "obj_id")
@@ -83,6 +83,97 @@ class GraphQuerySpec extends AnyFunSuite {
         TriplePattern(V("u"), C("p"), V("v"))))
     }
     assert(ex.getMessage.contains("disconnected"))
+  }
+
+  test("greedy join order: worst-case caller order gives the same bindings") {
+    val e = edges(
+      ("d1", "lang", "en"), ("d1", "source", "web"),
+      ("d2", "lang", "fr"), ("d2", "source", "web"),
+      ("d3", "lang", "en"), ("d3", "source", "book"))
+    // unselective pattern listed FIRST — the greedy reorder must still
+    // start the join tree from the 2-constant lang pattern
+    val worst = Bgp.matchPatterns(e, Seq(
+      TriplePattern(V("doc"), C("source"), V("src")),
+      TriplePattern(V("doc"), C("lang"), C("en"))))
+    val best = Bgp.matchPatterns(e, Seq(
+      TriplePattern(V("doc"), C("lang"), C("en")),
+      TriplePattern(V("doc"), C("source"), V("src"))))
+    assert(worst.columns.toSeq === best.columns.toSeq)
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getAs[String]("doc"), r.getAs[String]("src"))).toSet
+    assert(rows(worst) === rows(best))
+    assert(rows(worst) === Set(("d1", "web"), ("d3", "book")))
+  }
+
+  test("joinOrder starts from the most-constant pattern and grows connected") {
+    // worst-case caller order: unselective (1 const) first, 2-const
+    // second, a pattern connected only via ?c third. Greedy must pick
+    // index 1 first (2 constants), then 0 (shares ?doc; 1 const + 1
+    // bound var beats 2's 1 const + 0 bound), then 2.
+    val pats = Seq(
+      TriplePattern(V("doc"), C("source"), V("src")),
+      TriplePattern(V("doc"), C("lang"), C("en")),
+      TriplePattern(V("src"), C("host"), V("h")))
+    assert(Bgp.joinOrder(pats) === Seq(1, 0, 2))
+    // ties break on the EARLIEST caller index
+    val tied = Seq(
+      TriplePattern(V("a"), C("p"), V("b")),
+      TriplePattern(V("a"), C("q"), V("c")))
+    assert(Bgp.joinOrder(tied) === Seq(0, 1))
+  }
+
+  test("FILTER predicates apply over the binding columns after the match") {
+    val e = edges(("d1", "lang", "en"), ("d2", "lang", "fr"), ("d3", "lang", "en"))
+    val out = Bgp.matchPatterns(e,
+      Seq(TriplePattern(V("d"), C("lang"), V("l"))),
+      Seq(col("l") =!= "en"))
+    assert(out.collect().map(_.getAs[String]("d")).toSeq === Seq("d2"))
+  }
+
+  test("FILTER after OPTIONAL sees NULL for unmatched optional variables") {
+    val e = edges(("d1", "lang", "en"), ("d1", "title", "t1"), ("d2", "lang", "fr"))
+    val out = Bgp.matchWithOptional(e,
+      Seq(TriplePattern(V("d"), C("lang"), V("l"))),
+      Seq(Seq(TriplePattern(V("d"), C("title"), V("t")))),
+      Seq(col("t").isNull))
+    assert(out.collect().map(_.getAs[String]("d")).toSeq === Seq("d2"))
+  }
+
+  test("PlusPath matches the predicate's transitive closure") {
+    val e = edges(("a", "up", "b"), ("b", "up", "c"), ("c", "up", "d"),
+      ("x", "other", "a"))
+    val out = Bgp.matchPatterns(e, Seq(TriplePattern(V("s"), PlusPath("up"), V("o"))))
+    assert(out.collect().map(r => (r.getAs[String]("s"), r.getAs[String]("o"))).toSet ===
+      Set(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")))
+    // constant object: everything with a 1+-hop 'up' path to d
+    val toD = Bgp.matchPatterns(e, Seq(TriplePattern(V("s"), PlusPath("up"), C("d"))))
+    assert(toD.collect().map(_.getAs[String]("s")).toSet === Set("a", "b", "c"))
+    // PlusPath is predicate-position-only
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.matchPatterns(e, Seq(TriplePattern(PlusPath("up"), C("p"), V("o"))))
+    }
+    assert(ex.getMessage.contains("predicate position"))
+  }
+
+  test("PlusPath composes with plain patterns on shared variables") {
+    val e = edges(("a", "up", "b"), ("b", "up", "c"),
+      ("a", "lang", "en"), ("b", "lang", "fr"), ("c", "lang", "en"))
+    val out = Bgp.matchPatterns(e, Seq(
+      TriplePattern(V("s"), PlusPath("up"), V("o")),
+      TriplePattern(V("o"), C("lang"), C("en"))))
+    assert(out.collect().map(r => (r.getAs[String]("o"), r.getAs[String]("s"))).toSet ===
+      Set(("c", "a"), ("c", "b")))
+  }
+
+  test("UNION aligns branch variables and NULL-pads unbound ones") {
+    val e = edges(("d1", "lang", "en"), ("d1", "source", "web"), ("d2", "lang", "de"))
+    val out = Bgp.matchUnion(e, Seq(
+      Seq(TriplePattern(V("d"), C("lang"), C("en")),
+        TriplePattern(V("d"), C("source"), V("src"))),
+      Seq(TriplePattern(V("d"), C("lang"), C("de")))))
+    assert(out.columns.toSeq === Seq("d", "src"))
+    assert(out.collect().map(r => (r.getAs[String]("d"), r.getAs[String]("src"))).toSet ===
+      Set(("d1", "web"), ("d2", null)))
   }
 
   test("Bgp constant ids reproduce Canonicalize.nodeId exactly") {

@@ -29,6 +29,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - 5000L) < 1250, s"KMV estimate $est too far from 5000")
   }
 
+  test("KMV estimate at adversarial k: IEEE division pinned, one off exact at most") {
+    // the estimate's ONE floating op is floor((k-1)*2^60 / h_k) in IEEE
+    // doubles. (k-1)*2^60 is exactly representable for any k <= 2^53
+    // (significand = k-1), but h_k has up to 60 significant bits, so the
+    // division itself can round — the cross-engine exactness claim is
+    // that Spark and DuckDB compute the SAME IEEE ops, not that the
+    // result equals the exact rational floor. Pin both halves over
+    // non-power-of-two k: (1) the pipeline's estimate equals the JVM
+    // IEEE mirror bit-for-bit (DuckDB evaluates the identical double
+    // expression), (2) it never strays more than 1 from the BigInt-exact
+    // floor (the only possible divergence is the quotient rounding
+    // across an integer boundary).
+    val df = (1 to 2000).map(i => ("g", s"adv-$i")).toDF("g", "v")
+    val hashes = df.select(Dedup.hash64(col("v")).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    for (k <- Seq(3, 6, 7, 11, 997)) {
+      val est = Sketches.kmvDistinct(df, col("g"), col("v"), k)
+        .collect()(0).getAs[Long]("est_distinct")
+      val hk = hashes(k - 1)
+      val ieee = math.floor((k - 1).toDouble * Sketches.HashSpan / hk.toDouble).toLong
+      val exact = ((BigInt(k - 1) << 60) / BigInt(hk)).toLong
+      assert(est === ieee, s"k=$k: pipeline $est != JVM IEEE mirror $ieee")
+      assert(math.abs(est - exact) <= 1,
+        s"k=$k: IEEE estimate $est strays ${est - exact} from exact floor $exact")
+    }
+  }
+
   test("KMV top-k plans as WindowGroupLimit (bounded per-group shuffle state)") {
     val df = (1 to 100).map(i => ("g", s"v$i")).toDF("g", "v")
     val plan = Sketches.kmvDistinct(df, col("g"), col("v"), k = 16)

@@ -1178,6 +1178,32 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // SPARQL MINUS: docs minus those whose source is src0 — one
+    // left-anti equi-join on the shared ?d, the negation primitive
+    // (the anti side is projected to the shared column and deduped
+    // before the join, so no group payload crosses the shuffle)
+    "kg_bgp_minus" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Bgp.matchGroup(e,
+        required = Seq(
+          Bgp.TriplePattern(Bgp.V("d"), Bgp.C("urn:col:documents:lang"), Bgp.V("l"))),
+        minus = Seq(Seq(
+          Bgp.TriplePattern(Bgp.V("d"), Bgp.C("urn:col:documents:source"),
+            Bgp.C(Bgp.litId("src0"))))))
+    }),
+
+    // SPARQL predicate alternatives <lang>|<source>: one pattern, a
+    // pushed IN-filter on pred — two edges per doc, one binding column
+    "kg_bgp_alt" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Bgp.matchPatterns(e, Seq(
+        Bgp.TriplePattern(Bgp.V("d"),
+          Bgp.AltPath(Seq("urn:col:documents:lang", "urn:col:documents:source")),
+          Bgp.V("v"))))
+    }),
+
     // multi-valued property-table pivot: repeated 'tag' predicate keeps
     // ALL objects as a sorted-distinct array (duplicate edge injected to
     // prove set semantics), 'name' exists only for even keys to prove a
@@ -2331,6 +2357,24 @@ object SparkEntry {
       s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS doc,
          |       sha256('"' || source || '"^^<$XSD_STR>') AS src
          |FROM documents WHERE lang = 'en' AND source <> 'src0'""".stripMargin,
+
+    // every doc has exactly ONE source edge, so the anti-join mirror is
+    // a plain inequality on the source column
+    "kg_bgp_minus" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       sha256('"' || lang || '"^^<$XSD_STR>') AS l
+         |FROM documents WHERE source <> 'src0'""".stripMargin,
+
+    // predicate-alternative mirror: each doc contributes its lang edge
+    // AND its source edge to the one binding column
+    "kg_bgp_alt" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       sha256('"' || lang || '"^^<$XSD_STR>') AS v
+         |FROM documents
+         |UNION ALL
+         |SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>'),
+         |       sha256('"' || source || '"^^<$XSD_STR>')
+         |FROM documents""".stripMargin,
 
     // multi-valued pivot mirror: sorted-distinct per-predicate object
     // lists, '' for a subject missing the predicate (matches Spark's

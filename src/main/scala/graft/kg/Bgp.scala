@@ -76,6 +76,10 @@ object Bgp {
   /** SPARQL `<p>+` — PREDICATE position only: matches pairs connected by
     * a path of 1..n `pred` edges (transitive closure of the predicate). */
   final case class PlusPath(pred: String) extends TermPat
+  /** SPARQL `<p1>|<p2>` — PREDICATE position only: matches an edge whose
+    * predicate is ANY of the alternatives (a pushed IN-filter on the
+    * scan, same shape as a single constant). */
+  final case class AltPath(preds: Seq[String]) extends TermPat
 
   final case class TriplePattern(subj: TermPat, pred: TermPat, obj: TermPat)
 
@@ -105,26 +109,34 @@ object Bgp {
   private def patVars(p: TriplePattern): Set[String] =
     Seq(p.subj, p.pred, p.obj).collect { case V(n) => n }.toSet
 
-  /** Constant positions of a pattern; PlusPath counts as a constant
-    * predicate (it pins the relation to one predicate's closure). */
+  /** Constant positions of a pattern; PlusPath/AltPath count as a
+    * constant predicate (they pin the relation to a fixed predicate
+    * set / its closure). */
   private def patConsts(p: TriplePattern): Int =
     Seq(p.subj, p.pred, p.obj).count {
       case C(_) => true
       case PlusPath(_) => true
+      case AltPath(_) => true
       case V(_) => false
     }
 
   /** One relation per triple pattern: constants -> pushed-down filters,
     * variables -> renamed columns (a variable repeated WITHIN a pattern
     * becomes an equality filter and binds once); a PlusPath predicate
-    * swaps the base edge relation for that predicate's closure. */
+    * swaps the base edge relation for that predicate's closure; an
+    * AltPath predicate is a pushed IN-filter. */
   private def patternRel(base: DataFrame, p: TriplePattern): DataFrame = {
-    require(!p.subj.isInstanceOf[PlusPath] && !p.obj.isInstanceOf[PlusPath],
-      s"PlusPath is only valid in predicate position: $p")
+    Seq(p.subj, p.obj).foreach(t =>
+      require(t.isInstanceOf[V] || t.isInstanceOf[C],
+        s"path operators are only valid in predicate position: $p"))
     val (rel, pos) = p.pred match {
       case PlusPath(pr) =>
         val hop = base.filter(col("pred") === lit(pr)).select("subj_id", "obj_id")
         (GraphOps.transitiveClosure(hop, "subj_id", "obj_id"),
+          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
+      case AltPath(ps) =>
+        require(ps.nonEmpty, s"empty predicate alternative list: $p")
+        (base.filter(col("pred").isin(ps: _*)).select("subj_id", "obj_id"),
           Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
       case _ =>
         (base, Seq("subj_id" -> p.subj, "pred" -> p.pred, "obj_id" -> p.obj))
@@ -233,6 +245,50 @@ object Bgp {
       acc.join(g, shared, "left")
     }
     filters.foldLeft(joined)(_ filter _)
+  }
+
+  /**
+   * SPARQL MINUS groups over a matched binding frame: each group is
+   * itself a BGP, matched independently; rows of `bindings` are removed
+   * when a group solution agrees on the variables they share — one
+   * LEFT-ANTI equi-join per group on the shared variables (the same
+   * shuffle shape as the inner joins; the anti side is projected to its
+   * shared columns and deduped first, so no group payload crosses the
+   * shuffle).
+   *
+   * A group sharing NO variable with the bindings is rejected: SPARQL's
+   * disjoint-domain MINUS removes nothing, which in practice means a
+   * typo'd variable — fail loudly instead. NULL bindings (from an
+   * unmatched OPTIONAL) never equal a group value under join equality,
+   * so such rows SURVIVE — matching SPARQL's compatibility semantics,
+   * where an unbound shared variable makes the mappings compatible only
+   * on the remaining shared domain (and our well-designed fragment
+   * requires at least one non-null shared var for removal).
+   */
+  def applyMinus(edges: DataFrame, bindings: DataFrame,
+                 minus: Seq[Seq[TriplePattern]]): DataFrame =
+    minus.foldLeft(bindings) { (acc, group) =>
+      val g = matchPatterns(edges, group)
+      val shared = g.columns.toSeq.filter(acc.columns.contains)
+      require(shared.nonEmpty,
+        s"MINUS group ${group.mkString(", ")} shares no variable with the " +
+          "bindings — SPARQL disjoint-domain MINUS removes nothing; this is " +
+          "almost always a typo'd variable")
+      acc.join(g.select(shared.map(col): _*).distinct(), shared, "left_anti")
+    }
+
+  /**
+   * Full SPARQL group for the well-designed fragment:
+   * required BGP -> OPTIONAL left-joins -> MINUS anti-joins -> FILTERs
+   * (filters last: SPARQL group semantics scope FILTER over the whole
+   * group's bindings, including OPTIONAL NULLs).
+   */
+  def matchGroup(edges: DataFrame, required: Seq[TriplePattern],
+                 optional: Seq[Seq[TriplePattern]] = Nil,
+                 minus: Seq[Seq[TriplePattern]] = Nil,
+                 filters: Seq[Column] = Nil): DataFrame = {
+    val withOpt = matchWithOptional(edges, required, optional)
+    filters.foldLeft(applyMinus(edges, withOpt, minus))(_ filter _)
   }
 
   /**

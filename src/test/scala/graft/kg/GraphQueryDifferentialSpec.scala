@@ -88,6 +88,24 @@ class GraphQueryDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("MINUS equals brute-force compatible-solution removal on random graphs") {
+    val rnd = new Random(55)
+    for (trial <- 1 to 4) {
+      val nodes = (0 until 10).map(i => s"n$i")
+      val es = (Seq.fill(25)((nodes(rnd.nextInt(10)), "p", nodes(rnd.nextInt(10)))) ++
+        Seq.fill(10)((nodes(rnd.nextInt(10)), "neg", nodes(rnd.nextInt(10))))).distinct
+      val got = Bgp.matchGroup(es.toDF("subj_id", "pred", "obj_id"),
+        required = Seq(TriplePattern(V("x"), C("p"), V("y"))),
+        minus = Seq(Seq(TriplePattern(V("x"), C("neg"), V("z")))))
+        .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y")))
+        .sorted.toSeq
+      val req = es.filter(_._2 == "p").map(e => (e._1, e._3))
+      val negSubjects = es.filter(_._2 == "neg").map(_._1).toSet
+      val brute = req.filterNot { case (x, _) => negSubjects(x) }.sorted
+      assert(got === brute, s"trial $trial")
+    }
+  }
+
   test("k-core equals the sequential peeling fixpoint on random graphs") {
     val rnd = new Random(7)
     for ((n, m, k) <- Seq((15, 30, 2), (20, 60, 3), (25, 40, 3))) {

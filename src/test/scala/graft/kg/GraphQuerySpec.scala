@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class GraphQuerySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
-  import Bgp.{C, PlusPath, TriplePattern, V}
+  import Bgp.{AltPath, C, PlusPath, TriplePattern, V}
 
   private def edges(rows: (String, String, String)*) =
     rows.toDF("subj_id", "pred", "obj_id")
@@ -163,6 +163,49 @@ class GraphQuerySpec extends AnyFunSuite {
       TriplePattern(V("o"), C("lang"), C("en"))))
     assert(out.collect().map(r => (r.getAs[String]("o"), r.getAs[String]("s"))).toSet ===
       Set(("c", "a"), ("c", "b")))
+  }
+
+  test("AltPath matches any of the predicate alternatives (pushed IN-filter)") {
+    val e = edges(("d1", "title", "t1"), ("d2", "label", "t2"),
+      ("d3", "name", "t3"), ("d4", "other", "t4"))
+    val out = Bgp.matchPatterns(e,
+      Seq(TriplePattern(V("d"), AltPath(Seq("title", "label")), V("t"))))
+    assert(out.collect().map(r => (r.getAs[String]("d"), r.getAs[String]("t"))).toSet ===
+      Set(("d1", "t1"), ("d2", "t2")))
+    // predicate-position only, like PlusPath
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.matchPatterns(e, Seq(TriplePattern(AltPath(Seq("x")), C("p"), V("o"))))
+    }
+    assert(ex.getMessage.contains("predicate position"))
+  }
+
+  test("MINUS removes rows agreeing on shared variables; disjoint groups rejected") {
+    val e = edges(
+      ("d1", "lang", "en"), ("d2", "lang", "fr"), ("d3", "lang", "en"),
+      ("d1", "flag", "spam"))
+    val out = Bgp.matchGroup(e,
+      required = Seq(TriplePattern(V("d"), C("lang"), V("l"))),
+      minus = Seq(Seq(TriplePattern(V("d"), C("flag"), V("f")))))
+    assert(out.collect().map(_.getAs[String]("d")).toSet === Set("d2", "d3"))
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.matchGroup(e,
+        required = Seq(TriplePattern(V("d"), C("lang"), V("l"))),
+        minus = Seq(Seq(TriplePattern(V("x"), C("flag"), V("f")))))
+    }
+    assert(ex.getMessage.contains("shares no variable"))
+  }
+
+  test("MINUS keeps rows whose shared variable is NULL from an unmatched OPTIONAL") {
+    // d2 has no title, so ?t is NULL; the MINUS group on ?t can never
+    // equal NULL under join equality -> d2 survives, d1 is removed
+    val e = edges(
+      ("d1", "lang", "en"), ("d2", "lang", "fr"),
+      ("d1", "title", "t1"), ("t1", "flag", "spam"))
+    val out = Bgp.matchGroup(e,
+      required = Seq(TriplePattern(V("d"), C("lang"), V("l"))),
+      optional = Seq(Seq(TriplePattern(V("d"), C("title"), V("t")))),
+      minus = Seq(Seq(TriplePattern(V("t"), C("flag"), V("f")))))
+    assert(out.collect().map(_.getAs[String]("d")).toSet === Set("d2"))
   }
 
   test("UNION aligns branch variables and NULL-pads unbound ones") {

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class SparqlParserSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
-  import Bgp.{C, PlusPath, TriplePattern, V}
+  import Bgp.{AltPath, C, PlusPath, TriplePattern, V}
 
   private def edges(rows: (String, String, String)*) =
     rows.toDF("subj_id", "pred", "obj_id")
@@ -90,6 +90,36 @@ class SparqlParserSpec extends AnyFunSuite {
       .select("x", "y")
     assertSame(parsed, prog)
     assert(parsed.count() === 2) // d1 reaches d2 and d3
+  }
+
+  test("MINUS, predicate alternatives and SELECT DISTINCT parse to the twin") {
+    val spam = Bgp.iriId("urn:doc:spam")
+    val e = edges(
+      (d1, "urn:lang", en), (d2, "urn:lang", fr), (d3, "urn:lang", en),
+      (d1, "urn:flag", spam),
+      (d2, "urn:title", web), (d3, "urn:alt", web))
+    val parsed = Sparql.run(e,
+      """SELECT ?d WHERE {
+        |  ?d <urn:lang> ?l .
+        |  MINUS { ?d <urn:flag> ?f }
+        |}""".stripMargin)
+    val prog = Bgp.matchGroup(e,
+      required = Seq(TriplePattern(V("d"), C("urn:lang"), V("l"))),
+      minus = Seq(Seq(TriplePattern(V("d"), C("urn:flag"), V("f")))))
+      .select("d")
+    assertSame(parsed, prog)
+    assert(parsed.collect().map(_.getString(0)).toSet === Set(d2, d3))
+
+    val alt = Sparql.run(e,
+      """SELECT * WHERE { ?d <urn:title>|<urn:alt> ?t }""")
+    val altProg = Bgp.matchPatterns(e,
+      Seq(TriplePattern(V("d"), AltPath(Seq("urn:title", "urn:alt")), V("t"))))
+    assertSame(alt, altProg)
+    assert(alt.count() === 2)
+
+    // two docs share lang 'en' -> DISTINCT collapses the projection
+    val dist = Sparql.run(e, """SELECT DISTINCT ?l WHERE { ?d <urn:lang> ?l }""")
+    assert(dist.collect().map(_.getString(0)).sorted.toSeq === Seq(en, fr).sorted)
   }
 
   test("language-tagged and typed literals hash like litId") {

@@ -1225,6 +1225,84 @@ object SparkEntry {
         .select(col("subj_id").as("node"),
           array_join(col("tag"), "|").as("tags"),
           array_join(col("name"), "|").as("names"))
+    }),
+
+    // SPARQL sequence + inverse property path <up>/^<up> ("shares a
+    // parent", self-routes included): one equi-join on the intermediate
+    // node, each hop's predicate filter pushed to its scan — the 'peer'
+    // edges prove both hops are predicate-scoped
+    "kg_bgp_path_seq" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val nk = col("n_nationkey").cast("long")
+      val up = n.filter(nk >= 1).select(
+        nk.cast("string").as("subj_id"), lit("up").as("pred"),
+        (nk / 2).cast("long").cast("string").as("obj_id"))
+      val peer = n.select(
+        nk.cast("string").as("subj_id"), lit("peer").as("pred"),
+        ((nk + 1) % 25).cast("string").as("obj_id"))
+      Sparql.run(up.union(peer), "SELECT ?x ?y WHERE { ?x <up>/^<up> ?y }")
+    }),
+
+    // SPARQL 1.1 aggregation through the string front end: GROUP BY lang
+    // with COUNT / COUNT DISTINCT / MIN and a HAVING that genuinely
+    // filters at the driver's sf0.01 (fr has 64 docs < 70) — one
+    // hash-aggregate shuffle on the group key, COUNTs partial-agg'd
+    // map-side before it
+    "kg_sparql_agg" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?l (COUNT(?d) AS ?n) (COUNT(DISTINCT ?src) AS ?nsrc)
+          |       (MIN(?src) AS ?first_src)
+          |WHERE {
+          |  ?d <urn:col:documents:lang> ?l .
+          |  ?d <urn:col:documents:source> ?src .
+          |} GROUP BY ?l HAVING (COUNT(?d) >= 70)""".stripMargin)
+    }),
+
+    // SPARQL solution modifiers: ORDER BY DESC(count) with an ascending
+    // id tiebreak (a TOTAL order, so LIMIT/OFFSET slice deterministically
+    // cross-engine) — plans as TakeOrderedAndProject, per-partition
+    // top-k then one merge, never a global sort
+    "kg_sparql_orderby" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?src (COUNT(?d) AS ?n) WHERE {
+          |  ?d <urn:col:documents:source> ?src .
+          |} GROUP BY ?src ORDER BY DESC(?n) ASC(?src) LIMIT 7 OFFSET 3""".stripMargin)
+    }),
+
+    // SPARQL VALUES, multi-variable form: the inline (lang, source)
+    // rows become a broadcast left-semi join against the bindings
+    // (Bgp.applyValues) — the selection ships with the task, the
+    // bindings side never shuffles
+    "kg_sparql_values" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?d ?l ?src WHERE {
+          |  ?d <urn:col:documents:lang> ?l .
+          |  ?d <urn:col:documents:source> ?src .
+          |  VALUES (?l ?src) { ("en" "src1") ("de" "src2") ("zh" "src1") }
+          |}""".stripMargin)
+    }),
+
+    // SPARQL GROUP_CONCAT + SAMPLE over a variable-predicate pattern:
+    // concatenation is SORTED (engine-independent where the spec leaves
+    // order undefined), SAMPLE compiles to min — both deterministic
+    // cross-engine by construction
+    "kg_sparql_group_concat" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val nk = col("n_nationkey").cast("long")
+      val subj = concat(lit("n:"), nk).as("subj_id")
+      val tag = n.select(subj, lit("tag").as("pred"),
+        concat(lit("r:"), col("n_regionkey").cast("long")).as("obj_id"))
+      val mod = n.select(subj, lit("mod").as("pred"),
+        concat(lit("m:"), nk % 3).as("obj_id"))
+      Sparql.run(tag.union(mod),
+        """SELECT ?s (GROUP_CONCAT(?o; SEPARATOR="|") AS ?os) (SAMPLE(?o) AS ?one)
+          |WHERE { ?s ?p ?o } GROUP BY ?s""".stripMargin)
     })
   )
 
@@ -2392,6 +2470,56 @@ object SparkEntry {
         |SELECT s AS node,
         |       coalesce(array_to_string(list_sort(list(DISTINCT o) FILTER (WHERE p = 'tag')), '|'), '') AS tags,
         |       coalesce(array_to_string(list_sort(list(DISTINCT o) FILTER (WHERE p = 'name')), '|'), '') AS names
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // sequence-path mirror: forward hop then inverse hop = self-join on
+    // the shared parent; the peer ring must NOT leak into either hop
+    "kg_bgp_path_seq" ->
+      """WITH e AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) s, CAST(n_nationkey // 2 AS VARCHAR) o
+        |  FROM nation WHERE n_nationkey >= 1)
+        |SELECT a.s AS x, b.s AS y FROM e a JOIN e b ON a.o = b.o""".stripMargin,
+
+    // aggregation mirror: each doc has exactly one lang and one source
+    // edge, so COUNT(?d) per lang = docs per lang; HAVING >= 70 drops
+    // fr (64) at sf0.01
+    "kg_sparql_agg" ->
+      s"""SELECT sha256('"' || lang || '"^^<$XSD_STR>') AS l,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(count(DISTINCT source) AS BIGINT) AS nsrc,
+         |       min(sha256('"' || source || '"^^<$XSD_STR>')) AS first_src
+         |FROM documents GROUP BY lang HAVING count(*) >= 70""".stripMargin,
+
+    // modifier mirror: (n DESC, src ASC) is a total order, so the
+    // OFFSET 3 / LIMIT 7 slice is the same set in both engines
+    "kg_sparql_orderby" ->
+      s"""WITH g AS (
+         |  SELECT sha256('"' || source || '"^^<$XSD_STR>') AS src,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY source)
+         |SELECT src, n FROM g ORDER BY n DESC, src LIMIT 7 OFFSET 3""".stripMargin,
+
+    // VALUES mirror: the inline rows are exactly a (lang, source)
+    // disjunction over the base table
+    "kg_sparql_values" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       sha256('"' || lang || '"^^<$XSD_STR>') AS l,
+         |       sha256('"' || source || '"^^<$XSD_STR>') AS src
+         |FROM documents
+         |WHERE (lang = 'en' AND source = 'src1')
+         |   OR (lang = 'de' AND source = 'src2')
+         |   OR (lang = 'zh' AND source = 'src1')""".stripMargin,
+
+    // GROUP_CONCAT mirror: sorted list_sort = Spark's sort_array, and
+    // SAMPLE-as-min = min(o)
+    "kg_sparql_group_concat" ->
+      """WITH e AS (
+        |  SELECT 'n:' || CAST(n_nationkey AS VARCHAR) s,
+        |         'r:' || CAST(n_regionkey AS VARCHAR) o FROM nation
+        |  UNION ALL
+        |  SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+        |         'm:' || CAST(n_nationkey % 3 AS VARCHAR) FROM nation)
+        |SELECT s, array_to_string(list_sort(list(o)), '|') AS os, min(o) AS one
         |FROM e GROUP BY 1""".stripMargin
   )
 }

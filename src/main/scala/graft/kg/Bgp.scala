@@ -50,7 +50,12 @@ import org.apache.spark.sql.functions._
  * inherently O(n * reach) — at web scale you put `+` on curated
  * hierarchy predicates (subClassOf, partOf over a vocabulary), never on
  * instance-scale predicates; transitiveClosure's maxIter bounds runaway
- * inputs.
+ * inputs. [[InvPath]] (`^<p>`) matches the inverse edge — the same
+ * pushed scan with the id columns swapped; [[SeqPath]]
+ * (`<p1>/<p2>/...`, steps optionally inverted) composes one edge per
+ * step via equi-joins on the intermediate node ids, projecting each
+ * intermediate away before the next join (bag semantics — one binding
+ * row per distinct route, as SPARQL defines for `/`).
  *
  * FILTER: post-match column predicates over the binding columns (SPARQL
  * FILTER in the well-behaved fragment) — pass them via the `filters`
@@ -80,6 +85,20 @@ object Bgp {
     * predicate is ANY of the alternatives (a pushed IN-filter on the
     * scan, same shape as a single constant). */
   final case class AltPath(preds: Seq[String]) extends TermPat
+  /** SPARQL `^<p>` — PREDICATE position only: matches the INVERSE edge
+    * (object-to-subject); the same pushed predicate filter with the id
+    * columns swapped, zero extra cost. */
+  final case class InvPath(pred: String) extends TermPat
+  /** One step of a sequence path: a predicate, optionally inverted. */
+  final case class PathStep(pred: String, inverse: Boolean = false)
+  /** SPARQL `<p1>/<p2>/...` — PREDICATE position only: pairs connected
+    * by one edge per step in order (steps may be inverted, `^<p>`).
+    * k steps = k-1 equi-joins on the intermediate node ids (uniform
+    * sha256 — skew-free), each hop's predicate filter pushed to its
+    * scan, intermediate nodes projected away before every join. BAG
+    * semantics per SPARQL path evaluation: each distinct route yields
+    * one binding row. */
+  final case class SeqPath(steps: Seq[PathStep]) extends TermPat
 
   final case class TriplePattern(subj: TermPat, pred: TermPat, obj: TermPat)
 
@@ -109,15 +128,13 @@ object Bgp {
   private def patVars(p: TriplePattern): Set[String] =
     Seq(p.subj, p.pred, p.obj).collect { case V(n) => n }.toSet
 
-  /** Constant positions of a pattern; PlusPath/AltPath count as a
-    * constant predicate (they pin the relation to a fixed predicate
-    * set / its closure). */
+  /** Constant positions of a pattern; path forms count as a constant
+    * predicate (they pin the relation to a fixed predicate set / its
+    * closure / its composition). */
   private def patConsts(p: TriplePattern): Int =
     Seq(p.subj, p.pred, p.obj).count {
-      case C(_) => true
-      case PlusPath(_) => true
-      case AltPath(_) => true
       case V(_) => false
+      case _    => true
     }
 
   /** One relation per triple pattern: constants -> pushed-down filters,
@@ -137,6 +154,27 @@ object Bgp {
       case AltPath(ps) =>
         require(ps.nonEmpty, s"empty predicate alternative list: $p")
         (base.filter(col("pred").isin(ps: _*)).select("subj_id", "obj_id"),
+          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
+      case InvPath(pr) =>
+        (base.filter(col("pred") === lit(pr))
+           .select(col("obj_id").as("subj_id"), col("subj_id").as("obj_id")),
+          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
+      case SeqPath(steps) =>
+        require(steps.sizeIs >= 2, s"a sequence path needs >= 2 steps: $p")
+        // hop i carries (n{i}, n{i+1}); the fold joins on the shared
+        // intermediate name, so no payload but two id columns ever
+        // crosses a join
+        val hops = steps.zipWithIndex.map { case (PathStep(pr, inv), i) =>
+          val h = base.filter(col("pred") === lit(pr))
+          val (a, b) = if (inv) ("obj_id", "subj_id") else ("subj_id", "obj_id")
+          h.select(col(a).as(s"n$i"), col(b).as(s"n${i + 1}"))
+        }
+        val joined = hops.tail.zipWithIndex.foldLeft(hops.head) {
+          case (acc, (h, i)) =>
+            acc.join(h, Seq(s"n${i + 1}")).select(col("n0"), col(s"n${i + 2}"))
+        }
+        (joined.select(col("n0").as("subj_id"),
+           col(s"n${steps.size}").as("obj_id")),
           Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
       case _ =>
         (base, Seq("subj_id" -> p.subj, "pred" -> p.pred, "obj_id" -> p.obj))
@@ -289,6 +327,45 @@ object Bgp {
                  filters: Seq[Column] = Nil): DataFrame = {
     val withOpt = matchWithOptional(edges, required, optional)
     filters.foldLeft(applyMinus(edges, withOpt, minus))(_ filter _)
+  }
+
+  /**
+   * SPARQL VALUES over a matched binding frame: keep only rows whose
+   * `vars` columns match one of the inline `rows` (SET semantics — the
+   * inline data is deduped and used as a selection, never a bag
+   * multiplier). A single variable compiles to an IN-filter Catalyst can
+   * push toward the scan; multiple variables become a BROADCAST
+   * left-semi join against the (tiny, driver-local) inline relation —
+   * both shapes are shuffle-free on the bindings side at any scale.
+   *
+   * Restricted to the well-designed fragment: every VALUES variable
+   * must be a binding column, and a NULL binding (an unmatched OPTIONAL
+   * variable) never matches an inline row — callers who need SPARQL's
+   * unbound-is-compatible semantics should anchor VALUES variables in
+   * the required pattern (the [[Sparql]] front end enforces exactly
+   * that).
+   */
+  def applyValues(bindings: DataFrame, vars: Seq[String],
+                  rows: Seq[Seq[String]]): DataFrame = {
+    require(vars.nonEmpty, "VALUES needs at least one variable")
+    require(rows.nonEmpty, "VALUES needs at least one row")
+    require(rows.forall(_.size == vars.size),
+      s"every VALUES row must have ${vars.size} term(s) for (${vars.mkString(", ")})")
+    val missing = vars.filterNot(bindings.columns.contains)
+    require(missing.isEmpty,
+      s"VALUES variable(s) ${missing.mkString(", ")} are not bound by the pattern")
+    if (vars.sizeIs == 1)
+      bindings.filter(col(vars.head).isin(rows.map(_.head).distinct: _*))
+    else {
+      val spark = bindings.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+        org.apache.spark.sql.types.StructField(v, org.apache.spark.sql.types.StringType,
+          nullable = false)))
+      val inline = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.distinct.map(org.apache.spark.sql.Row.fromSeq), 1), schema)
+      bindings.join(broadcast(inline), vars, "left_semi")
+    }
   }
 
   /**

@@ -3,7 +3,7 @@ package graft.kg
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import Bgp.{AltPath, C, PlusPath, TriplePattern, V}
+import Bgp.{AltPath, C, InvPath, PathStep, PlusPath, SeqPath, TriplePattern, V}
 
 /**
  * A tiny SPARQL front end for the [[Bgp]] layer — the string surface
@@ -17,18 +17,40 @@ import Bgp.{AltPath, C, PlusPath, TriplePattern, V}
  * layer implements — a parse error beats silently wrong semantics):
  *
  * {{{
- *   query   := SELECT DISTINCT? (?var+ | *) WHERE { group }
+ *   query   := SELECT DISTINCT? (proj+ | *) WHERE { group } modifiers
+ *   proj    := ?var | ( agg ( DISTINCT? (?var | *) sepOpt ) AS ?alias )
+ *   agg     := COUNT | MIN | MAX | SAMPLE | GROUP_CONCAT
+ *   sepOpt  := (';' SEPARATOR = "sep")?          (GROUP_CONCAT only)
  *   group   := (triple '.'? | OPTIONAL { triples } | MINUS { triples }
- *              | FILTER ( expr ))*
+ *              | FILTER ( expr ) | VALUES valuesClause)*
  *            | { triples } UNION { triples } (UNION { triples })*
  *              (FILTER ( expr ))*
+ *   valuesClause := ?var { const+ } | ( ?var+ ) { ( const+ )+ }
+ *   modifiers := (GROUP BY ?var+)? (HAVING ( hexpr ))*
+ *                (ORDER BY (?var | ASC(?var) | DESC(?var))+)?
+ *                (LIMIT int)? (OFFSET int)?     (LIMIT/OFFSET any order)
  *   triple  := term pred term
  *   term    := ?var | <iri> | "lit" | "lit"@lang | "lit"^^<dt>
- *   pred    := ?var | <iri> | <iri>+ | <iri> ('|' <iri>)+ | a
- *              (a = rdf:type; + = transitive closure; | = alternatives)
+ *   pred    := ?var | <iri> | <iri>+ | <iri> ('|' <iri>)+ | ^<iri>
+ *            | step ('/' step)+ | a          where step := '^'? <iri>
+ *              (a = rdf:type; + = transitive closure; | = alternatives;
+ *               ^ = inverse; / = sequence — the operators do not nest)
  *   expr    := BOUND(?v) | !expr | expr && expr | expr || expr
  *            | term (= | !=) term | ( expr )
+ *   hexpr   := COUNT(...) (= | != | < | <= | > | >=) int
+ *            | !hexpr | hexpr && hexpr | hexpr || hexpr | ( hexpr )
  * }}}
+ *
+ * Aggregation is SPARQL 1.1 GROUP BY semantics over the hashed-id
+ * fragment: COUNT / COUNT DISTINCT / MIN / MAX are id-decidable;
+ * SAMPLE compiles to `min` (a deterministic pick where the spec allows
+ * any) and GROUP_CONCAT concatenates in sorted order (the spec leaves
+ * order undefined) so results are engine-independent; SUM/AVG are
+ * rejected with a pointer at the typed-literal columns. VALUES is a
+ * set-semantics selection: one variable is a pushed IN-filter, several
+ * a broadcast semi-join ([[Bgp.applyValues]]); its variables must be
+ * anchored in the required pattern. ORDER BY + LIMIT plan as
+ * per-partition top-k (TakeOrderedAndProject), never a global sort.
  *
  * Constants are translated with the engine's node-id recipe
  * ([[Bgp.iriId]] / [[Bgp.litId]]) so a parsed constant matches the same
@@ -49,9 +71,18 @@ object Sparql {
   private final case class TVar(name: String) extends Tok
   private final case class TIri(iri: String) extends Tok
   private final case class TLit(v: String, lang: Option[String], dt: Option[String]) extends Tok
+  private final case class TNum(v: Long) extends Tok
   /** punctuation or UPPERCASED keyword (SELECT DISTINCT WHERE OPTIONAL
-    * MINUS FILTER UNION BOUND) or the bare rdf:type shorthand "a". */
+    * MINUS FILTER UNION BOUND AS GROUP BY HAVING ORDER ASC DESC LIMIT
+    * OFFSET VALUES UNDEF and the aggregate names) or the bare rdf:type
+    * shorthand "a". */
   private final case class TSym(s: String) extends Tok
+
+  private val Keywords = Set(
+    "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "MINUS", "FILTER", "UNION",
+    "BOUND", "AS", "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC",
+    "LIMIT", "OFFSET", "VALUES", "UNDEF", "SEPARATOR",
+    "COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG")
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -65,25 +96,38 @@ object Sparql {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
-      else if ("{}().+*".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
+      else if ("{}().+*;/^".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
       else if (c == '=') { out += TSym("="); i += 1 }
       else if (c == '!' && peek(1) == '=') { out += TSym("!="); i += 2 }
       else if (c == '!') { out += TSym("!"); i += 1 }
       else if (c == '&' && peek(1) == '&') { out += TSym("&&"); i += 2 }
       else if (c == '|' && peek(1) == '|') { out += TSym("||"); i += 2 }
       else if (c == '|') { out += TSym("|"); i += 1 }
-      else if (c == '?' || c == '$') {
+      else if (c == '>' && peek(1) == '=') { out += TSym(">="); i += 2 }
+      else if (c == '>') { out += TSym(">"); i += 1 }
+      else if (c.isDigit) {
+        val s = i
+        while (i < n && q.charAt(i).isDigit) i += 1
+        out += TNum(q.substring(s, i).toLong)
+      } else if (c == '?' || c == '$') {
         val s = i + 1
         i += 1
         while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
         if (i == s) fail(s"empty variable name at offset $s")
         out += TVar(q.substring(s, i))
       } else if (c == '<') {
-        val s = i + 1
-        while (i < n && q.charAt(i) != '>') i += 1
-        if (i >= n) fail("unterminated IRI")
-        out += TIri(q.substring(s, i))
-        i += 1
+        // '<' is an IRI opener except in a comparison position: `<= `
+        // and `< 3` can only be HAVING operators (an IRI never starts
+        // with '=', whitespace or a digit)
+        if (peek(1) == '=') { out += TSym("<="); i += 2 }
+        else if (peek(1).isWhitespace || peek(1).isDigit) { out += TSym("<"); i += 1 }
+        else {
+          val s = i + 1
+          while (i < n && q.charAt(i) != '>') i += 1
+          if (i >= n) fail("unterminated IRI")
+          out += TIri(q.substring(s, i))
+          i += 1
+        }
       } else if (c == '"') {
         val sb = new StringBuilder
         i += 1
@@ -122,11 +166,10 @@ object Sparql {
         } else out += TLit(sb.toString, None, None)
       } else if (c.isLetter) {
         val s = i
-        while (i < n && q.charAt(i).isLetter) i += 1
+        while (i < n && (q.charAt(i).isLetter || q.charAt(i) == '_')) i += 1
         val w = q.substring(s, i)
         val up = w.toUpperCase
-        if (Set("SELECT", "DISTINCT", "WHERE", "OPTIONAL", "MINUS", "FILTER",
-          "UNION", "BOUND")(up)) out += TSym(up)
+        if (Keywords(up)) out += TSym(up)
         else if (w == "a") out += TSym("a")
         else fail(s"unexpected word '$w' (prefixed names are not supported — use full <iri>s)")
       } else fail(s"unexpected character '$c' at offset $i")
@@ -147,15 +190,48 @@ object Sparql {
   private final case class FOr(a: FExpr, b: FExpr) extends FExpr
   private final case class FCmp(l: FTerm, op: String, r: FTerm) extends FExpr
 
-  final case class Query(select: Seq[String],
+  /** An aggregate invocation; `arg = None` is `COUNT(*)`. SAMPLE is
+    * compiled as `min` (SPARQL leaves the pick arbitrary — a
+    * deterministic pick keeps results engine-independent);
+    * GROUP_CONCAT concatenates in SORTED value order for the same
+    * reason (SPARQL leaves the order undefined). */
+  private[kg] final case class AggCall(func: String, distinct: Boolean,
+                                       arg: Option[String], sep: String = " ")
+
+  /** One SELECT projection item: a plain variable or `(AGG(...) AS ?alias)`. */
+  private[kg] sealed trait Proj
+  private[kg] final case class PVar(name: String) extends Proj
+  private[kg] final case class PAgg(call: AggCall, alias: String) extends Proj
+
+  private[kg] sealed trait HExpr
+  private final case class HCmp(call: AggCall, op: String, n: Long) extends HExpr
+  private final case class HNot(e: HExpr) extends HExpr
+  private final case class HAnd(a: HExpr, b: HExpr) extends HExpr
+  private final case class HOr(a: HExpr, b: HExpr) extends HExpr
+
+  /** Parsed query. `projection` empty means `SELECT *`; `orderBy` pairs
+    * are (variable-or-alias, ascending); `values` clauses are
+    * (variables, constant-id rows) selections. */
+  final case class Query(projection: Seq[Proj],
                          distinct: Boolean,
                          required: Seq[TriplePattern],
                          optionals: Seq[Seq[TriplePattern]],
                          minuses: Seq[Seq[TriplePattern]],
                          unions: Seq[Seq[TriplePattern]],
-                         private[Sparql] val filterAst: Seq[FExpr]) {
+                         private[Sparql] val filterAst: Seq[FExpr],
+                         groupBy: Seq[String] = Nil,
+                         private[Sparql] val havingAst: Seq[HExpr] = Nil,
+                         orderBy: Seq[(String, Boolean)] = Nil,
+                         limit: Option[Long] = None,
+                         offset: Option[Long] = None,
+                         values: Seq[(Seq[String], Seq[Seq[String]])] = Nil) {
     /** Compiled FILTER predicates over the binding columns. */
     def filters: Seq[Column] = filterAst.map(compileF)
+    /** Plain variables of the projection (empty for `SELECT *`). */
+    def select: Seq[String] = projection.collect { case PVar(n) => n }
+    private[Sparql] def isAggregate: Boolean =
+      groupBy.nonEmpty || havingAst.nonEmpty ||
+        projection.exists(_.isInstanceOf[PAgg])
   }
 
   private def compileT(t: FTerm): Column = t match {
@@ -195,16 +271,43 @@ object Sparql {
     case t                 => fail(s"expected a variable, IRI or literal, found $t")
   }
 
+  /** One sequence-path step: `<iri>` or `^<iri>`. */
+  private def pathStep(c: Cursor): PathStep = {
+    val inv = c.atSym("^")
+    if (inv) c.takeSym("^")
+    c.next() match {
+      case TIri(iri) => PathStep(iri, inv)
+      case t => fail(s"a path step must be an <iri> (optionally ^-inverted), found $t")
+    }
+  }
+
   /** Predicate-position term; `<iri>+` is a PlusPath, `<i1>|<i2>` an
-    * AltPath, `a` is rdf:type. */
-  private def predTerm(c: Cursor): Bgp.TermPat = c.next() match {
-    case TVar(n)   => V(n)
-    case TSym("a") => C(RdfType)
-    case TIri(iri) =>
-      if (c.atSym("+")) { c.takeSym("+"); PlusPath(iri) }
-      else if (c.atSym("|")) {
+    * AltPath, `^<iri>` an InvPath, `<i1>/<i2>/...` (steps optionally
+    * `^`-inverted) a SeqPath, `a` is rdf:type. The path operators do
+    * not nest/combine in this fragment — a parse error beats silently
+    * approximated path algebra. */
+  private def predTerm(c: Cursor): Bgp.TermPat = c.peekOrFail match {
+    case TVar(n)   => c.next(); V(n)
+    case TSym("a") => c.next(); C(RdfType)
+    case TSym("^") | TIri(_) =>
+      val first = pathStep(c)
+      def banSuffix(what: String): Unit =
+        if (c.atSym("+") || c.atSym("|") || c.atSym("/"))
+          fail(s"path operators cannot combine with $what in this fragment")
+      if (c.atSym("/")) {
+        val steps = Seq.newBuilder[PathStep]
+        steps += first
+        while (c.atSym("/")) { c.takeSym("/"); steps += pathStep(c) }
+        banSuffix("a / sequence")
+        SeqPath(steps.result())
+      } else if (first.inverse) {
+        banSuffix("^")
+        InvPath(first.pred)
+      } else if (c.atSym("+")) {
+        c.takeSym("+"); banSuffix("+"); PlusPath(first.pred)
+      } else if (c.atSym("|")) {
         val alts = Seq.newBuilder[String]
-        alts += iri
+        alts += first.pred
         while (c.atSym("|")) {
           c.takeSym("|")
           c.next() match {
@@ -212,9 +315,11 @@ object Sparql {
             case t        => fail(s"predicate alternative must be an <iri>, found $t")
           }
         }
+        banSuffix("|")
         AltPath(alts.result())
-      } else C(iri)
-    case t => fail(s"expected a predicate (variable, <iri>, <iri>+, <iri>|<iri> or 'a'), found $t")
+      } else C(first.pred)
+    case t => fail(s"expected a predicate (variable, <iri>, <iri>+, <i1>|<i2>, " +
+      s"^<iri>, <i1>/<i2> or 'a'), found $t")
   }
 
   private def triple(c: Cursor): TriplePattern = {
@@ -275,20 +380,141 @@ object Sparql {
     orExpr()
   }
 
+  private def varName(c: Cursor): String = c.next() match {
+    case TVar(n) => n
+    case t       => fail(s"expected a ?variable, found $t")
+  }
+
+  private def aggCall(c: Cursor): AggCall = {
+    val f = c.next() match {
+      case TSym(s) if Set("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")(s) => s
+      case TSym(s) if Set("SUM", "AVG")(s) =>
+        fail(s"$s needs typed literal values — node ids are hashes; join the " +
+          "TypedLiterals columns outside the SPARQL fragment for numeric aggregation")
+      case t => fail(s"expected an aggregate (COUNT/MIN/MAX/SAMPLE/GROUP_CONCAT), found $t")
+    }
+    c.takeSym("(")
+    val dist = c.atSym("DISTINCT")
+    if (dist) c.takeSym("DISTINCT")
+    val arg = c.next() match {
+      case TVar(n)                   => Some(n)
+      case TSym("*") if f == "COUNT" => None
+      case t => fail(s"$f takes a ?variable${if (f == "COUNT") " or *" else ""}, found $t")
+    }
+    if (dist && arg.isEmpty)
+      fail("COUNT(DISTINCT *) is not supported — SELECT DISTINCT the " +
+        "variables instead, or COUNT(DISTINCT ?v) one of them")
+    var sep = " "
+    if (c.atSym(";")) {
+      if (f != "GROUP_CONCAT") fail("SEPARATOR is only valid in GROUP_CONCAT")
+      c.takeSym(";"); c.takeSym("SEPARATOR"); c.takeSym("=")
+      sep = c.next() match {
+        case TLit(v, None, None) => v
+        case t                   => fail(s"SEPARATOR takes a plain string literal, found $t")
+      }
+    }
+    c.takeSym(")")
+    AggCall(f, dist, arg, sep)
+  }
+
+  // HAVING: aggregate-to-integer comparisons under !/&&/||; COUNT only
+  // (MIN/MAX/SAMPLE/GROUP_CONCAT yield id/string values an integer
+  // comparison cannot mean anything against)
+  private def havingExpr(c: Cursor): HExpr = {
+    def atom(): HExpr = c.peekOrFail match {
+      case TSym("(") => c.takeSym("("); val e = orE(); c.takeSym(")"); e
+      case TSym("!") => c.takeSym("!"); HNot(atom())
+      case _ =>
+        val call = aggCall(c)
+        if (call.func != "COUNT")
+          fail(s"HAVING supports COUNT comparisons only — ${call.func} yields " +
+            "an id/string value; filter those with FILTER before aggregation")
+        val op = c.next() match {
+          case TSym(s) if Set("=", "!=", "<", "<=", ">", ">=")(s) => s
+          case t => fail(s"expected a comparison after the HAVING aggregate, found $t")
+        }
+        val n = c.next() match {
+          case TNum(v) => v
+          case t       => fail(s"HAVING compares an aggregate to an integer, found $t")
+        }
+        HCmp(call, op, n)
+    }
+    def andE(): HExpr = {
+      var e = atom()
+      while (c.atSym("&&")) { c.takeSym("&&"); e = HAnd(e, atom()) }
+      e
+    }
+    def orE(): HExpr = {
+      var e = andE()
+      while (c.atSym("||")) { c.takeSym("||"); e = HOr(e, andE()) }
+      e
+    }
+    orE()
+  }
+
+  private def valuesConst(c: Cursor): String = c.next() match {
+    case TIri(iri)         => Bgp.iriId(iri)
+    case TLit(v, lang, dt) => Bgp.litId(v, dt.getOrElse(RdfTerm.XsdString), lang)
+    case TSym("UNDEF") => fail("UNDEF is not supported in VALUES — the " +
+      "well-designed fragment requires fully bound inline rows (split the " +
+      "query or drop the variable instead)")
+    case t => fail(s"VALUES rows take IRI or literal constants, found $t")
+  }
+
+  private def valuesClause(c: Cursor): (Seq[String], Seq[Seq[String]]) =
+    c.peekOrFail match {
+      case TVar(n) =>
+        c.next()
+        c.takeSym("{")
+        val rows = Seq.newBuilder[Seq[String]]
+        while (!c.atSym("}")) rows += Seq(valuesConst(c))
+        c.takeSym("}")
+        val r = rows.result()
+        if (r.isEmpty) fail("empty VALUES block")
+        (Seq(n), r)
+      case TSym("(") =>
+        c.takeSym("(")
+        val vars = Seq.newBuilder[String]
+        while (!c.atSym(")")) vars += varName(c)
+        c.takeSym(")")
+        val vs = vars.result()
+        if (vs.isEmpty) fail("empty VALUES variable list")
+        c.takeSym("{")
+        val rows = Seq.newBuilder[Seq[String]]
+        while (c.atSym("(")) {
+          c.takeSym("(")
+          rows += vs.map(_ => valuesConst(c))
+          c.takeSym(")")
+        }
+        c.takeSym("}")
+        val r = rows.result()
+        if (r.isEmpty) fail("empty VALUES block")
+        (vs, r)
+      case t => fail(s"VALUES takes ?var or (?var ...), found $t")
+    }
+
   def parse(q: String): Query = {
     val c = new Cursor(tokenize(q))
     c.takeSym("SELECT")
     val distinct = c.atSym("DISTINCT")
     if (distinct) c.takeSym("DISTINCT")
-    val select = Seq.newBuilder[String]
+    val projection = Seq.newBuilder[Proj]
     if (c.atSym("*")) c.takeSym("*")
     else {
       var more = true
       while (more) c.peek match {
-        case Some(TVar(n)) => c.next(); select += n
-        case _             => more = false
+        case Some(TVar(n)) => c.next(); projection += PVar(n)
+        case Some(TSym("(")) =>
+          c.takeSym("(")
+          val call = aggCall(c)
+          c.takeSym("AS")
+          val alias = varName(c)
+          c.takeSym(")")
+          projection += PAgg(call, alias)
+        case _ => more = false
       }
-      if (select.result().isEmpty) fail("SELECT needs ?vars or *")
+      if (projection.result().isEmpty)
+        fail("SELECT needs ?vars, (AGG(...) AS ?alias) items or *")
     }
     c.takeSym("WHERE")
     c.takeSym("{")
@@ -297,6 +523,7 @@ object Sparql {
     val minuses = Seq.newBuilder[Seq[TriplePattern]]
     val unions = Seq.newBuilder[Seq[TriplePattern]]
     val filters = Seq.newBuilder[FExpr]
+    val values = Seq.newBuilder[(Seq[String], Seq[Seq[String]])]
     if (c.atSym("{")) {
       // union group: { triples } UNION { triples } [UNION ...] [FILTER...]
       c.takeSym("{")
@@ -326,33 +553,231 @@ object Sparql {
           c.takeSym("FILTER"); c.takeSym("(")
           filters += filterExpr(c)
           c.takeSym(")")
+        case TSym("VALUES") =>
+          c.takeSym("VALUES")
+          values += valuesClause(c)
         case _ => required += triple(c)
       }
       c.takeSym("}")
     }
-    if (!c.done) fail(s"trailing tokens after the WHERE group: ${c.peekOrFail}")
-    val qy = Query(select.result(), distinct, required.result(),
-      optionals.result(), minuses.result(), unions.result(), filters.result())
-    if (qy.unions.nonEmpty && (qy.required.nonEmpty || qy.optionals.nonEmpty ||
-        qy.minuses.nonEmpty))
-      fail("a UNION group cannot be mixed with top-level triples/OPTIONAL/" +
-        "MINUS in this fragment — nest the common pattern into every branch")
-    if (qy.unions.isEmpty && qy.required.isEmpty)
-      fail("WHERE group has no required triple patterns")
+    // ---- solution modifiers (SPARQL order: GROUP BY, HAVING, ORDER BY,
+    // LIMIT/OFFSET in either order) --------------------------------------
+    var groupBy = Seq.empty[String]
+    if (c.atSym("GROUP")) {
+      c.takeSym("GROUP"); c.takeSym("BY")
+      val gs = Seq.newBuilder[String]
+      var more = true
+      while (more) c.peek match {
+        case Some(TVar(n)) => c.next(); gs += n
+        case _             => more = false
+      }
+      groupBy = gs.result()
+      if (groupBy.isEmpty) fail("GROUP BY needs ?vars")
+    }
+    val having = Seq.newBuilder[HExpr]
+    while (c.atSym("HAVING")) {
+      c.takeSym("HAVING"); c.takeSym("(")
+      having += havingExpr(c)
+      c.takeSym(")")
+    }
+    var orderBy = Seq.empty[(String, Boolean)]
+    if (c.atSym("ORDER")) {
+      c.takeSym("ORDER"); c.takeSym("BY")
+      val os = Seq.newBuilder[(String, Boolean)]
+      var more = true
+      while (more) c.peek match {
+        case Some(TVar(n)) => c.next(); os += ((n, true))
+        case Some(TSym("ASC")) =>
+          c.takeSym("ASC"); c.takeSym("(")
+          os += ((varName(c), true)); c.takeSym(")")
+        case Some(TSym("DESC")) =>
+          c.takeSym("DESC"); c.takeSym("(")
+          os += ((varName(c), false)); c.takeSym(")")
+        case _ => more = false
+      }
+      orderBy = os.result()
+      if (orderBy.isEmpty) fail("ORDER BY needs ?vars or ASC(?v)/DESC(?v)")
+    }
+    var limit: Option[Long] = None
+    var offset: Option[Long] = None
+    while (c.atSym("LIMIT") || c.atSym("OFFSET")) {
+      val kw = c.next() match { case TSym(s) => s; case t => fail(s"unexpected $t") }
+      val n = c.next() match {
+        case TNum(v) => v
+        case t       => fail(s"$kw takes a non-negative integer, found $t")
+      }
+      if (kw == "LIMIT") {
+        if (limit.isDefined) fail("duplicate LIMIT")
+        limit = Some(n)
+      } else {
+        if (offset.isDefined) fail("duplicate OFFSET")
+        offset = Some(n)
+      }
+    }
+    if (!c.done) fail(s"trailing tokens after the query: ${c.peekOrFail}")
+    val qy = Query(projection.result(), distinct, required.result(),
+      optionals.result(), minuses.result(), unions.result(), filters.result(),
+      groupBy, having.result(), orderBy, limit, offset, values.result())
+    validate(qy)
     qy
   }
 
-  /** Parse and execute against an edges frame (subj_id, pred, obj_id). */
+  /** Parse-time semantic checks — every rejection here is a query that
+    * would otherwise run with silently-surprising semantics. */
+  private def validate(qy: Query): Unit = {
+    if (qy.unions.nonEmpty && (qy.required.nonEmpty || qy.optionals.nonEmpty ||
+        qy.minuses.nonEmpty || qy.values.nonEmpty))
+      fail("a UNION group cannot be mixed with top-level triples/OPTIONAL/" +
+        "MINUS/VALUES in this fragment — nest the common pattern into every branch")
+    if (qy.unions.isEmpty && qy.required.isEmpty)
+      fail("WHERE group has no required triple patterns")
+    def varsOf(ps: Seq[TriplePattern]): Set[String] =
+      ps.flatMap(p => Seq(p.subj, p.pred, p.obj).collect { case V(n) => n }).toSet
+    // VALUES variables must be anchored in the REQUIRED pattern: a NULL
+    // binding (unmatched OPTIONAL) never equals an inline value, which
+    // would silently diverge from SPARQL's unbound-is-compatible rule
+    val reqVars = varsOf(qy.required)
+    qy.values.foreach { case (vs, _) =>
+      val unanchored = vs.filterNot(reqVars.contains)
+      if (unanchored.nonEmpty)
+        fail(s"VALUES variable(s) ${unanchored.mkString(", ")} must be bound " +
+          "by the required pattern (not only by OPTIONAL) in this fragment")
+    }
+    val aliases = qy.projection.collect { case PAgg(_, a) => a }
+    val dupAlias = (aliases ++ qy.select).groupBy(identity).collect {
+      case (n, vs) if vs.sizeIs > 1 => n
+    }
+    if (dupAlias.nonEmpty)
+      fail(s"duplicate SELECT name(s): ${dupAlias.mkString(", ")}")
+    if (qy.isAggregate) {
+      if (qy.projection.isEmpty)
+        fail("SELECT * cannot be combined with GROUP BY / aggregates — " +
+          "project the grouped variables explicitly")
+      val bad = qy.select.filterNot(qy.groupBy.contains)
+      if (bad.nonEmpty)
+        fail(s"non-aggregate SELECT variable(s) ${bad.mkString(", ")} must " +
+          "appear in GROUP BY")
+    }
+    // ORDER BY applies to the PROJECTED result (after DISTINCT, as in
+    // SPARQL's modifier order); restrict it to result columns
+    val outNames: Set[String] =
+      if (qy.projection.isEmpty)
+        varsOf(qy.required) ++ qy.optionals.flatMap(varsOf) ++
+          qy.unions.flatMap(varsOf)
+      else qy.select.toSet ++ aliases
+    qy.orderBy.foreach { case (v, _) =>
+      if (!outNames.contains(v))
+        fail(s"ORDER BY variable ?$v is not a result column — order by a " +
+          "projected variable or aggregate alias")
+    }
+  }
+
+  // ---------- execution ----------------------------------------------------
+
+  /** Aggregate compilation. COUNT family is codegen'd partial-agg
+    * (map-side combine before the one group-key shuffle); GROUP_CONCAT
+    * is collect_list/set — per-group state is O(group payload), so at
+    * scale put it behind selective patterns, as with any SQL
+    * string_agg. SAMPLE compiles to `min` and GROUP_CONCAT sorts — both
+    * deliberate determinism choices where SPARQL leaves the result
+    * engine-defined. */
+  private def compileAgg(a: AggCall): Column = a match {
+    case AggCall("COUNT", false, None, _)    => count(lit(1))
+    case AggCall("COUNT", false, Some(v), _) => count(col(v))
+    case AggCall("COUNT", true, Some(v), _)  => countDistinct(col(v))
+    case AggCall("MIN", _, Some(v), _)       => min(col(v))
+    case AggCall("MAX", _, Some(v), _)       => max(col(v))
+    case AggCall("SAMPLE", _, Some(v), _)    => min(col(v))
+    case AggCall("GROUP_CONCAT", false, Some(v), sep) =>
+      array_join(sort_array(collect_list(col(v))), sep)
+    case AggCall("GROUP_CONCAT", true, Some(v), sep) =>
+      array_join(sort_array(collect_set(col(v))), sep)
+    case other => fail(s"unsupported aggregate $other")
+  }
+
+  private def havingCalls(e: HExpr): Seq[AggCall] = e match {
+    case HCmp(call, _, _) => Seq(call)
+    case HNot(x)          => havingCalls(x)
+    case HAnd(a, b)       => havingCalls(a) ++ havingCalls(b)
+    case HOr(a, b)        => havingCalls(a) ++ havingCalls(b)
+  }
+
+  private def compileH(e: HExpr, alias: Map[AggCall, String]): Column = e match {
+    case HCmp(call, op, n) =>
+      val c = col(alias(call))
+      op match {
+        case "="  => c === n
+        case "!=" => c =!= n
+        case "<"  => c < n
+        case "<=" => c <= n
+        case ">"  => c > n
+        case ">=" => c >= n
+      }
+    case HNot(x)    => !compileH(x, alias)
+    case HAnd(a, b) => compileH(a, alias) && compileH(b, alias)
+    case HOr(a, b)  => compileH(a, alias) || compileH(b, alias)
+  }
+
+  /** GROUP BY + aggregates + HAVING over the matched bindings: ONE
+    * hash-aggregate shuffle on the group variables (or a global
+    * aggregate when GROUP BY is absent — SPARQL's implicit single
+    * group); HAVING aggregates not already projected are computed in
+    * the same pass under internal aliases and dropped after the
+    * filter. */
+  private def aggregate(matched: DataFrame, q: Query): DataFrame = {
+    val projAggs = q.projection.collect { case PAgg(call, alias) => (call, alias) }
+    val extra = q.havingAst.flatMap(havingCalls).distinct
+      .filterNot(projAggs.map(_._1).contains)
+      .zipWithIndex.map { case (call, i) => (call, s"_having_$i") }
+    val all = projAggs ++ extra
+    val agged =
+      if (all.isEmpty)
+        // SELECT ?g ... GROUP BY ?g with no aggregate calls: grouping
+        // alone, i.e. the distinct group keys
+        matched.select(q.groupBy.map(col): _*).distinct()
+      else {
+        val aggCols = all.map { case (call, alias) => compileAgg(call).as(alias) }
+        val grouped =
+          if (q.groupBy.nonEmpty) matched.groupBy(q.groupBy.map(col): _*)
+          else matched.groupBy()
+        grouped.agg(aggCols.head, aggCols.tail: _*)
+      }
+    val aliasMap = all.toMap
+    val hav = q.havingAst.foldLeft(agged)((df, h) => df.filter(compileH(h, aliasMap)))
+    hav.select(q.projection.map {
+      case PVar(n)        => col(n)
+      case PAgg(_, alias) => col(alias)
+    }: _*)
+  }
+
+  /**
+   * Parse and execute against an edges frame (subj_id, pred, obj_id).
+   * Pipeline order follows SPARQL's algebra: pattern group (with
+   * FILTERs) -> VALUES selections -> GROUP BY/aggregates -> HAVING ->
+   * projection -> DISTINCT -> ORDER BY -> OFFSET -> LIMIT. An
+   * ORDER BY + LIMIT pair plans as TakeOrderedAndProject — per-partition
+   * top-k then a single merge, never a global sort.
+   */
   def run(edges: DataFrame, queryString: String): DataFrame = {
     val q = parse(queryString)
-    val matched =
+    val matched0 =
       if (q.unions.nonEmpty)
         q.filters.foldLeft(Bgp.matchUnion(edges, q.unions))(_ filter _)
       else
         Bgp.matchGroup(edges, q.required, q.optionals, q.minuses, q.filters)
-    val selected =
-      if (q.select.isEmpty) matched
+    val matched = q.values.foldLeft(matched0) { case (df, (vs, rows)) =>
+      Bgp.applyValues(df, vs, rows)
+    }
+    val projected =
+      if (q.isAggregate) aggregate(matched, q)
+      else if (q.projection.isEmpty) matched
       else matched.select(q.select.distinct.map(col): _*)
-    if (q.distinct) selected.distinct() else selected
+    val dist = if (q.distinct) projected.distinct() else projected
+    val ordered =
+      if (q.orderBy.isEmpty) dist
+      else dist.orderBy(q.orderBy.map { case (v, asc) =>
+        if (asc) col(v).asc else col(v).desc }: _*)
+    val off = q.offset.fold(ordered)(o => ordered.offset(o.toInt))
+    q.limit.fold(off)(l => off.limit(l.toInt))
   }
 }

@@ -199,6 +199,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(500))
   }
 
+  test("SPARQL ORDER BY + LIMIT plans as TakeOrderedAndProject, not a global sort") {
+    // per-partition top-k then one merge — the only slice shape that
+    // survives a 100 TB input; a global Sort before the limit would be
+    // a full-data shuffle for 7 rows.
+    val plan = SparkEntry.queries("kg_sparql_orderby")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(900))
+    assert(!plan.contains("rangepartitioning"),
+      s"global range-partitioned sort in the modifier slice:\n${plan.take(1200)}")
+  }
+
+  test("SPARQL VALUES joins the inline rows broadcast, bindings side unshuffled") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val qe = SparkEntry.queries("kg_sparql_values")(s2, dir).queryExecution
+    val plan = qe.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin") &&
+      plan.toString.contains("LeftSemi"), plan.toString.take(900))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"VALUES selection shuffles the bindings:\n${plan.toString.take(1200)}")
+  }
+
   test("scale-critical queries stay within their shuffle budgets") {
     // Broad plan-regression tripwire: every Exchange is a full
     // rehash+respill of the stage's data at 100 TB, so a silent extra
@@ -218,7 +241,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "td_ngram_topk" -> 2, "td_interdoc_dedup" -> 6,
       "td_salient_terms" -> 2, "td_split_leakfree" -> 8,
       "kg_property_table" -> 2, "kg_bgp_match" -> 0, "td_bm25" -> 3,
-      "kg_rdfs_closure" -> 1, "kg_entity_resolution" -> 3)
+      "kg_rdfs_closure" -> 1, "kg_entity_resolution" -> 3,
+      // r5 SPARQL layer: FILTER/UNION/alt/parse/VALUES are pure
+      // selections or concats over broadcast-joined patterns (0);
+      // MINUS pays exactly its anti-side dedup; the aggregates pay
+      // their one group-by shuffle (2 for COUNT DISTINCT's two-phase
+      // expand plan); ORDER BY+LIMIT adds NO shuffle on top of the agg
+      // (TakeOrderedAndProject, pinned below)
+      "kg_bgp_filter" -> 0, "kg_bgp_minus" -> 1, "kg_bgp_union" -> 0,
+      "kg_bgp_path_seq" -> 0,
+      "kg_bgp_alt" -> 0, "kg_sparql_parse" -> 0, "kg_sparql_agg" -> 2,
+      "kg_sparql_orderby" -> 1, "kg_sparql_values" -> 0,
+      "kg_sparql_group_concat" -> 1, "kg_property_table_multi" -> 1)
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.session.timeZone", "UTC")

@@ -92,6 +92,38 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(parsed.count() === 2) // d1 reaches d2 and d3
   }
 
+  test("inverse ^<p> and sequence <p1>/<p2> paths parse to the twin") {
+    import Bgp.{InvPath, PathStep, SeqPath}
+    val (a, b, p, r) = (d1, d2, d3, en) // a up p; b up p; p up r
+    val up = edges((a, "urn:up", p), (b, "urn:up", p), (p, "urn:up", r))
+    def render(df: DataFrame) =
+      df.collect().map(row => (row.getString(0), row.getString(1))).sorted.toSeq
+
+    val inv = Sparql.run(up, "SELECT ?x ?y WHERE { ?x ^<urn:up> ?y }")
+    val invProg = Bgp.matchPatterns(up,
+      Seq(TriplePattern(V("x"), InvPath("urn:up"), V("y")))).select("x", "y")
+    assertSame(inv, invProg)
+    assert(render(inv) === Seq((p, a), (p, b), (r, p)).sorted)
+
+    val grand = Sparql.run(up, "SELECT ?x ?y WHERE { ?x <urn:up>/<urn:up> ?y }")
+    val grandProg = Bgp.matchPatterns(up, Seq(TriplePattern(V("x"),
+      SeqPath(Seq(PathStep("urn:up"), PathStep("urn:up"))), V("y")))).select("x", "y")
+    assertSame(grand, grandProg)
+    assert(render(grand) === Seq((a, r), (b, r)).sorted)
+
+    // forward-then-inverse: nodes sharing a parent (incl. self-routes)
+    val sib = Sparql.run(up, "SELECT ?x ?y WHERE { ?x <urn:up>/^<urn:up> ?y }")
+    assert(render(sib) ===
+      Seq((a, a), (a, b), (b, a), (b, b), (p, p)).sorted)
+
+    def bad(q: String): Unit =
+      assert(intercept[IllegalArgumentException](Sparql.parse(q))
+        .getMessage.contains("cannot combine"))
+    bad("SELECT * WHERE { ?x <urn:up>/<urn:dn>+ ?y }")
+    bad("SELECT * WHERE { ?x ^<urn:up>+ ?y }")
+    bad("SELECT * WHERE { ?x <urn:up>+|<urn:dn> ?y }")
+  }
+
   test("MINUS, predicate alternatives and SELECT DISTINCT parse to the twin") {
     val spam = Bgp.iriId("urn:doc:spam")
     val e = edges(
@@ -131,6 +163,116 @@ class SparqlParserSpec extends AnyFunSuite {
     val p2 = Sparql.run(e,
       """SELECT * WHERE { ?x <urn:p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> }""")
     assert(p2.collect().map(_.getString(0)).toSeq === Seq(d2))
+  }
+
+  test("GROUP BY + COUNT/COUNT DISTINCT/MIN + HAVING equals the programmatic twin") {
+    val e = edges(
+      (d1, "urn:lang", en), (d1, "urn:src", web),
+      (d2, "urn:lang", fr), (d2, "urn:src", book),
+      (d3, "urn:lang", en), (d3, "urn:src", web))
+    val parsed = Sparql.run(e,
+      """SELECT ?l (COUNT(?d) AS ?n) (COUNT(DISTINCT ?s) AS ?ns) (MIN(?s) AS ?lo)
+        |WHERE { ?d <urn:lang> ?l . ?d <urn:src> ?s }
+        |GROUP BY ?l HAVING (COUNT(?d) >= 2)""".stripMargin)
+    val prog = Bgp.matchPatterns(e, Seq(
+        TriplePattern(V("d"), C("urn:lang"), V("l")),
+        TriplePattern(V("d"), C("urn:src"), V("s"))))
+      .groupBy(col("l"))
+      .agg(count(col("d")).as("n"), countDistinct(col("s")).as("ns"),
+        min(col("s")).as("lo"))
+      .filter(col("n") >= 2)
+      .select("l", "n", "ns", "lo")
+    assertSame(parsed, prog)
+    assert(parsed.count() === 1) // only 'en' has 2 docs
+  }
+
+  test("global aggregate (no GROUP BY) and grouping-only GROUP BY") {
+    val g = Sparql.run(corpus, "SELECT (COUNT(*) AS ?n) WHERE { ?d <urn:lang> ?l }")
+    assert(g.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    val keys = Sparql.run(corpus, "SELECT ?l WHERE { ?d <urn:lang> ?l } GROUP BY ?l")
+    assert(keys.collect().map(_.getString(0)).sorted.toSeq === Seq(en, fr).sorted)
+  }
+
+  test("GROUP_CONCAT sorts, honors SEPARATOR and DISTINCT; SAMPLE is min") {
+    val e = edges(
+      (d1, "urn:tag", en), (d1, "urn:tag", fr), (d1, "urn:tag", en),
+      (d2, "urn:tag", fr))
+    val parsed = Sparql.run(e,
+      """SELECT ?d (GROUP_CONCAT(?t; SEPARATOR="|") AS ?all)
+        |           (GROUP_CONCAT(DISTINCT ?t; SEPARATOR="|") AS ?uniq)
+        |           (SAMPLE(?t) AS ?one)
+        |WHERE { ?d <urn:tag> ?t } GROUP BY ?d""".stripMargin)
+    val rows = parsed.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3))).sortBy(_._1)
+    val Seq(lo, hi) = Seq(en, fr).sorted
+    val exp = Seq(
+      (d1, Seq(en, en, fr).sorted.mkString("|"), s"$lo|$hi", Seq(en, fr).min),
+      (d2, fr, fr, fr)).sortBy(_._1)
+    assert(rows.toSeq === exp)
+  }
+
+  test("ORDER BY / LIMIT / OFFSET slice deterministically") {
+    val e = edges(
+      (d1, "urn:lang", en), (d2, "urn:lang", fr), (d3, "urn:lang", en))
+    val ordered = Sparql.run(e,
+      "SELECT ?d ?l WHERE { ?d <urn:lang> ?l } ORDER BY ASC(?d) DESC(?l)")
+    assert(ordered.collect().map(_.getString(0)).toSeq ===
+      Seq(d1, d2, d3).sorted)
+    val sliced = Sparql.run(e,
+      "SELECT ?d WHERE { ?d <urn:lang> ?l } ORDER BY ?d LIMIT 1 OFFSET 1")
+    assert(sliced.collect().map(_.getString(0)).toSeq ===
+      Seq(Seq(d1, d2, d3).sorted.apply(1)))
+    // aggregate + ORDER BY alias + LIMIT
+    val top = Sparql.run(e,
+      """SELECT ?l (COUNT(?d) AS ?n) WHERE { ?d <urn:lang> ?l }
+        |GROUP BY ?l ORDER BY DESC(?n) ?l LIMIT 1""".stripMargin)
+    assert(top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq((en, 2L)))
+  }
+
+  test("VALUES: single var is an IN-selection, multi var a semi-join") {
+    val e = edges(
+      (d1, "urn:lang", en), (d1, "urn:src", web),
+      (d2, "urn:lang", fr), (d2, "urn:src", book),
+      (d3, "urn:lang", en), (d3, "urn:src", book))
+    val single = Sparql.run(e,
+      """SELECT ?d WHERE { ?d <urn:lang> ?l . VALUES ?l { "en" } }""")
+    assert(single.collect().map(_.getString(0)).toSet === Set(d1, d3))
+    val multi = Sparql.run(e,
+      """SELECT ?d ?l ?s WHERE {
+        |  ?d <urn:lang> ?l . ?d <urn:src> ?s .
+        |  VALUES (?l ?s) { ("en" "web") ("fr" "book") }
+        |}""".stripMargin)
+    assert(multi.collect().map(_.getString(0)).toSet === Set(d1, d2))
+    val prog = Bgp.applyValues(
+      Bgp.matchPatterns(e, Seq(
+        TriplePattern(V("d"), C("urn:lang"), V("l")),
+        TriplePattern(V("d"), C("urn:src"), V("s")))),
+      Seq("l", "s"), Seq(Seq(en, web), Seq(fr, book)))
+      .select("d", "l", "s")
+    assertSame(multi, prog)
+  }
+
+  test("aggregate/modifier/VALUES misuse fails loudly") {
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"$q -> ${ex.getMessage}")
+    }
+    bad("SELECT (SUM(?x) AS ?s) WHERE { ?a <p> ?x }", "typed literal")
+    bad("SELECT * WHERE { ?a <p> ?x } GROUP BY ?a", "project the grouped")
+    bad("SELECT ?x (COUNT(?a) AS ?n) WHERE { ?a <p> ?x } GROUP BY ?a",
+      "must appear in GROUP BY")
+    bad("SELECT ?a WHERE { ?a <p> ?x } ORDER BY ?zzz", "not a result column")
+    bad("""SELECT ?a WHERE { ?a <p> ?x . VALUES ?y { "v" } }""",
+      "bound by the required pattern")
+    bad("""SELECT ?a WHERE { ?a <p> ?x . OPTIONAL { ?a <q> ?y }
+          | VALUES ?y { "v" } }""".stripMargin, "bound by the required pattern")
+    bad("""SELECT ?a WHERE { ?a <p> ?x . VALUES ?x { UNDEF } }""", "UNDEF")
+    bad("SELECT ?a (COUNT(?x) AS ?a) WHERE { ?a <p> ?x } GROUP BY ?a",
+      "duplicate SELECT name")
+    bad("SELECT ?a WHERE { ?a <p> ?x } GROUP BY ?a HAVING (MIN(?x) > 3)",
+      "COUNT comparisons only")
+    bad("SELECT ?a WHERE { ?a <p> ?x } LIMIT 3 LIMIT 4", "duplicate LIMIT")
   }
 
   test("malformed queries fail loudly, not wrongly") {

@@ -1288,6 +1288,29 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // SPARQL ASK: boolean group-existence probe — limit(1) keeps the
+    // plan a first-match scan, not a full count
+    "kg_sparql_ask" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Sparql.run(e,
+        """ASK { ?d <urn:col:documents:lang> "en" .
+          |      ?d <urn:col:documents:source> ?src
+          |      FILTER (?src != "src0") }""".stripMargin)
+    }),
+
+    // SPARQL CONSTRUCT: materialize a DERIVED graph — a reverse edge
+    // per (doc, source) binding plus an rdf:type edge per doc — as
+    // distinct (subj_id, pred, obj_id) rows in the engine's own edges
+    // convention; the one shuffle is the graph-set distinct
+    "kg_sparql_construct" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Sparql.run(e,
+        """CONSTRUCT { ?src <urn:rev:source> ?d . ?d a <urn:Doc> }
+          |WHERE { ?d <urn:col:documents:source> ?src }""".stripMargin)
+    }),
+
     // SPARQL GROUP_CONCAT + SAMPLE over a variable-predicate pattern:
     // concatenation is SORTED (engine-independent where the spec leaves
     // order undefined), SAMPLE compiles to min — both deterministic
@@ -2509,6 +2532,24 @@ object SparkEntry {
          |WHERE (lang = 'en' AND source = 'src1')
          |   OR (lang = 'de' AND source = 'src2')
          |   OR (lang = 'zh' AND source = 'src1')""".stripMargin,
+
+    // ASK mirror: EXISTS over the same value-level predicate
+    "kg_sparql_ask" ->
+      """SELECT EXISTS(SELECT 1 FROM documents
+        |              WHERE lang = 'en' AND source <> 'src0') AS ask""".stripMargin,
+
+    // CONSTRUCT mirror: UNION (set semantics) of the reverse-source
+    // projection and the constant-typed projection
+    "kg_sparql_construct" ->
+      s"""SELECT sha256('"' || source || '"^^<$XSD_STR>') AS subj_id,
+         |       'urn:rev:source' AS pred,
+         |       sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS obj_id
+         |FROM documents
+         |UNION
+         |SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>'),
+         |       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         |       sha256('<urn:Doc>')
+         |FROM documents""".stripMargin,
 
     // GROUP_CONCAT mirror: sorted list_sort = Spark's sort_array, and
     // SAMPLE-as-min = min(o)

@@ -17,7 +17,9 @@ import Bgp.{AltPath, C, InvPath, PathStep, PlusPath, SeqPath, TriplePattern, V}
  * layer implements — a parse error beats silently wrong semantics):
  *
  * {{{
- *   query   := SELECT DISTINCT? (proj+ | *) WHERE { group } modifiers
+ *   query   := select | ASK WHERE? { group }
+ *            | CONSTRUCT { triple+ } WHERE { group }
+ *   select  := SELECT DISTINCT? (proj+ | *) WHERE { group } modifiers
  *   proj    := ?var | ( agg ( DISTINCT? (?var | *) sepOpt ) AS ?alias )
  *   agg     := COUNT | MIN | MAX | SAMPLE | GROUP_CONCAT
  *   sepOpt  := (';' SEPARATOR = "sep")?          (GROUP_CONCAT only)
@@ -79,9 +81,9 @@ object Sparql {
   private final case class TSym(s: String) extends Tok
 
   private val Keywords = Set(
-    "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "MINUS", "FILTER", "UNION",
-    "BOUND", "AS", "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC",
-    "LIMIT", "OFFSET", "VALUES", "UNDEF", "SEPARATOR",
+    "SELECT", "ASK", "CONSTRUCT", "DISTINCT", "WHERE", "OPTIONAL", "MINUS",
+    "FILTER", "UNION", "BOUND", "AS", "GROUP", "BY", "HAVING", "ORDER",
+    "ASC", "DESC", "LIMIT", "OFFSET", "VALUES", "UNDEF", "SEPARATOR",
     "COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG")
 
   private def fail(msg: String): Nothing =
@@ -209,9 +211,10 @@ object Sparql {
   private final case class HAnd(a: HExpr, b: HExpr) extends HExpr
   private final case class HOr(a: HExpr, b: HExpr) extends HExpr
 
-  /** Parsed query. `projection` empty means `SELECT *`; `orderBy` pairs
-    * are (variable-or-alias, ascending); `values` clauses are
-    * (variables, constant-id rows) selections. */
+  /** Parsed query. `form` is SELECT, ASK or CONSTRUCT; `projection`
+    * empty means `SELECT *`; `orderBy` pairs are (variable-or-alias,
+    * ascending); `values` clauses are (variables, constant-id rows)
+    * selections; `template` holds CONSTRUCT's output triples. */
   final case class Query(projection: Seq[Proj],
                          distinct: Boolean,
                          required: Seq[TriplePattern],
@@ -224,7 +227,9 @@ object Sparql {
                          orderBy: Seq[(String, Boolean)] = Nil,
                          limit: Option[Long] = None,
                          offset: Option[Long] = None,
-                         values: Seq[(Seq[String], Seq[Seq[String]])] = Nil) {
+                         values: Seq[(Seq[String], Seq[Seq[String]])] = Nil,
+                         form: String = "SELECT",
+                         template: Seq[TriplePattern] = Nil) {
     /** Compiled FILTER predicates over the binding columns. */
     def filters: Seq[Column] = filterAst.map(compileF)
     /** Plain variables of the projection (empty for `SELECT *`). */
@@ -493,31 +498,17 @@ object Sparql {
       case t => fail(s"VALUES takes ?var or (?var ...), found $t")
     }
 
-  def parse(q: String): Query = {
-    val c = new Cursor(tokenize(q))
-    c.takeSym("SELECT")
-    val distinct = c.atSym("DISTINCT")
-    if (distinct) c.takeSym("DISTINCT")
-    val projection = Seq.newBuilder[Proj]
-    if (c.atSym("*")) c.takeSym("*")
-    else {
-      var more = true
-      while (more) c.peek match {
-        case Some(TVar(n)) => c.next(); projection += PVar(n)
-        case Some(TSym("(")) =>
-          c.takeSym("(")
-          val call = aggCall(c)
-          c.takeSym("AS")
-          val alias = varName(c)
-          c.takeSym(")")
-          projection += PAgg(call, alias)
-        case _ => more = false
-      }
-      if (projection.result().isEmpty)
-        fail("SELECT needs ?vars, (AGG(...) AS ?alias) items or *")
-    }
-    c.takeSym("WHERE")
-    c.takeSym("{")
+  /** The parsed WHERE-group pieces (shared by SELECT, ASK and
+    * CONSTRUCT). */
+  private final case class GroupAst(required: Seq[TriplePattern],
+                                    optionals: Seq[Seq[TriplePattern]],
+                                    minuses: Seq[Seq[TriplePattern]],
+                                    unions: Seq[Seq[TriplePattern]],
+                                    filters: Seq[FExpr],
+                                    values: Seq[(Seq[String], Seq[Seq[String]])])
+
+  /** Parses a group after its opening '{' (consumes the closing '}'). */
+  private def parseGroupBody(c: Cursor): GroupAst = {
     val required = Seq.newBuilder[TriplePattern]
     val optionals = Seq.newBuilder[Seq[TriplePattern]]
     val minuses = Seq.newBuilder[Seq[TriplePattern]]
@@ -560,6 +551,72 @@ object Sparql {
       }
       c.takeSym("}")
     }
+    GroupAst(required.result(), optionals.result(), minuses.result(),
+      unions.result(), filters.result(), values.result())
+  }
+
+  def parse(q: String): Query = {
+    val c = new Cursor(tokenize(q))
+    c.peekOrFail match {
+      case TSym("ASK")       => c.takeSym("ASK"); parseAsk(c)
+      case TSym("CONSTRUCT") => c.takeSym("CONSTRUCT"); parseConstruct(c)
+      case _                 => c.takeSym("SELECT"); parseSelect(c)
+    }
+  }
+
+  /** `ASK [WHERE] { group }` — no projection, no solution modifiers. */
+  private def parseAsk(c: Cursor): Query = {
+    if (c.atSym("WHERE")) c.takeSym("WHERE")
+    c.takeSym("{")
+    val g = parseGroupBody(c)
+    if (!c.done) fail(s"trailing tokens after the ASK group: ${c.peekOrFail}")
+    val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
+      g.unions, g.filters, values = g.values, form = "ASK")
+    validate(qy)
+    qy
+  }
+
+  /** `CONSTRUCT { template } WHERE { group }` — the template's variables
+    * must be bound by the group; property paths are not allowed in the
+    * template (it names OUTPUT edges, not matches). */
+  private def parseConstruct(c: Cursor): Query = {
+    c.takeSym("{")
+    val template = triplesBlock(c)
+    c.takeSym("WHERE")
+    c.takeSym("{")
+    val g = parseGroupBody(c)
+    if (!c.done) fail(s"trailing tokens after the CONSTRUCT group: ${c.peekOrFail}")
+    val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
+      g.unions, g.filters, values = g.values, form = "CONSTRUCT",
+      template = template)
+    validate(qy)
+    qy
+  }
+
+  private def parseSelect(c: Cursor): Query = {
+    val distinct = c.atSym("DISTINCT")
+    if (distinct) c.takeSym("DISTINCT")
+    val projection = Seq.newBuilder[Proj]
+    if (c.atSym("*")) c.takeSym("*")
+    else {
+      var more = true
+      while (more) c.peek match {
+        case Some(TVar(n)) => c.next(); projection += PVar(n)
+        case Some(TSym("(")) =>
+          c.takeSym("(")
+          val call = aggCall(c)
+          c.takeSym("AS")
+          val alias = varName(c)
+          c.takeSym(")")
+          projection += PAgg(call, alias)
+        case _ => more = false
+      }
+      if (projection.result().isEmpty)
+        fail("SELECT needs ?vars, (AGG(...) AS ?alias) items or *")
+    }
+    c.takeSym("WHERE")
+    c.takeSym("{")
+    val g = parseGroupBody(c)
     // ---- solution modifiers (SPARQL order: GROUP BY, HAVING, ORDER BY,
     // LIMIT/OFFSET in either order) --------------------------------------
     var groupBy = Seq.empty[String]
@@ -615,9 +672,9 @@ object Sparql {
       }
     }
     if (!c.done) fail(s"trailing tokens after the query: ${c.peekOrFail}")
-    val qy = Query(projection.result(), distinct, required.result(),
-      optionals.result(), minuses.result(), unions.result(), filters.result(),
-      groupBy, having.result(), orderBy, limit, offset, values.result())
+    val qy = Query(projection.result(), distinct, g.required, g.optionals,
+      g.minuses, g.unions, g.filters, groupBy, having.result(), orderBy,
+      limit, offset, g.values)
     validate(qy)
     qy
   }
@@ -642,6 +699,19 @@ object Sparql {
       if (unanchored.nonEmpty)
         fail(s"VALUES variable(s) ${unanchored.mkString(", ")} must be bound " +
           "by the required pattern (not only by OPTIONAL) in this fragment")
+    }
+    if (qy.form == "CONSTRUCT") {
+      qy.template.foreach(t => t.pred match {
+        case V(_) | C(_) => ()
+        case other => fail(s"property paths are not allowed in a CONSTRUCT " +
+          s"template (it names OUTPUT edges, not matches): $other")
+      })
+      val groupVars = varsOf(qy.required) ++ qy.optionals.flatMap(varsOf) ++
+        qy.unions.flatMap(varsOf)
+      val unbound = varsOf(qy.template) -- groupVars
+      if (unbound.nonEmpty)
+        fail(s"CONSTRUCT template variable(s) ${unbound.mkString(", ")} are " +
+          "not bound by the WHERE group")
     }
     val aliases = qy.projection.collect { case PAgg(_, a) => a }
     val dupAlias = (aliases ++ qy.select).groupBy(identity).collect {
@@ -750,6 +820,34 @@ object Sparql {
     }: _*)
   }
 
+  /** CONSTRUCT template instantiation: one projection of the bindings
+    * per template triple (rows with an unbound template variable are
+    * skipped, per SPARQL), unioned and DISTINCT'd — a CONSTRUCT result
+    * is a GRAPH (a set of edges), and the distinct is the single
+    * shuffle that makes it one. Output matches the engine's edges
+    * convention: hashed node ids, raw predicate IRIs. */
+  private def construct(matched: DataFrame, template: Seq[TriplePattern]): DataFrame = {
+    def nodeCol(t: Bgp.TermPat): Column = t match {
+      case V(n)  => col(n)
+      case C(v)  => lit(v)
+      case other => fail(s"unexpected template term $other")
+    }
+    val parts = template.map { t =>
+      val varCols = Seq(t.subj, t.pred, t.obj).collect { case V(n) => col(n) }
+      val kept = varCols.foldLeft(matched)((df, vc) => df.filter(vc.isNotNull))
+      kept.select(nodeCol(t.subj).as("subj_id"), nodeCol(t.pred).as("pred"),
+        nodeCol(t.obj).as("obj_id"))
+    }
+    parts.reduce(_ union _).distinct()
+  }
+
+  /** [[run]] for ASK queries, evaluated: true iff the group matches. */
+  def ask(edges: DataFrame, queryString: String): Boolean = {
+    val q = parse(queryString)
+    require(q.form == "ASK", s"ask() takes an ASK query, got ${q.form}")
+    run(edges, queryString).collect()(0).getBoolean(0)
+  }
+
   /**
    * Parse and execute against an edges frame (subj_id, pred, obj_id).
    * Pipeline order follows SPARQL's algebra: pattern group (with
@@ -768,6 +866,11 @@ object Sparql {
     val matched = q.values.foldLeft(matched0) { case (df, (vs, rows)) =>
       Bgp.applyValues(df, vs, rows)
     }
+    if (q.form == "ASK")
+      // one boolean row; limit(1) keeps the plan a first-match probe —
+      // Spark stops scanning partitions once a row surfaces
+      return matched.limit(1).agg((count(lit(1)) === 1).as("ask"))
+    if (q.form == "CONSTRUCT") return construct(matched, q.template)
     val projected =
       if (q.isAggregate) aggregate(matched, q)
       else if (q.projection.isEmpty) matched

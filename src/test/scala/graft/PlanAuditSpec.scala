@@ -252,7 +252,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "kg_bgp_path_seq" -> 0,
       "kg_bgp_alt" -> 0, "kg_sparql_parse" -> 0, "kg_sparql_agg" -> 2,
       "kg_sparql_orderby" -> 1, "kg_sparql_values" -> 0,
-      "kg_sparql_group_concat" -> 1, "kg_property_table_multi" -> 1)
+      "kg_sparql_group_concat" -> 1, "kg_property_table_multi" -> 1,
+      // ASK's one Exchange is the GlobalLimit(1) single-partition
+      // gather ABOVE per-partition LocalLimit(1) — it moves at most one
+      // row per partition, the price of a first-match probe instead of
+      // a full-scan count; CONSTRUCT pays exactly its graph-set distinct
+      "kg_sparql_ask" -> 1, "kg_sparql_construct" -> 1)
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.session.timeZone", "UTC")

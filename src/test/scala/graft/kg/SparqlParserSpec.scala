@@ -253,6 +253,42 @@ class SparqlParserSpec extends AnyFunSuite {
     assertSame(multi, prog)
   }
 
+  test("ASK evaluates group existence; CONSTRUCT instantiates a distinct graph") {
+    val e = edges(
+      (d1, "urn:lang", en), (d1, "urn:src", web),
+      (d2, "urn:lang", fr),
+      (d3, "urn:lang", en), (d3, "urn:src", web))
+    assert(Sparql.ask(e, """ASK { ?d <urn:lang> "en" }"""))
+    assert(Sparql.ask(e, """ASK WHERE { ?d <urn:lang> "en" . ?d <urn:src> ?s }"""))
+    assert(!Sparql.ask(e, """ASK { ?d <urn:lang> "zh" }"""))
+    val askDf = Sparql.run(e, """ASK { ?d <urn:lang> "zh" }""")
+    assert(askDf.columns.toSeq === Seq("ask"))
+    assert(askDf.collect().map(_.getBoolean(0)).toSeq === Seq(false))
+
+    // reverse edge for every src binding (d2 has none -> skipped), a
+    // type edge per doc, constant object hashed via iriId; the doubled
+    // en docs prove DISTINCT graph semantics on the constant triple
+    val g = Sparql.run(e,
+      """CONSTRUCT { ?s <urn:rev:src> ?d . ?d a <urn:Doc> }
+        |WHERE { ?d <urn:lang> ?l . OPTIONAL { ?d <urn:src> ?s } }""".stripMargin)
+    assert(g.columns.toSeq === Seq("subj_id", "pred", "obj_id"))
+    val rows = g.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val doc = Bgp.iriId("urn:Doc")
+    assert(rows === Set(
+      (web, "urn:rev:src", d1), (web, "urn:rev:src", d3),
+      (d1, rdfType, doc), (d2, rdfType, doc), (d3, rdfType, doc)))
+
+    def bad(q: String, needle: String): Unit =
+      assert(intercept[IllegalArgumentException](Sparql.parse(q))
+        .getMessage.contains(needle))
+    bad("CONSTRUCT { ?x <urn:p>+ ?y } WHERE { ?x <urn:p> ?y }",
+      "not allowed in a CONSTRUCT template")
+    bad("CONSTRUCT { ?x <urn:p> ?zzz } WHERE { ?x <urn:p> ?y }",
+      "not bound by the WHERE group")
+    bad("""ASK { ?d <urn:lang> "en" } LIMIT 1""", "trailing tokens")
+  }
+
   test("aggregate/modifier/VALUES misuse fails loudly") {
     def bad(q: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](Sparql.parse(q))

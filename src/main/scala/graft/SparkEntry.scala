@@ -1024,6 +1024,38 @@ object SparkEntry {
       EntityResolution.resolveEntities(ents, "id", "label", maxEdit = 2)
     }),
 
+    // the ER APPLICATION step: rewrite a graph's endpoints to their
+    // resolved cluster canonicals and dedup the merged edge set — the
+    // base/case/typo variants collapse onto the family minimum, chain
+    // edges inside a merged family become ONE self-loop, the 3-edit
+    // 'zzz' variant stays distinct; endpoints outside the mapping pass
+    // through unchanged
+    "kg_sameas_rewrite" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val base = substring(sha2(col("n_name"), 256), 1, 12)
+      val idb = col("n_nationkey").cast("long") * 10
+      val ents = n.select(explode(array(
+        struct(idb.as("id"), base.as("label")),
+        struct((idb + 1).as("id"), concat(upper(base), lit(".")).as("label")),
+        struct((idb + 2).as("id"), concat(base, lit("xx")).as("label")),
+        struct((idb + 3).as("id"), substring(sha2(col("n_name"), 256), 2, 11).as("label")),
+        struct((idb + 4).as("id"), concat(base, lit("zzz")).as("label"))
+      )).as("e")).select(col("e.id").as("id"), col("e.label").as("label"))
+      val mapping = EntityResolution.resolveEntities(ents, "id", "label", maxEdit = 2)
+        .select(col("id").cast("string").as("id"),
+          col("canonical").cast("string").as("canonical"))
+      val nk = col("n_nationkey").cast("long")
+      def str(c: org.apache.spark.sql.Column) = c.cast("long").cast("string")
+      val edges =
+        n.select(str(idb).as("subj_id"), lit("urn:variant").as("pred"), str(idb + 1).as("obj_id"))
+          .union(n.select(str(idb + 1), lit("urn:variant"), str(idb + 2)))
+          .union(n.select(str(idb + 2), lit("urn:variant"), str(idb + 4)))
+          .union(n.select(str(idb), lit("urn:peer"), str(((nk + 1) % 25) * 10 + 2)))
+          // an endpoint OUTSIDE the mapping: must pass through unchanged
+          .union(n.select(str(idb + 4), lit("urn:ext"), concat(lit("x:"), nk)))
+      EntityResolution.rewriteSameAs(edges, mapping)
+    }),
+
     // blocking OBSERVABILITY gated: the per-block member counts and the
     // mega-block drop flag over the same variant entities. maxBlock = 3
     // so each nation's size-4 shared-prefix block (base, case variant,
@@ -2273,6 +2305,53 @@ object SparkEntry {
         |lab AS (SELECT src id, min(dst) canonical FROM reach GROUP BY 1)
         |SELECT e.id, CAST(COALESCE(lab.canonical, e.id) AS BIGINT) AS canonical
         |FROM ents e LEFT JOIN lab ON lab.id = e.id""".stripMargin,
+
+    // rewrite mirror: the full ER pipeline (same CTE chain as
+    // kg_entity_resolution) produces the (id, canonical) map; the edge
+    // list joins through it on both endpoints and DISTINCT makes the
+    // merged graph a set
+    "kg_sameas_rewrite" ->
+      """WITH RECURSIVE ents AS (
+        |  SELECT CAST(n_nationkey * 10 AS BIGINT) id, substr(sha256(n_name), 1, 12) lbl FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 1, upper(substr(sha256(n_name), 1, 12)) || '.' FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 2, substr(sha256(n_name), 1, 12) || 'xx' FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 3, substr(sha256(n_name), 2, 11) FROM nation
+        |  UNION ALL SELECT n_nationkey * 10 + 4, substr(sha256(n_name), 1, 12) || 'zzz' FROM nation),
+        |nz AS (SELECT id, regexp_replace(lower(lbl), '[^a-z0-9]+', '', 'g') norm FROM ents
+        |       WHERE length(regexp_replace(lower(lbl), '[^a-z0-9]+', '', 'g')) > 0),
+        |keys AS (SELECT DISTINCT id, norm, bkey FROM (
+        |  SELECT id, norm, 'p:' || substr(norm, 1, 4) bkey FROM nz
+        |  UNION ALL SELECT id, norm, 's:' || substr(norm, greatest(1, length(norm) - 3), 4) bkey FROM nz)),
+        |ok AS (SELECT bkey FROM keys GROUP BY 1 HAVING count(*) <= 1000),
+        |kb AS (SELECT keys.* FROM keys JOIN ok USING (bkey)),
+        |pairs AS (SELECT DISTINCT x.id a, y.id b FROM kb x JOIN kb y
+        |          ON x.bkey = y.bkey AND x.id < y.id
+        |          AND abs(length(x.norm) - length(y.norm)) <= 2
+        |          AND levenshtein(x.norm, y.norm) <= 2),
+        |und AS MATERIALIZED (SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT x, x FROM (SELECT DISTINCT x FROM und)
+        |  UNION SELECT r.src, u.y FROM reach r JOIN und u ON u.x = r.dst),
+        |lab AS (SELECT src id, min(dst) canonical FROM reach GROUP BY 1),
+        |map AS (SELECT CAST(e.id AS VARCHAR) id,
+        |               CAST(COALESCE(lab.canonical, e.id) AS VARCHAR) canonical
+        |        FROM ents e LEFT JOIN lab ON lab.id = e.id),
+        |edges AS (
+        |  SELECT CAST(n_nationkey * 10 AS VARCHAR) s, 'urn:variant' p,
+        |         CAST(n_nationkey * 10 + 1 AS VARCHAR) o FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey * 10 + 1 AS VARCHAR), 'urn:variant',
+        |         CAST(n_nationkey * 10 + 2 AS VARCHAR) FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey * 10 + 2 AS VARCHAR), 'urn:variant',
+        |         CAST(n_nationkey * 10 + 4 AS VARCHAR) FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey * 10 AS VARCHAR), 'urn:peer',
+        |         CAST((CAST(n_nationkey AS BIGINT) + 1) % 25 * 10 + 2 AS VARCHAR) FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey * 10 + 4 AS VARCHAR), 'urn:ext',
+        |         'x:' || CAST(n_nationkey AS VARCHAR) FROM nation)
+        |SELECT DISTINCT COALESCE(ms.canonical, e.s) AS subj_id, e.p AS pred,
+        |       COALESCE(mo.canonical, e.o) AS obj_id
+        |FROM edges e
+        |LEFT JOIN map ms ON ms.id = e.s
+        |LEFT JOIN map mo ON mo.id = e.o""".stripMargin,
 
     // same variants -> same two block keys -> member counts; the drop
     // flag mirrors maxBlock = 3

@@ -112,4 +112,34 @@ object EntityResolution {
       .join(labels.withColumnRenamed("node_id", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("canonical"))
   }
+
+  /**
+   * Apply resolved sameAs clusters back to the graph — the step that
+   * turns [[resolveEntities]]' output into a MERGED knowledge graph:
+   * rewrite both endpoints of every edge to their cluster canonical and
+   * drop the duplicate edges the merge creates (a graph is a SET of
+   * edges). `mapping` is (id, canonical) as produced by
+   * [[resolveEntities]]; endpoints absent from it pass through
+   * unchanged (left join + coalesce), and statements between two
+   * now-merged nodes remain as self-loops — owl:sameAs semantics keep
+   * the assertion, now on the canonical node. Callers align the id
+   * types of `edges` and `mapping` (the engine's edges convention is
+   * string node ids).
+   *
+   * Scale shape: two equi-joins on node ids (uniform sha256 ids in the
+   * engine's convention — skew-free) plus the one set-dedup shuffle;
+   * the mapping side is |V|-sized — the same shuffle shape as the E7
+   * materialization that produced the edges.
+   */
+  def rewriteSameAs(edges: DataFrame, mapping: DataFrame): DataFrame = {
+    val m = mapping.select(col("id"), col("canonical"))
+    edges.select("subj_id", "pred", "obj_id")
+      .join(m.select(col("id").as("subj_id"), col("canonical").as("_sc")),
+        Seq("subj_id"), "left")
+      .join(m.select(col("id").as("obj_id"), col("canonical").as("_oc")),
+        Seq("obj_id"), "left")
+      .select(coalesce(col("_sc"), col("subj_id")).as("subj_id"), col("pred"),
+        coalesce(col("_oc"), col("obj_id")).as("obj_id"))
+      .distinct()
+  }
 }

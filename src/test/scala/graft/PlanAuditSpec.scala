@@ -257,7 +257,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // gather ABOVE per-partition LocalLimit(1) — it moves at most one
       // row per partition, the price of a first-match probe instead of
       // a full-scan count; CONSTRUCT pays exactly its graph-set distinct
-      "kg_sparql_ask" -> 1, "kg_sparql_construct" -> 1)
+      "kg_sparql_ask" -> 1, "kg_sparql_construct" -> 1,
+      // composition: the inline ER pipeline (3, = kg_entity_resolution)
+      // + the (id,canonical) mapping build join + two |E|-sized endpoint
+      // rewrite joins (both sides exchange under SMJ with AQE off) + the
+      // merged-graph set-dedup — a global rewrite rightfully costs the
+      // same shuffle class as the materialization that built the edges
+      "kg_sameas_rewrite" -> 9)
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.session.timeZone", "UTC")

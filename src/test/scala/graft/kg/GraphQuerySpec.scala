@@ -254,6 +254,20 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L))
   }
 
+  test("rewriteSameAs merges endpoints, dedups the edge set, passes unmapped through") {
+    val mapping = Seq(("a", "a"), ("b", "a"), ("c", "c")).toDF("id", "canonical")
+    val edges = Seq(
+      ("a", "p", "b"),  // both merge -> self-loop (a,p,a)
+      ("b", "p", "a"),  // ...same self-loop: DISTINCT keeps one
+      ("b", "p", "c"),  // subject rewrites -> (a,p,c)
+      ("a", "p", "c"),  // duplicate of the rewritten row -> deduped
+      ("x", "p", "a")   // unmapped subject passes through
+    ).toDF("subj_id", "pred", "obj_id")
+    val got = EntityResolution.rewriteSameAs(edges, mapping)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(("a", "p", "a"), ("a", "p", "c"), ("x", "p", "a")))
+  }
+
   test("mega-blocks are dropped from pairing and visible in blockStats") {
     val many = (1 to 200).map(i => (i.toLong, f"aaaa-suffix$i%04d")).toDF("id", "label")
     val stats = EntityResolution.blockStats(many, "id", "label", maxBlock = 100)

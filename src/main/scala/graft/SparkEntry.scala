@@ -1259,6 +1259,38 @@ object SparkEntry {
           array_join(col("name"), "|").as("names"))
     }),
 
+    // SPARQL zero-or-more path <up>*: the closure PLUS the zero-length
+    // path, which per spec matches every term of the graph — identity
+    // rows cover peer-only nodes too, while the closure itself stays
+    // predicate-scoped
+    "kg_bgp_path_star" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val nk = col("n_nationkey").cast("long")
+      val up = n.filter(nk >= 1).select(
+        nk.cast("string").as("subj_id"), lit("up").as("pred"),
+        (nk / 2).cast("long").cast("string").as("obj_id"))
+      val peer = n.select(
+        nk.cast("string").as("subj_id"), lit("peer").as("pred"),
+        ((nk + 1) % 25).cast("string").as("obj_id"))
+      Sparql.run(up.union(peer), "SELECT ?x ?y WHERE { ?x <up>* ?y }")
+    }),
+
+    // negated property set !<peer> joined to a zero-or-one path <up>? —
+    // the NOT-IN filter is pushed to the scan; the ?-relation is edges
+    // plus graph-wide identity
+    "kg_bgp_path_negopt" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val nk = col("n_nationkey").cast("long")
+      val up = n.filter(nk >= 1).select(
+        nk.cast("string").as("subj_id"), lit("up").as("pred"),
+        (nk / 2).cast("long").cast("string").as("obj_id"))
+      val peer = n.select(
+        nk.cast("string").as("subj_id"), lit("peer").as("pred"),
+        ((nk + 1) % 25).cast("string").as("obj_id"))
+      Sparql.run(up.union(peer),
+        "SELECT ?x ?y ?z WHERE { ?x !<peer> ?y . ?y <up>? ?z }")
+    }),
+
     // SPARQL sequence + inverse property path <up>/^<up> ("shares a
     // parent", self-routes included): one equi-join on the intermediate
     // node, each hop's predicate filter pushed to its scan — the 'peer'
@@ -2573,6 +2605,39 @@ object SparkEntry {
         |       coalesce(array_to_string(list_sort(list(DISTINCT o) FILTER (WHERE p = 'tag')), '|'), '') AS tags,
         |       coalesce(array_to_string(list_sort(list(DISTINCT o) FILTER (WHERE p = 'name')), '|'), '') AS names
         |FROM e GROUP BY 1""".stripMargin,
+
+    // zero-or-more mirror: recursive reach UNION identity over every
+    // node of the graph (peer nodes included — the zero-length path is
+    // graph-wide, the closure predicate-scoped)
+    "kg_bgp_path_star" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) s, CAST(n_nationkey // 2 AS VARCHAR) o
+        |  FROM nation WHERE n_nationkey >= 1),
+        |peer AS (SELECT CAST(n_nationkey AS VARCHAR) s,
+        |         CAST((CAST(n_nationkey AS BIGINT) + 1) % 25 AS VARCHAR) o FROM nation),
+        |reach(s, o) AS (SELECT s, o FROM e
+        |                UNION SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT s n FROM e UNION ALL SELECT o FROM e
+        |  UNION ALL SELECT s FROM peer UNION ALL SELECT o FROM peer))
+        |SELECT x, y FROM (
+        |  SELECT s x, o y FROM reach
+        |  UNION SELECT n, n FROM nodes)""".stripMargin,
+
+    // negated-set + zero-or-one mirror: !peer = the up edges; <up>? =
+    // up edges UNION graph identity; joined on the shared middle node
+    "kg_bgp_path_negopt" ->
+      """WITH e AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) s, CAST(n_nationkey // 2 AS VARCHAR) o
+        |  FROM nation WHERE n_nationkey >= 1),
+        |peer AS (SELECT CAST(n_nationkey AS VARCHAR) s,
+        |         CAST((CAST(n_nationkey AS BIGINT) + 1) % 25 AS VARCHAR) o FROM nation),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT s n FROM e UNION ALL SELECT o FROM e
+        |  UNION ALL SELECT s FROM peer UNION ALL SELECT o FROM peer)),
+        |optp AS (SELECT s, o FROM e UNION SELECT n, n FROM nodes)
+        |SELECT e.s AS x, e.o AS y, optp.o AS z
+        |FROM e JOIN optp ON optp.s = e.o""".stripMargin,
 
     // sequence-path mirror: forward hop then inverse hop = self-join on
     // the shared parent; the peer ring must NOT leak into either hop

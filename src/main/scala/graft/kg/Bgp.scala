@@ -99,6 +99,20 @@ object Bgp {
     * semantics per SPARQL path evaluation: each distinct route yields
     * one binding row. */
   final case class SeqPath(steps: Seq[PathStep]) extends TermPat
+  /** SPARQL `<p>*` — PREDICATE position only: the predicate's transitive
+    * closure UNION the zero-length path, which per the SPARQL spec
+    * matches EVERY term of the graph ((n, n) for each distinct node).
+    * The relation is therefore >= \|V\| rows — anchor it with a
+    * selective co-pattern, as with any `skos:broader*`-style query. */
+  final case class StarPath(pred: String) extends TermPat
+  /** SPARQL `<p>?` — PREDICATE position only: the predicate's edges
+    * UNION the zero-length path (identity over every graph node). */
+  final case class OptPath(pred: String) extends TermPat
+  /** SPARQL `!(<p1>|...)` — PREDICATE position only: matches an edge
+    * whose predicate is NONE of the members (a pushed NOT-IN filter on
+    * the scan; forward members only — inverse members `^p` inside a
+    * negated set are rejected at the front end). */
+  final case class NegSet(preds: Seq[String]) extends TermPat
 
   final case class TriplePattern(subj: TermPat, pred: TermPat, obj: TermPat)
 
@@ -128,13 +142,17 @@ object Bgp {
   private def patVars(p: TriplePattern): Set[String] =
     Seq(p.subj, p.pred, p.obj).collect { case V(n) => n }.toSet
 
-  /** Constant positions of a pattern; path forms count as a constant
-    * predicate (they pin the relation to a fixed predicate set / its
-    * closure / its composition). */
+  /** Constant positions of a pattern; most path forms count as a
+    * constant predicate (they pin the relation to a fixed predicate
+    * set / its closure / its composition) — EXCEPT the zero-length
+    * forms `*`/`?`, whose relation contains identity over every graph
+    * node (>= \|V\| rows, the WEAKEST relation in the query): counting
+    * them selective would put them at the head of the join tree. */
   private def patConsts(p: TriplePattern): Int =
     Seq(p.subj, p.pred, p.obj).count {
-      case V(_) => false
-      case _    => true
+      case V(_)                     => false
+      case StarPath(_) | OptPath(_) => false
+      case _                        => true
     }
 
   /** One relation per triple pattern: constants -> pushed-down filters,
@@ -158,6 +176,19 @@ object Bgp {
       case InvPath(pr) =>
         (base.filter(col("pred") === lit(pr))
            .select(col("obj_id").as("subj_id"), col("subj_id").as("obj_id")),
+          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
+      case StarPath(pr) =>
+        val hop = base.filter(col("pred") === lit(pr)).select("subj_id", "obj_id")
+        (GraphOps.transitiveClosure(hop, "subj_id", "obj_id")
+           .union(graphIdentity(base)).distinct(),
+          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
+      case OptPath(pr) =>
+        (base.filter(col("pred") === lit(pr)).select("subj_id", "obj_id")
+           .union(graphIdentity(base)).distinct(),
+          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
+      case NegSet(ps) =>
+        require(ps.nonEmpty, s"empty negated property set: $p")
+        (base.filter(!col("pred").isin(ps: _*)).select("subj_id", "obj_id"),
           Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
       case SeqPath(steps) =>
         require(steps.sizeIs >= 2, s"a sequence path needs >= 2 steps: $p")
@@ -194,6 +225,14 @@ object Bgp {
     val firstBinding = varCols.groupBy(_._2).map { case (n, vs) => (vs.head._1, n) }
     withEq.select(firstBinding.toSeq.sortBy(_._2).map { case (c, n) => col(c).as(n) }: _*)
   }
+
+  /** The SPARQL zero-length path: (n, n) for every distinct term of the
+    * graph — one distinct over the two id columns. */
+  private def graphIdentity(base: DataFrame): DataFrame =
+    base.select(col("subj_id").as("n"))
+      .union(base.select(col("obj_id").as("n")))
+      .distinct()
+      .select(col("n").as("subj_id"), col("n").as("obj_id"))
 
   /** Greedy selectivity join order over pattern indices (see scaladoc);
     * private[kg] so the spec can pin the ordering heuristic directly. */

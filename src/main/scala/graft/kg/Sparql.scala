@@ -3,7 +3,7 @@ package graft.kg
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import Bgp.{AltPath, C, InvPath, PathStep, PlusPath, SeqPath, TriplePattern, V}
+import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, StarPath, TriplePattern, V}
 
 /**
  * A tiny SPARQL front end for the [[Bgp]] layer — the string surface
@@ -33,10 +33,14 @@ import Bgp.{AltPath, C, InvPath, PathStep, PlusPath, SeqPath, TriplePattern, V}
  *                (LIMIT int)? (OFFSET int)?     (LIMIT/OFFSET any order)
  *   triple  := term pred term
  *   term    := ?var | <iri> | "lit" | "lit"@lang | "lit"^^<dt>
- *   pred    := ?var | <iri> | <iri>+ | <iri> ('|' <iri>)+ | ^<iri>
- *            | step ('/' step)+ | a          where step := '^'? <iri>
- *              (a = rdf:type; + = transitive closure; | = alternatives;
- *               ^ = inverse; / = sequence — the operators do not nest)
+ *   pred    := ?var | <iri> | <iri>+ | <iri>* | <iri>? | ^<iri>
+ *            | <iri> ('|' <iri>)+ | step ('/' step)+ | a
+ *            | !<iri> | !( <iri> ('|' <iri>)* )
+ *              where step := '^'? <iri>
+ *              (a = rdf:type; + = transitive closure; * / ? add the
+ *               zero-length path = identity over every graph node;
+ *               | = alternatives; ^ = inverse; / = sequence;
+ *               ! = negated property set — the operators do not nest)
  *   expr    := BOUND(?v) | !expr | expr && expr | expr || expr
  *            | term (= | !=) term | ( expr )
  *   hexpr   := COUNT(...) (= | != | < | <= | > | >=) int
@@ -115,8 +119,12 @@ object Sparql {
         val s = i + 1
         i += 1
         while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
-        if (i == s) fail(s"empty variable name at offset $s")
-        out += TVar(q.substring(s, i))
+        if (i == s) {
+          // a bare '?' (no name following) is the zero-or-one path
+          // operator, as in `<p>?`; a bare '$' is still an error
+          if (c == '?') out += TSym("?")
+          else fail(s"empty variable name at offset $s")
+        } else out += TVar(q.substring(s, i))
       } else if (c == '<') {
         // '<' is an IRI opener except in a comparison position: `<= `
         // and `< 3` can only be HAVING operators (an IRI never starts
@@ -294,10 +302,30 @@ object Sparql {
   private def predTerm(c: Cursor): Bgp.TermPat = c.peekOrFail match {
     case TVar(n)   => c.next(); V(n)
     case TSym("a") => c.next(); C(RdfType)
+    case TSym("!") =>
+      // negated property set: !<p> or !(<p1>|<p2>|...); forward members
+      // only (a ^-member changes the match DIRECTION per branch, which
+      // needs a union plan this fragment deliberately doesn't build)
+      c.takeSym("!")
+      val members = Seq.newBuilder[String]
+      def member(): Unit = c.next() match {
+        case TIri(iri) => members += iri
+        case TSym("^") => fail("inverse members (^<p>) are not supported " +
+          "inside a negated property set in this fragment")
+        case t => fail(s"negated property set members must be <iri>s, found $t")
+      }
+      if (c.atSym("(")) {
+        c.takeSym("(")
+        member()
+        while (c.atSym("|")) { c.takeSym("|"); member() }
+        c.takeSym(")")
+      } else member()
+      NegSet(members.result())
     case TSym("^") | TIri(_) =>
       val first = pathStep(c)
       def banSuffix(what: String): Unit =
-        if (c.atSym("+") || c.atSym("|") || c.atSym("/"))
+        if (c.atSym("+") || c.atSym("|") || c.atSym("/") ||
+            c.atSym("*") || c.atSym("?"))
           fail(s"path operators cannot combine with $what in this fragment")
       if (c.atSym("/")) {
         val steps = Seq.newBuilder[PathStep]
@@ -310,6 +338,10 @@ object Sparql {
         InvPath(first.pred)
       } else if (c.atSym("+")) {
         c.takeSym("+"); banSuffix("+"); PlusPath(first.pred)
+      } else if (c.atSym("*")) {
+        c.takeSym("*"); banSuffix("*"); StarPath(first.pred)
+      } else if (c.atSym("?")) {
+        c.takeSym("?"); banSuffix("?"); OptPath(first.pred)
       } else if (c.atSym("|")) {
         val alts = Seq.newBuilder[String]
         alts += first.pred
@@ -323,8 +355,8 @@ object Sparql {
         banSuffix("|")
         AltPath(alts.result())
       } else C(first.pred)
-    case t => fail(s"expected a predicate (variable, <iri>, <iri>+, <i1>|<i2>, " +
-      s"^<iri>, <i1>/<i2> or 'a'), found $t")
+    case t => fail(s"expected a predicate (variable, <iri>, <iri>+, <iri>*, " +
+      s"<iri>?, <i1>|<i2>, ^<iri>, <i1>/<i2>, !<iri>, !(<i1>|<i2>) or 'a'), found $t")
   }
 
   private def triple(c: Cursor): TriplePattern = {

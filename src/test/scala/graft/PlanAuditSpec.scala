@@ -250,6 +250,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // (TakeOrderedAndProject, pinned below)
       "kg_bgp_filter" -> 0, "kg_bgp_minus" -> 1, "kg_bgp_union" -> 0,
       "kg_bgp_path_seq" -> 0,
+      // the zero-length-path forms pay exactly the graph-identity
+      // distinct (their closure legs hide behind transitiveClosure's
+      // localCheckpoints); the pattern joins themselves broadcast
+      "kg_bgp_path_star" -> 1, "kg_bgp_path_negopt" -> 1,
       "kg_bgp_alt" -> 0, "kg_sparql_parse" -> 0, "kg_sparql_agg" -> 2,
       "kg_sparql_orderby" -> 1, "kg_sparql_values" -> 0,
       "kg_sparql_group_concat" -> 1, "kg_property_table_multi" -> 1,

@@ -124,6 +124,46 @@ class SparqlParserSpec extends AnyFunSuite {
     bad("SELECT * WHERE { ?x <urn:up>+|<urn:dn> ?y }")
   }
 
+  test("zero-length paths <p>*/<p>? and negated property sets parse to the twin") {
+    import Bgp.{NegSet, OptPath, StarPath}
+    val (a, b, p, r) = (d1, d2, d3, en) // a up p; b up p; p up r; a peer b
+    val g = edges((a, "urn:up", p), (b, "urn:up", p), (p, "urn:up", r),
+      (a, "urn:peer", b))
+    def render(df: DataFrame) =
+      df.collect().map(row => (row.getString(0), row.getString(1))).toSet
+    val nodes = Set(a, b, p, r)
+    val identity = nodes.map(n => (n, n))
+
+    val star = Sparql.run(g, "SELECT ?x ?y WHERE { ?x <urn:up>* ?y }")
+    val starProg = Bgp.matchPatterns(g,
+      Seq(TriplePattern(V("x"), StarPath("urn:up"), V("y")))).select("x", "y")
+    assertSame(star, starProg)
+    assert(render(star) === identity ++
+      Set((a, p), (b, p), (p, r), (a, r), (b, r))) // closure, peer NOT leaked
+
+    val opt = Sparql.run(g, "SELECT ?x ?y WHERE { ?x <urn:up>? ?y }")
+    val optProg = Bgp.matchPatterns(g,
+      Seq(TriplePattern(V("x"), OptPath("urn:up"), V("y")))).select("x", "y")
+    assertSame(opt, optProg)
+    assert(render(opt) === identity ++ Set((a, p), (b, p), (p, r)))
+
+    val neg = Sparql.run(g, "SELECT ?x ?y WHERE { ?x !<urn:up> ?y }")
+    val negProg = Bgp.matchPatterns(g,
+      Seq(TriplePattern(V("x"), NegSet(Seq("urn:up")), V("y")))).select("x", "y")
+    assertSame(neg, negProg)
+    assert(render(neg) === Set((a, b))) // only the peer edge survives
+
+    val negAll = Sparql.run(g,
+      "SELECT ?x ?y WHERE { ?x !(<urn:up>|<urn:peer>) ?y }")
+    assert(negAll.count() === 0)
+
+    def bad(q: String, needle: String): Unit =
+      assert(intercept[IllegalArgumentException](Sparql.parse(q))
+        .getMessage.contains(needle))
+    bad("SELECT * WHERE { ?x <urn:up>*+ ?y }", "cannot combine")
+    bad("SELECT * WHERE { ?x !(^<urn:up>) ?y }", "inverse members")
+  }
+
   test("MINUS, predicate alternatives and SELECT DISTINCT parse to the twin") {
     val spam = Bgp.iriId("urn:doc:spam")
     val e = edges(

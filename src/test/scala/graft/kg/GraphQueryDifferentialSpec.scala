@@ -106,6 +106,79 @@ class GraphQueryDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("every property-path form equals its brute-force semantics on random graphs") {
+    import Bgp.{AltPath, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, StarPath}
+    val rnd = new Random(31)
+    for (trial <- 1 to 3) {
+      val nodes = (0 until 10).map(i => s"n$i")
+      val es = Seq.fill(30)((nodes(rnd.nextInt(10)),
+        Seq("p", "q")(rnd.nextInt(2)), nodes(rnd.nextInt(10))))
+        .filter(e => e._1 != e._3).distinct
+      val df = es.toDF("subj_id", "pred", "obj_id")
+      def run(pat: Bgp.TermPat): Seq[(String, String)] =
+        Bgp.matchPatterns(df, Seq(TriplePattern(V("x"), pat, V("y"))))
+          .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y")))
+          .sorted.toSeq
+      val pE = es.filter(_._2 == "p").map(e => (e._1, e._3))
+      val qE = es.filter(_._2 == "q").map(e => (e._1, e._3))
+      val allNodes = es.flatMap(e => Seq(e._1, e._3)).distinct
+      val adj = pE.groupBy(_._1).map { case (a, xs) => a -> xs.map(_._2).toSet }
+      def reach(a: String): Set[String] = {
+        var seen = Set.empty[String]
+        var frontier = adj.getOrElse(a, Set.empty)
+        while (frontier.nonEmpty) {
+          seen ++= frontier
+          frontier = frontier.flatMap(x => adj.getOrElse(x, Set.empty)) -- seen
+        }
+        seen - a
+      }
+      val plusBrute = adj.keySet.flatMap(a => reach(a).map(b => (a, b)))
+      assert(run(PlusPath("p")).toSet === plusBrute, s"trial $trial plus")
+      assert(run(StarPath("p")).toSet ===
+        plusBrute ++ allNodes.map(n => (n, n)), s"trial $trial star")
+      assert(run(OptPath("p")).toSet ===
+        pE.toSet ++ allNodes.map(n => (n, n)), s"trial $trial opt")
+      assert(run(InvPath("p")) === pE.map(_.swap).sorted, s"trial $trial inv")
+      assert(run(NegSet(Seq("p"))) === qE.sorted, s"trial $trial neg")
+      assert(run(AltPath(Seq("p", "q"))) === (pE ++ qE).sorted, s"trial $trial alt")
+      // sequence p then inverse q: one row PER ROUTE (bag semantics)
+      val seqBrute = (for {
+        (x, m) <- pE
+        (z, m2) <- qE if m2 == m
+      } yield (x, z)).sorted
+      assert(run(SeqPath(Seq(PathStep("p"), PathStep("q", inverse = true)))) ===
+        seqBrute, s"trial $trial seq")
+    }
+  }
+
+  test("SPARQL aggregation equals brute-force grouping on random graphs") {
+    val rnd = new Random(63)
+    for (trial <- 1 to 3) {
+      val nodes = (0 until 8).map(i => s"n$i")
+      val es = Seq.fill(40)((nodes(rnd.nextInt(8)), "p", nodes(rnd.nextInt(8)))).distinct
+      val df = es.toDF("subj_id", "pred", "obj_id")
+      val got = Sparql.run(df,
+        """SELECT ?x (COUNT(?y) AS ?n) (COUNT(DISTINCT ?y) AS ?nd) (MIN(?y) AS ?lo)
+          |       (GROUP_CONCAT(?y; SEPARATOR=",") AS ?ys)
+          |WHERE { ?x ?p ?y } GROUP BY ?x""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4))).sorted.toSeq
+      val brute = es.groupBy(_._1).map { case (x, xs) =>
+        val ys = xs.map(_._3)
+        (x, ys.size.toLong, ys.distinct.size.toLong, ys.min, ys.sorted.mkString(","))
+      }.toSeq.sorted
+      assert(got === brute, s"trial $trial")
+      // ORDER BY n desc with id tiebreak + LIMIT: a deterministic slice
+      val top = Sparql.run(df,
+        """SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x ?p ?y }
+          |GROUP BY ?x ORDER BY DESC(?n) ?x LIMIT 3""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val bruteTop = es.groupBy(_._1).map { case (x, xs) => (x, xs.size.toLong) }
+        .toSeq.sortBy { case (x, n) => (-n, x) }.take(3)
+      assert(top === bruteTop, s"trial $trial top")
+    }
+  }
+
   test("k-core equals the sequential peeling fixpoint on random graphs") {
     val rnd = new Random(7)
     for ((n, m, k) <- Seq((15, 30, 2), (20, 60, 3), (25, 40, 3))) {

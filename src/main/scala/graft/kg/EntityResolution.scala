@@ -97,9 +97,14 @@ object EntityResolution {
       .distinct() // the two passes re-find the same pair; verify once
       // length prefilter: |len(a) - len(b)| > maxEdit already implies
       // edit distance > maxEdit, and the cheap column compare short-
-      // circuits the O(len^2) levenshtein DP for most cross-block pairs
+      // circuits the DP for most cross-block pairs. The surviving pairs
+      // use the THRESHOLDED levenshtein (returns -1 when the distance
+      // exceeds maxEdit): the banded DP visits O(maxEdit * len) cells
+      // instead of O(len^2) and abandons a row as soon as the band
+      // floor exceeds the threshold — same predicate, and the DuckDB
+      // mirror's plain levenshtein(x,y) <= k is equivalent by definition
       .filter(abs(length(col("na")) - length(col("nb"))) <= maxEdit &&
-        levenshtein(col("na"), col("nb")) <= maxEdit)
+        levenshtein(col("na"), col("nb"), maxEdit) =!= -1)
       .select("a", "b")
       // feeds CC's per-round contraction AND its node universe AND the
       // final label join — materialize the (small) verified edge list

@@ -502,6 +502,31 @@ object SparkEntry {
         .select(col("path"), col("line"), col("subj"), col("pred"), col("obj"))
     }),
 
+    // STREAM-STATIC BGP enrichment: nation triples replayed as a file
+    // stream, the regionkey pattern matched per micro-batch and its ?rk
+    // binding equi-joined against a static region-name BGP — the
+    // "annotate each arriving fact from the KG" shape, stateless (no
+    // watermark, no state store), static side broadcast per batch
+    "kg_stream_bgp" -> ((s, dir) => {
+      val base = tempWorkDir("graft_stream_bgp").toString
+      nationCorpus(s, dir).write.mode("overwrite").parquet(s"$base/src")
+      val stream = NtStream.edgeStream(
+        NtStream.parsedStream(NtStream.corpusStream(s, s"$base/src")))
+      val statics = s.read.parquet(s"$dir/region.parquet").select(
+        col("r_regionkey").cast("long").cast("string").as("subj_id"),
+        lit("rname").as("pred"), col("r_name").as("obj_id"))
+      NtStream.bgpEnrich(stream, statics,
+          Bgp.TriplePattern(Bgp.V("n"), Bgp.C("urn:col:nation:n_regionkey"), Bgp.V("rk")),
+          Seq(Bgp.TriplePattern(Bgp.V("rk"), Bgp.C("rname"), Bgp.V("rname"))))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$base/out").select("n", "rk", "rname")
+    }),
+
     // stateful streaming dedup (KeyValueGroupedDataset.flatMapGroups
     // WithState keyed on sha256(content)): the corpus is doubled with
     // EXACT duplicate rows, replayed as a file stream, and the keep-first
@@ -1807,6 +1832,13 @@ object SparkEntry {
         |FROM nation""".stripMargin,
 
     // the doubled stream keeps exactly one copy of every distinct doc
+    // stream-static enrichment mirror: the nation->regionkey edge
+    // joined to the region dimension
+    "kg_stream_bgp" ->
+      """SELECT 'urn:g:nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+        |       CAST(n_regionkey AS VARCHAR) AS rk, r_name AS rname
+        |FROM nation JOIN region ON r_regionkey = n_regionkey""".stripMargin,
+
     "kg_stream_dedup" ->
       """SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) || '.nt' AS path,
         |       sha256('<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '> <urn:col:nation:n_name> "' || n_name || '" .'

@@ -160,7 +160,7 @@ object Bgp {
     * becomes an equality filter and binds once); a PlusPath predicate
     * swaps the base edge relation for that predicate's closure; an
     * AltPath predicate is a pushed IN-filter. */
-  private def patternRel(base: DataFrame, p: TriplePattern): DataFrame = {
+  private[kg] def patternRel(base: DataFrame, p: TriplePattern): DataFrame = {
     Seq(p.subj, p.obj).foreach(t =>
       require(t.isInstanceOf[V] || t.isInstanceOf[C],
         s"path operators are only valid in predicate position: $p"))

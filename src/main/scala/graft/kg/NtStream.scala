@@ -85,6 +85,42 @@ object NtStream {
       }
   }
 
+  /** Edge view of the parsed stream: raw (subj, pred, obj) terms as the
+    * id columns the Bgp layer joins on. */
+  def edgeStream(parsed: Dataset[ParsedLine]): DataFrame =
+    parsed.toDF().filter(!col("err"))
+      .select(col("subj").as("subj_id"), col("pred"), col("obj").as("obj_id"))
+
+  /**
+   * Continuous BGP enrichment (STREAM-STATIC): match one PLAIN triple
+   * pattern on the live edge stream and equi-join its bindings against
+   * a BGP matched over the STATIC materialized graph — the "annotate
+   * each arriving fact from the KG" shape. Stateless by construction
+   * (no watermark, no state store): each micro-batch joins against the
+   * static side, which Spark re-plans per batch (broadcast when small —
+   * the vocabulary/dimension case this is for). Path operators are
+   * rejected on the STREAM side — closures need iterative self-joins a
+   * stream cannot run; put them in the static patterns, where the full
+   * Bgp algebra is available.
+   */
+  def bgpEnrich(streamEdges: DataFrame, staticEdges: DataFrame,
+                streamPattern: Bgp.TriplePattern,
+                staticPatterns: Seq[Bgp.TriplePattern]): DataFrame = {
+    streamPattern.pred match {
+      case _: Bgp.V | _: Bgp.C => ()
+      case other => throw new IllegalArgumentException(
+        s"stream pattern must be plain (no path operators, got $other) — " +
+          "match paths on the static side")
+    }
+    val s = Bgp.patternRel(streamEdges.select("subj_id", "pred", "obj_id"),
+      streamPattern)
+    val st = Bgp.matchPatterns(staticEdges, staticPatterns)
+    val shared = s.columns.toSeq.intersect(st.columns.toSeq)
+    require(shared.nonEmpty,
+      "the stream pattern and the static patterns share no variable")
+    s.join(st, shared, "inner")
+  }
+
   /** Append-mode writer of parsed rows to a parquet sink directory. */
   def writer(parsed: Dataset[ParsedLine], outDir: String,
              checkpointDir: String): DataStreamWriter[Row] =

@@ -115,6 +115,37 @@ class SourcesAndStreamSpec extends AnyFunSuite {
     assert(all.count() == 3) // "other" dup suppressed by state, "brand new" kept
   }
 
+  test("stream-static BGP enrichment joins live bindings to the static graph") {
+    val in = java.nio.file.Files.createTempDirectory("graft-sbgp-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sbgp-out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-sbgp-chk").toString
+    Seq(CorpusRow("r", "a.nt", "c", "nt",
+          "<urn:a> <urn:in> <urn:r1> .\n<urn:a> <urn:other> <urn:r2> ."),
+        CorpusRow("r", "b.nt", "c", "nt", "<urn:b> <urn:in> <urn:r9> ."))
+      .toDS().write.mode("append").parquet(in)
+    val statics = Seq(("urn:r1", "rname", "east"), ("urn:r2", "rname", "west"))
+      .toDF("subj_id", "pred", "obj_id")
+    val enriched = NtStream.bgpEnrich(
+      NtStream.edgeStream(NtStream.parsedStream(NtStream.corpusStream(spark, in))),
+      statics,
+      Bgp.TriplePattern(Bgp.V("x"), Bgp.C("urn:in"), Bgp.V("rk")),
+      Seq(Bgp.TriplePattern(Bgp.V("rk"), Bgp.C("rname"), Bgp.V("nm"))))
+    enriched.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    val got = spark.read.parquet(out).select("x", "rk", "nm")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // urn:a's <urn:in> edge joins r1/east; its <urn:other> edge doesn't
+    // match the pattern; urn:b's r9 has no static row -> dropped
+    assert(got === Set(("urn:a", "urn:r1", "east")))
+    val ex = intercept[IllegalArgumentException](NtStream.bgpEnrich(
+      statics, statics,
+      Bgp.TriplePattern(Bgp.V("x"), Bgp.PlusPath("urn:in"), Bgp.V("y")), Nil))
+    assert(ex.getMessage.contains("plain"))
+  }
+
   test("streaming kernel over a file stream matches the batch kernel") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     val out = Files.createTempDirectory("graft-stream-out").toString

@@ -502,6 +502,26 @@ object SparkEntry {
         .select(col("path"), col("line"), col("subj"), col("pred"), col("obj"))
     }),
 
+    // FILTER-BY-VALUE over the value space: a numeric predicate
+    // (custkey % 100 = 0) is undecidable on hashed node ids, so the
+    // binding joins the D2 nodes table (Bgp.bindValues) and the typed
+    // accessor (TypedLiterals.asLong over the term struct) makes the
+    // comparison a codegen'd long op — the documented F6 FILTER scope
+    // gap closed end-to-end
+    "kg_bgp_typed_filter" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_custkey", col("o_custkey"), s"${XSD}long")))
+      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
+      val bound = Bgp.bindValues(
+        Bgp.matchPatterns(Materialize.edges(t), Seq(
+          Bgp.TriplePattern(Bgp.V("o"), Bgp.C("urn:col:orders:o_custkey"), Bgp.V("c")))),
+        Materialize.nodes(t), Seq("c"))
+      bound.filter(TypedLiterals.asLong(col("c_term")) % 100 === 0)
+        .select(col("o"), TypedLiterals.asLong(col("c_term")).as("cust"))
+    }),
+
     // STREAM-STATIC BGP enrichment: nation triples replayed as a file
     // stream, the regionkey pattern matched per micro-batch and its ?rk
     // binding equi-joined against a static region-name BGP — the
@@ -1832,6 +1852,13 @@ object SparkEntry {
         |FROM nation""".stripMargin,
 
     // the doubled stream keeps exactly one copy of every distinct doc
+    // value-space FILTER mirror: the id-level pipeline reduces to a
+    // plain numeric predicate over the source column
+    "kg_bgp_typed_filter" ->
+      """SELECT sha256('<urn:g:orders:' || CAST(o_orderkey AS VARCHAR) || '>') AS o,
+        |       CAST(o_custkey AS BIGINT) AS cust
+        |FROM orders WHERE o_custkey % 100 = 0""".stripMargin,
+
     // stream-static enrichment mirror: the nation->regionkey edge
     // joined to the region dimension
     "kg_stream_bgp" ->

@@ -369,6 +369,39 @@ object Bgp {
   }
 
   /**
+   * VALUE-SPACE bridge for FILTER-by-value: SPARQL comparisons like
+   * `FILTER(?price > 100)` are undecidable over hashed node ids — the
+   * value space lives in the D2 nodes table. This joins the nodes row
+   * onto each requested binding column `v`, adding one `<v>_term`
+   * struct column (kind, value, lang, dt) that the [[TypedLiterals]]
+   * accessors interpret:
+   *
+   * {{{
+   *   Bgp.bindValues(bindings, nodesTable, Seq("price"))
+   *     .filter(TypedLiterals.asDouble(col("price_term")) > 100.0)
+   * }}}
+   *
+   * One equi-join per variable on the uniform sha256 id (broadcast when
+   * the projected nodes side is dimension-sized); LEFT join + NULL-for-
+   * non-literal accessors reproduce SPARQL's error-means-exclude FILTER
+   * semantics for IRIs/bnodes in value position.
+   */
+  def bindValues(bindings: DataFrame, nodes: DataFrame,
+                 vars: Seq[String]): DataFrame = {
+    require(vars.nonEmpty, "bindValues needs at least one variable")
+    val missing = vars.filterNot(bindings.columns.contains)
+    require(missing.isEmpty,
+      s"bindValues variable(s) ${missing.mkString(", ")} are not bound")
+    vars.foldLeft(bindings) { (df, v) =>
+      df.join(
+        nodes.select(col("id").as(v),
+          struct(col("kind"), col("value"), col("lang"), col("dt"))
+            .as(s"${v}_term")),
+        Seq(v), "left")
+    }
+  }
+
+  /**
    * SPARQL VALUES over a matched binding frame: keep only rows whose
    * `vars` columns match one of the inline `rows` (SET semantics — the
    * inline data is deduped and used as a selection, never a bag

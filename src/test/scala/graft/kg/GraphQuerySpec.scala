@@ -314,6 +314,31 @@ class GraphQuerySpec extends AnyFunSuite {
     assert(got === Set(("s1", "n1", "tA"), ("s2", "n2", null)))
   }
 
+  test("bindValues bridges binding ids to the value space for FILTER") {
+    val e = edges(("s1", "price", "v10"), ("s2", "price", "v200"),
+      ("s3", "price", "iriX"))
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val nodes = Seq(
+      ("v10", RdfTerm.LITERAL, "10", null, XSD + "long"),
+      ("v200", RdfTerm.LITERAL, "200", null, XSD + "long"),
+      ("iriX", RdfTerm.IRI, "urn:x", null, null),
+      ("s1", RdfTerm.IRI, "urn:s1", null, null))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val bound = Bgp.bindValues(
+      Bgp.matchPatterns(e, Seq(TriplePattern(V("s"), C("price"), V("p")))),
+      nodes, Seq("p"))
+    assert(bound.columns.toSet === Set("s", "p", "p_term"))
+    // IRI in value position: accessor is NULL, FILTER excludes (SPARQL
+    // error-means-exclude), and the comparison stays a codegen'd long op
+    val got = bound.filter(TypedLiterals.asLong(col("p_term")) > 100)
+      .collect().map(_.getAs[String]("s")).toSet
+    assert(got === Set("s2"))
+    val err = intercept[IllegalArgumentException] {
+      Bgp.bindValues(e.select(col("subj_id").as("s")), nodes, Seq("zz"))
+    }
+    assert(err.getMessage.contains("zz"))
+  }
+
   test("k-core peels the tree fringe over multiple rounds, keeps the clique") {
     val tree = (1 to 24).map(i => (i.toLong, (i / 2).toLong)).toDF("src", "dst")
     val clique = (for (a <- 0 to 5; b <- a + 1 to 5) yield (a.toLong, b.toLong))

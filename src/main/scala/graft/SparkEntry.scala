@@ -1420,6 +1420,41 @@ object SparkEntry {
           |WHERE { ?d <urn:col:documents:source> ?src }""".stripMargin)
     }),
 
+    // SPARQL FILTER EXISTS / NOT EXISTS: one LEFT-SEMI and one LEFT-ANTI
+    // equi-join on the shared ?d — the probe sides are projected to the
+    // shared column and deduped, so no group payload crosses the shuffle
+    "kg_sparql_exists" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?d ?l WHERE {
+          |  ?d <urn:col:documents:lang> ?l .
+          |  FILTER EXISTS { ?d <urn:col:documents:source> "src1" }
+          |  FILTER NOT EXISTS { ?d <urn:col:documents:lang> "en" }
+          |}""".stripMargin)
+    }),
+
+    // numeric value-space FILTER through the string surface: ?c and ?p
+    // are undecidable on hashed ids, so run(edges, nodes, q) bindValues-
+    // joins each once and the comparisons compile to TypedLiterals casts
+    // (integer and double families both promote to double) — IRIs in
+    // value position would read NULL and drop, per SPARQL
+    "kg_sparql_typed_filter" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_custkey", col("o_custkey"), s"${XSD}long"),
+        ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
+      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
+      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+        """SELECT ?o ?c WHERE {
+          |  ?o <urn:col:orders:o_custkey> ?c .
+          |  ?o <urn:col:orders:o_totalprice> ?p .
+          |  FILTER (?c >= 100 && ?c < 150)
+          |  FILTER (?p > 100000.5)
+          |}""".stripMargin)
+    }),
+
     // SPARQL GROUP_CONCAT + SAMPLE over a variable-predicate pattern:
     // concatenation is SORTED (engine-independent where the spec leaves
     // order undefined), SAMPLE compiles to min — both deterministic
@@ -2628,6 +2663,23 @@ object SparkEntry {
       s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS doc,
          |       sha256('"' || source || '"^^<$XSD_STR>') AS src
          |FROM documents WHERE lang = 'en' AND source <> 'src0'""".stripMargin,
+
+    // EXISTS is a semi-join on src1 docs, NOT EXISTS an anti-join on the
+    // en docs; the single-valued columns make both plain predicates here
+    "kg_sparql_exists" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       sha256('"' || lang || '"^^<$XSD_STR>') AS l
+         |FROM documents WHERE source = 'src1' AND lang <> 'en'""".stripMargin,
+
+    // value-space FILTER mirror: the bindValues+TypedLiterals pipeline
+    // reduces to plain numeric predicates over the source columns
+    "kg_sparql_typed_filter" ->
+      """SELECT sha256('<urn:g:orders:' || CAST(o_orderkey AS VARCHAR) || '>') AS o,
+        |       sha256('"' || CAST(o_custkey AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#long>') AS c
+        |FROM orders
+        |WHERE o_custkey >= 100 AND o_custkey < 150
+        |  AND o_totalprice > 100000.5""".stripMargin,
 
     // every doc has exactly ONE source edge, so the anti-join mirror is
     // a plain inequality on the source column

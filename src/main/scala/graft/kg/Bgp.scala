@@ -355,6 +355,41 @@ object Bgp {
     }
 
   /**
+   * SPARQL `FILTER EXISTS { group }` / `FILTER NOT EXISTS { group }` over
+   * a matched binding frame: each group is itself a BGP, matched
+   * independently; a binding row passes EXISTS when a group solution
+   * agrees on the variables they share (one LEFT-SEMI equi-join per
+   * group), and NOT EXISTS inverts that (LEFT-ANTI). The probe side is
+   * projected to the shared columns and deduped first, so no group
+   * payload crosses the shuffle, and semi/anti joins preserve the
+   * binding side's bag semantics exactly.
+   *
+   * Fragment note: full SPARQL evaluates EXISTS by substituting the
+   * outer row's bound variables and leaving the rest free; over shared
+   * NON-NULL variables that is precisely this equi-semi-join. A group
+   * sharing NO variable with the bindings is rejected (a constant-truth
+   * probe is almost always a typo'd variable), and a NULL shared
+   * binding (unmatched OPTIONAL) never equals a probe value, so such
+   * rows fail EXISTS and survive NOT EXISTS — the same compatibility
+   * rule [[applyMinus]] documents. Within this fragment NOT EXISTS and
+   * MINUS coincide; they diverge only on the disjoint-domain and
+   * correlated-FILTER cases both are rejected from.
+   */
+  def applyExists(edges: DataFrame, bindings: DataFrame,
+                  groups: Seq[Seq[TriplePattern]],
+                  negate: Boolean = false): DataFrame =
+    groups.foldLeft(bindings) { (acc, group) =>
+      val g = matchPatterns(edges, group)
+      val shared = g.columns.toSeq.filter(acc.columns.contains)
+      require(shared.nonEmpty,
+        s"${if (negate) "NOT EXISTS" else "EXISTS"} group " +
+          s"${group.mkString(", ")} shares no variable with the bindings — " +
+          "a constant-truth probe is almost always a typo'd variable")
+      acc.join(g.select(shared.map(col): _*).distinct(), shared,
+        if (negate) "left_anti" else "left_semi")
+    }
+
+  /**
    * Full SPARQL group for the well-designed fragment:
    * required BGP -> OPTIONAL left-joins -> MINUS anti-joins -> FILTERs
    * (filters last: SPARQL group semantics scope FILTER over the whole

@@ -24,9 +24,10 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *   agg     := COUNT | MIN | MAX | SAMPLE | GROUP_CONCAT
  *   sepOpt  := (';' SEPARATOR = "sep")?          (GROUP_CONCAT only)
  *   group   := (triple '.'? | OPTIONAL { triples } | MINUS { triples }
- *              | FILTER ( expr ) | VALUES valuesClause)*
+ *              | FILTER ( expr ) | FILTER NOT? EXISTS { triples }
+ *              | VALUES valuesClause)*
  *            | { triples } UNION { triples } (UNION { triples })*
- *              (FILTER ( expr ))*
+ *              (FILTER ( expr ) | FILTER NOT? EXISTS { triples })*
  *   valuesClause := ?var { const+ } | ( ?var+ ) { ( const+ )+ }
  *   modifiers := (GROUP BY ?var+)? (HAVING ( hexpr ))*
  *                (ORDER BY (?var | ASC(?var) | DESC(?var))+)?
@@ -43,6 +44,10 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *               ! = negated property set — the operators do not nest)
  *   expr    := BOUND(?v) | !expr | expr && expr | expr || expr
  *            | term (= | !=) term | ( expr )
+ *            | nterm (< | <= | > | >= | = | !=) nterm
+ *              where nterm := ?var | number — a comparison with a
+ *              number (or an ordering operator) is VALUE-SPACE and
+ *              needs the nodes table: run(edges, nodes, query)
  *   hexpr   := COUNT(...) (= | != | < | <= | > | >=) int
  *            | !hexpr | hexpr && hexpr | hexpr || hexpr | ( hexpr )
  * }}}
@@ -66,6 +71,16 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  * ([[TypedLiterals]]) and is out of scope here. Unbound variables make
  * a comparison NULL, which `.filter` drops — exactly SPARQL's
  * error-means-exclude FILTER semantics; test bound-ness with BOUND.
+ *
+ * VALUE-SPACE FILTER: a comparison against a bare number — or any `<`
+ * `<=` `>` `>=` — compares in the NUMERIC value space instead. It
+ * requires the D2 nodes table ([[run(edges:*,nodes:*]] overload): each
+ * such variable is [[Bgp.bindValues]]-joined once, and the comparison
+ * compiles to the [[TypedLiterals]] accessors with SPARQL's numeric
+ * promotion (integer family and double/float/decimal both promote to
+ * double — exact for |v| < 2^53). Non-numeric terms (IRIs, bnodes,
+ * string literals) make the accessor NULL, so the row is excluded —
+ * SPARQL's error-means-exclude, again.
  */
 object Sparql {
 
@@ -78,6 +93,7 @@ object Sparql {
   private final case class TIri(iri: String) extends Tok
   private final case class TLit(v: String, lang: Option[String], dt: Option[String]) extends Tok
   private final case class TNum(v: Long) extends Tok
+  private final case class TDbl(v: Double) extends Tok
   /** punctuation or UPPERCASED keyword (SELECT DISTINCT WHERE OPTIONAL
     * MINUS FILTER UNION BOUND AS GROUP BY HAVING ORDER ASC DESC LIMIT
     * OFFSET VALUES UNDEF and the aggregate names) or the bare rdf:type
@@ -88,7 +104,8 @@ object Sparql {
     "SELECT", "ASK", "CONSTRUCT", "DISTINCT", "WHERE", "OPTIONAL", "MINUS",
     "FILTER", "UNION", "BOUND", "AS", "GROUP", "BY", "HAVING", "ORDER",
     "ASC", "DESC", "LIMIT", "OFFSET", "VALUES", "UNDEF", "SEPARATOR",
-    "COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG")
+    "COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG",
+    "EXISTS", "NOT")
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -114,7 +131,13 @@ object Sparql {
       else if (c.isDigit) {
         val s = i
         while (i < n && q.charAt(i).isDigit) i += 1
-        out += TNum(q.substring(s, i).toLong)
+        // a '.' is the decimal point only when a digit follows — else it
+        // is the triple terminator symbol
+        if (i + 1 < n && q.charAt(i) == '.' && q.charAt(i + 1).isDigit) {
+          i += 1
+          while (i < n && q.charAt(i).isDigit) i += 1
+          out += TDbl(q.substring(s, i).toDouble)
+        } else out += TNum(q.substring(s, i).toLong)
       } else if (c == '?' || c == '$') {
         val s = i + 1
         i += 1
@@ -199,6 +222,12 @@ object Sparql {
   private final case class FAnd(a: FExpr, b: FExpr) extends FExpr
   private final case class FOr(a: FExpr, b: FExpr) extends FExpr
   private final case class FCmp(l: FTerm, op: String, r: FTerm) extends FExpr
+  /** Numeric VALUE-SPACE comparison: a side is a variable (read through
+    * its bindValues `_term` struct) or a numeric constant. */
+  private[kg] sealed trait NTerm
+  private final case class NTVar(name: String) extends NTerm
+  private final case class NTNum(v: Double) extends NTerm
+  private final case class FNumCmp(l: NTerm, op: String, r: NTerm) extends FExpr
 
   /** An aggregate invocation; `arg = None` is `COUNT(*)`. SAMPLE is
     * compiled as `min` (SPARQL leaves the pick arbitrary — a
@@ -237,11 +266,26 @@ object Sparql {
                          offset: Option[Long] = None,
                          values: Seq[(Seq[String], Seq[Seq[String]])] = Nil,
                          form: String = "SELECT",
-                         template: Seq[TriplePattern] = Nil) {
+                         template: Seq[TriplePattern] = Nil,
+                         exists: Seq[Seq[TriplePattern]] = Nil,
+                         notExists: Seq[Seq[TriplePattern]] = Nil) {
     /** Compiled FILTER predicates over the binding columns. */
     def filters: Seq[Column] = filterAst.map(compileF)
     /** Plain variables of the projection (empty for `SELECT *`). */
     def select: Seq[String] = projection.collect { case PVar(n) => n }
+    /** Variables read in the numeric value space — each needs one
+      * [[Bgp.bindValues]] join before the FILTERs apply. */
+    private[Sparql] def numericVars: Seq[String] = {
+      def walk(e: FExpr): Seq[String] = e match {
+        case FNumCmp(l, _, r) =>
+          Seq(l, r).collect { case NTVar(n) => n }
+        case FNot(x)    => walk(x)
+        case FAnd(a, b) => walk(a) ++ walk(b)
+        case FOr(a, b)  => walk(a) ++ walk(b)
+        case _          => Nil
+      }
+      filterAst.flatMap(walk).distinct
+    }
     private[Sparql] def isAggregate: Boolean =
       groupBy.nonEmpty || havingAst.nonEmpty ||
         projection.exists(_.isInstanceOf[PAgg])
@@ -252,6 +296,17 @@ object Sparql {
     case FTConst(v) => lit(v)
   }
 
+  /** A variable's numeric value space with SPARQL's promotion: the
+    * integer family and double/float/decimal both read as double
+    * (exact for |v| < 2^53); everything else is NULL (excluded). */
+  private def numValue(t: NTerm): Column = t match {
+    case NTVar(v) =>
+      val term = col(s"${v}_term")
+      coalesce(TypedLiterals.asLong(term).cast("double"),
+        TypedLiterals.asDouble(term))
+    case NTNum(d) => lit(d)
+  }
+
   private def compileF(e: FExpr): Column = e match {
     case FBound(v)         => col(v).isNotNull
     case FNot(x)           => !compileF(x)
@@ -259,6 +314,16 @@ object Sparql {
     case FOr(a, b)         => compileF(a) || compileF(b)
     case FCmp(l, "=", r)   => compileT(l) === compileT(r)
     case FCmp(l, _, r)     => compileT(l) =!= compileT(r)
+    case FNumCmp(l, op, r) =>
+      val (a, b) = (numValue(l), numValue(r))
+      op match {
+        case "="  => a === b
+        case "!=" => a =!= b
+        case "<"  => a < b
+        case "<=" => a <= b
+        case ">"  => a > b
+        case ">=" => a >= b
+      }
   }
 
   // ---------- parser -------------------------------------------------------
@@ -375,11 +440,21 @@ object Sparql {
     r
   }
 
-  private def filterTerm(c: Cursor): FTerm = c.next() match {
-    case TVar(n)           => FTVar(n)
-    case TIri(iri)         => FTConst(Bgp.iriId(iri))
-    case TLit(v, lang, dt) => FTConst(Bgp.litId(v, dt.getOrElse(RdfTerm.XsdString), lang))
-    case t                 => fail(s"expected a variable, IRI or literal in FILTER, found $t")
+  /** A comparison operand: variable, node-id constant (IRI/literal) or
+    * numeric constant. The operator decides which space the comparison
+    * lives in — see [[filterExpr]]. */
+  private sealed trait FOperand
+  private final case class FOVar(n: String) extends FOperand
+  private final case class FOId(id: String) extends FOperand
+  private final case class FONum(d: Double) extends FOperand
+
+  private def filterOperand(c: Cursor): FOperand = c.next() match {
+    case TVar(n)           => FOVar(n)
+    case TIri(iri)         => FOId(Bgp.iriId(iri))
+    case TLit(v, lang, dt) => FOId(Bgp.litId(v, dt.getOrElse(RdfTerm.XsdString), lang))
+    case TNum(v)           => FONum(v.toDouble)
+    case TDbl(v)           => FONum(v)
+    case t => fail(s"expected a variable, IRI, literal or number in FILTER, found $t")
   }
 
   // precedence: || < && < ! < atom
@@ -396,13 +471,32 @@ object Sparql {
         c.takeSym(")")
         FBound(v)
       case _ =>
-        val l = filterTerm(c)
+        val l = filterOperand(c)
         val op = c.next() match {
-          case TSym("=")  => "="
-          case TSym("!=") => "!="
-          case t          => fail(s"expected = or != in FILTER, found $t")
+          case TSym(s) if Set("=", "!=", "<", "<=", ">", ">=")(s) => s
+          case t => fail(s"expected a comparison (= != < <= > >=) in FILTER, found $t")
         }
-        FCmp(l, op, filterTerm(c))
+        val r = filterOperand(c)
+        // an ordering operator, or a bare-number side, selects the
+        // numeric VALUE space; = / != between vars/IRIs/literals stays
+        // node-id (in)equality (decidable without the nodes table)
+        if (Set("<", "<=", ">", ">=")(op) ||
+            l.isInstanceOf[FONum] || r.isInstanceOf[FONum]) {
+          def nt(o: FOperand): NTerm = o match {
+            case FOVar(n) => NTVar(n)
+            case FONum(d) => NTNum(d)
+            case FOId(_) => fail("value-space comparisons take ?vars or " +
+              "numbers — IRI/literal constants compare by node id with = / != only")
+          }
+          FNumCmp(nt(l), op, nt(r))
+        } else {
+          def ft(o: FOperand): FTerm = o match {
+            case FOVar(n) => FTVar(n)
+            case FOId(id) => FTConst(id)
+            case FONum(_) => fail("unreachable: numeric operand in id comparison")
+          }
+          FCmp(ft(l), op, ft(r))
+        }
     }
     def andExpr(): FExpr = {
       var e = atom()
@@ -537,7 +631,9 @@ object Sparql {
                                     minuses: Seq[Seq[TriplePattern]],
                                     unions: Seq[Seq[TriplePattern]],
                                     filters: Seq[FExpr],
-                                    values: Seq[(Seq[String], Seq[Seq[String]])])
+                                    values: Seq[(Seq[String], Seq[Seq[String]])],
+                                    exists: Seq[Seq[TriplePattern]],
+                                    notExists: Seq[Seq[TriplePattern]])
 
   /** Parses a group after its opening '{' (consumes the closing '}'). */
   private def parseGroupBody(c: Cursor): GroupAst = {
@@ -547,6 +643,23 @@ object Sparql {
     val unions = Seq.newBuilder[Seq[TriplePattern]]
     val filters = Seq.newBuilder[FExpr]
     val values = Seq.newBuilder[(Seq[String], Seq[Seq[String]])]
+    val exists = Seq.newBuilder[Seq[TriplePattern]]
+    val notExists = Seq.newBuilder[Seq[TriplePattern]]
+    // FILTER ( expr ) | FILTER EXISTS { .. } | FILTER NOT EXISTS { .. }
+    def filterClause(): Unit = {
+      c.takeSym("FILTER")
+      if (c.atSym("EXISTS")) {
+        c.takeSym("EXISTS"); c.takeSym("{")
+        exists += triplesBlock(c)
+      } else if (c.atSym("NOT")) {
+        c.takeSym("NOT"); c.takeSym("EXISTS"); c.takeSym("{")
+        notExists += triplesBlock(c)
+      } else {
+        c.takeSym("(")
+        filters += filterExpr(c)
+        c.takeSym(")")
+      }
+    }
     if (c.atSym("{")) {
       // union group: { triples } UNION { triples } [UNION ...] [FILTER...]
       c.takeSym("{")
@@ -558,11 +671,7 @@ object Sparql {
         c.takeSym("UNION"); c.takeSym("{")
         unions += triplesBlock(c)
       }
-      while (c.atSym("FILTER")) {
-        c.takeSym("FILTER"); c.takeSym("(")
-        filters += filterExpr(c)
-        c.takeSym(")")
-      }
+      while (c.atSym("FILTER")) filterClause()
       c.takeSym("}")
     } else {
       while (!c.atSym("}")) c.peekOrFail match {
@@ -573,9 +682,7 @@ object Sparql {
           c.takeSym("MINUS"); c.takeSym("{")
           minuses += triplesBlock(c)
         case TSym("FILTER") =>
-          c.takeSym("FILTER"); c.takeSym("(")
-          filters += filterExpr(c)
-          c.takeSym(")")
+          filterClause()
         case TSym("VALUES") =>
           c.takeSym("VALUES")
           values += valuesClause(c)
@@ -584,7 +691,8 @@ object Sparql {
       c.takeSym("}")
     }
     GroupAst(required.result(), optionals.result(), minuses.result(),
-      unions.result(), filters.result(), values.result())
+      unions.result(), filters.result(), values.result(),
+      exists.result(), notExists.result())
   }
 
   def parse(q: String): Query = {
@@ -603,7 +711,8 @@ object Sparql {
     val g = parseGroupBody(c)
     if (!c.done) fail(s"trailing tokens after the ASK group: ${c.peekOrFail}")
     val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
-      g.unions, g.filters, values = g.values, form = "ASK")
+      g.unions, g.filters, values = g.values, form = "ASK",
+      exists = g.exists, notExists = g.notExists)
     validate(qy)
     qy
   }
@@ -620,7 +729,7 @@ object Sparql {
     if (!c.done) fail(s"trailing tokens after the CONSTRUCT group: ${c.peekOrFail}")
     val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
       g.unions, g.filters, values = g.values, form = "CONSTRUCT",
-      template = template)
+      template = template, exists = g.exists, notExists = g.notExists)
     validate(qy)
     qy
   }
@@ -706,7 +815,7 @@ object Sparql {
     if (!c.done) fail(s"trailing tokens after the query: ${c.peekOrFail}")
     val qy = Query(projection.result(), distinct, g.required, g.optionals,
       g.minuses, g.unions, g.filters, groupBy, having.result(), orderBy,
-      limit, offset, g.values)
+      limit, offset, g.values, exists = g.exists, notExists = g.notExists)
     validate(qy)
     qy
   }
@@ -882,19 +991,42 @@ object Sparql {
 
   /**
    * Parse and execute against an edges frame (subj_id, pred, obj_id).
-   * Pipeline order follows SPARQL's algebra: pattern group (with
-   * FILTERs) -> VALUES selections -> GROUP BY/aggregates -> HAVING ->
-   * projection -> DISTINCT -> ORDER BY -> OFFSET -> LIMIT. An
-   * ORDER BY + LIMIT pair plans as TakeOrderedAndProject — per-partition
-   * top-k then a single merge, never a global sort.
+   * Pipeline order follows SPARQL's algebra: pattern group -> EXISTS /
+   * NOT EXISTS semi/anti-joins -> FILTERs -> VALUES selections ->
+   * GROUP BY/aggregates -> HAVING -> projection -> DISTINCT ->
+   * ORDER BY -> OFFSET -> LIMIT. An ORDER BY + LIMIT pair plans as
+   * TakeOrderedAndProject — per-partition top-k then a single merge,
+   * never a global sort.
    */
-  def run(edges: DataFrame, queryString: String): DataFrame = {
+  def run(edges: DataFrame, queryString: String): DataFrame =
+    runWith(edges, None, queryString)
+
+  /** [[run]] with the D2 nodes table attached, enabling numeric
+    * VALUE-SPACE FILTER comparisons (`FILTER(?n > 100)`): each such
+    * variable is [[Bgp.bindValues]]-joined once before the filters
+    * apply (AQE broadcasts the projected nodes side when it is
+    * dimension-sized); the term columns are dropped again before
+    * projection. */
+  def run(edges: DataFrame, nodes: DataFrame, queryString: String): DataFrame =
+    runWith(edges, Some(nodes), queryString)
+
+  private def runWith(edges: DataFrame, nodes: Option[DataFrame],
+                      queryString: String): DataFrame = {
     val q = parse(queryString)
-    val matched0 =
-      if (q.unions.nonEmpty)
-        q.filters.foldLeft(Bgp.matchUnion(edges, q.unions))(_ filter _)
-      else
-        Bgp.matchGroup(edges, q.required, q.optionals, q.minuses, q.filters)
+    val grouped =
+      if (q.unions.nonEmpty) Bgp.matchUnion(edges, q.unions)
+      else Bgp.applyMinus(edges,
+        Bgp.matchWithOptional(edges, q.required, q.optionals), q.minuses)
+    val probed = Bgp.applyExists(edges,
+      Bgp.applyExists(edges, grouped, q.exists), q.notExists, negate = true)
+    val numVars = q.numericVars
+    val bound =
+      if (numVars.isEmpty) probed
+      else Bgp.bindValues(probed, nodes.getOrElse(fail(
+        "numeric FILTER comparisons read the value space — pass the nodes " +
+          "table: Sparql.run(edges, nodes, query)")), numVars)
+    val filtered = q.filters.foldLeft(bound)(_ filter _)
+    val matched0 = numVars.foldLeft(filtered)((df, v) => df.drop(s"${v}_term"))
     val matched = q.values.foldLeft(matched0) { case (df, (vs, rows)) =>
       Bgp.applyValues(df, vs, rows)
     }

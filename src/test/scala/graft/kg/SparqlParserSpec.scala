@@ -351,6 +351,67 @@ class SparqlParserSpec extends AnyFunSuite {
     bad("SELECT ?a WHERE { ?a <p> ?x } LIMIT 3 LIMIT 4", "duplicate LIMIT")
   }
 
+  test("FILTER EXISTS / NOT EXISTS parse to the semi/anti-join twins") {
+    val parsedEx = Sparql.run(corpus,
+      """SELECT ?d ?l WHERE { ?d <urn:lang> ?l
+        |  FILTER EXISTS { ?d <urn:src> ?s } }""".stripMargin)
+    val progEx = Bgp.applyExists(corpus,
+      Bgp.matchPatterns(corpus, Seq(TriplePattern(V("d"), C("urn:lang"), V("l")))),
+      Seq(Seq(TriplePattern(V("d"), C("urn:src"), V("s")))))
+      .select(col("d"), col("l"))
+    assertSame(parsedEx, progEx)
+    assert(parsedEx.collect().map(_.getString(0)).toSet === Set(d1, d2))
+
+    val parsedNx = Sparql.run(corpus,
+      """SELECT ?d WHERE { ?d <urn:lang> ?l
+        |  FILTER NOT EXISTS { ?d <urn:src> ?s } }""".stripMargin)
+    assert(parsedNx.collect().map(_.getString(0)).toSeq === Seq(d3))
+    // an EXISTS group sharing no variable is a constant-truth probe
+    val ex = intercept[IllegalArgumentException](Sparql.run(corpus,
+      "SELECT ?d WHERE { ?d <urn:lang> ?l FILTER EXISTS { ?x <urn:src> ?y } }")
+      .collect())
+    assert(ex.getMessage.contains("shares no variable"))
+  }
+
+  test("numeric value-space FILTER parses to the bindValues twin") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val p10 = Bgp.litId("10", XSD + "long")
+    val p200 = Bgp.litId("200", XSD + "long")
+    val p2_5 = Bgp.litId("2.5", XSD + "double")
+    val e = edges((d1, "urn:price", p10), (d2, "urn:price", p200),
+      (d3, "urn:price", p2_5))
+    val nodes = Seq(
+      (p10, RdfTerm.LITERAL, "10", null, XSD + "long"),
+      (p200, RdfTerm.LITERAL, "200", null, XSD + "long"),
+      (p2_5, RdfTerm.LITERAL, "2.5", null, XSD + "double"),
+      (d1, RdfTerm.IRI, "urn:doc:1", null, null))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val parsed = Sparql.run(e, nodes,
+      "SELECT ?d ?p WHERE { ?d <urn:price> ?p FILTER (?p > 2.4 && ?p < 100) }")
+    val prog = Bgp.bindValues(
+      Bgp.matchPatterns(e, Seq(TriplePattern(V("d"), C("urn:price"), V("p")))),
+      nodes, Seq("p"))
+      .filter(coalesce(TypedLiterals.asLong(col("p_term")).cast("double"),
+        TypedLiterals.asDouble(col("p_term"))) > 2.4)
+      .filter(coalesce(TypedLiterals.asLong(col("p_term")).cast("double"),
+        TypedLiterals.asDouble(col("p_term"))) < 100)
+      .drop("p_term").select(col("d"), col("p"))
+    assertSame(parsed, prog)
+    assert(parsed.collect().map(_.getString(0)).toSet === Set(d1, d3))
+    // integer equality goes value-space too: 200 = 200^^xsd:long
+    assert(Sparql.run(e, nodes,
+      "SELECT ?d WHERE { ?d <urn:price> ?p FILTER (?p = 200) }")
+      .collect().map(_.getString(0)).toSeq === Seq(d2))
+    // without the nodes table the numeric comparison must fail loudly
+    val ex = intercept[IllegalArgumentException](Sparql.run(e,
+      "SELECT ?d WHERE { ?d <urn:price> ?p FILTER (?p > 5) }"))
+    assert(ex.getMessage.contains("nodes"))
+    // ordering against an IRI/literal constant is not id-decidable
+    val ex2 = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?d WHERE { ?d <urn:price> ?p FILTER (?p > \"x\") }"))
+    assert(ex2.getMessage.contains("value-space"))
+  }
+
   test("malformed queries fail loudly, not wrongly") {
     def bad(q: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](Sparql.parse(q))

@@ -1470,6 +1470,55 @@ object SparkEntry {
       Sparql.run(tag.union(mod),
         """SELECT ?s (GROUP_CONCAT(?o; SEPARATOR="|") AS ?os) (SAMPLE(?o) AS ?one)
           |WHERE { ?s ?p ?o } GROUP BY ?s""".stripMargin)
+    }),
+
+    // STRING value-space FILTER: LANG / DATATYPE / STR / STRSTARTS /
+    // CONTAINS / STRENDS / ISLITERAL over a language-tagged literal
+    // column — every function reads the ONE bindValues `_term` struct
+    // for ?c (one nodes equi-join total), and out-of-domain reads are
+    // NULL -> excluded (SPARQL error-means-exclude)
+    "kg_sparql_strfilter" -> ((s, dir) => {
+      val corpus = Corpus.fromTableTagged(docs(s, dir), "documents", "doc_id",
+        Seq(("caption", col("source"), col("lang"))))
+      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
+      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+        """SELECT ?d ?c WHERE {
+          |  ?d <urn:col:documents:caption> ?c .
+          |  FILTER (ISLITERAL(?c) && LANG(?c) != "en")
+          |  FILTER (STRSTARTS(STR(?c), "src") && (CONTAINS(?c, "2") || STRENDS(?c, "4")))
+          |  FILTER (DATATYPE(?c) = <http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>)
+          |}""".stripMargin)
+    }),
+
+    // SPARQL SUM/AVG over the numeric value space: one bindValues join
+    // for ?p, exact order-independent decimal(28,10) accumulation under
+    // the one hash-agg shuffle (map-side partials), a single final cast
+    // to double — engine- and parallelism-reproducible where a float
+    // sum is neither
+    "kg_sparql_sum_avg" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_custkey", col("o_custkey"), s"${XSD}long"),
+        ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
+      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
+      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+        """SELECT ?c (SUM(?p) AS ?total) (AVG(?p) AS ?mean) (COUNT(?p) AS ?n)
+          |WHERE { ?o <urn:col:orders:o_custkey> ?c .
+          |        ?o <urn:col:orders:o_totalprice> ?p }
+          |GROUP BY ?c""".stripMargin)
+    }),
+
+    // SPARQL DESCRIBE: forward description (all outgoing edges) of the
+    // de-language docs PLUS a constant IRI — the described-id set is
+    // deduped then ONE left-semi equi-join selects the edges; output in
+    // the engine's edges convention
+    "kg_sparql_describe" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Sparql.run(e,
+        """DESCRIBE ?d <urn:g:documents:7>
+          |WHERE { ?d <urn:col:documents:lang> "de" }""".stripMargin)
     })
   )
 
@@ -2670,6 +2719,49 @@ object SparkEntry {
       s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
          |       sha256('"' || lang || '"^^<$XSD_STR>') AS l
          |FROM documents WHERE source = 'src1' AND lang <> 'en'""".stripMargin,
+
+    // string value-space mirror: LANG/STR/STRSTARTS/CONTAINS/STRENDS
+    // reduce to plain string predicates over the source columns; the
+    // lang-tagged literal ids hash value + tag + rdf:langString
+    "kg_sparql_strfilter" ->
+      """SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+        |       sha256('"' || source || '"@' || lang ||
+        |              '^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>') AS c
+        |FROM documents
+        |WHERE lang <> 'en' AND starts_with(source, 'src')
+        |  AND (contains(source, '2') OR ends_with(source, '4'))""".stripMargin,
+
+    // SUM/AVG mirror: the SAME exact-accumulation route — the literal's
+    // LEXICAL form (both engines render the double shortest-roundtrip)
+    // cast to DECIMAL(28,10), summed exactly, one final cast to double;
+    // a double-summed mirror would be order-sensitive and hash-unstable
+    "kg_sparql_sum_avg" ->
+      """WITH v AS (SELECT o_custkey,
+        |                  CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)) AS p
+        |           FROM orders)
+        |SELECT sha256('"' || CAST(o_custkey AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#long>') AS c,
+        |       CAST(SUM(p) AS DOUBLE) AS total,
+        |       CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM v GROUP BY o_custkey""".stripMargin,
+
+    // DESCRIBE mirror: every outgoing edge (text, lang, source) of the
+    // de docs plus doc 7 — (doc, pred) pairs are unique, so UNION ALL
+    // is already a set
+    "kg_sparql_describe" ->
+      s"""WITH d AS (SELECT * FROM documents WHERE lang = 'de' OR doc_id = 7)
+         |SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS subj_id,
+         |       'urn:col:documents:text' AS pred,
+         |       sha256('"' || text || '"^^<$XSD_STR>') AS obj_id FROM d
+         |UNION ALL
+         |SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>'),
+         |       'urn:col:documents:lang',
+         |       sha256('"' || lang || '"^^<$XSD_STR>') FROM d
+         |UNION ALL
+         |SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>'),
+         |       'urn:col:documents:source',
+         |       sha256('"' || source || '"^^<$XSD_STR>') FROM d""".stripMargin,
 
     // value-space FILTER mirror: the bindValues+TypedLiterals pipeline
     // reduces to plain numeric predicates over the source columns

@@ -38,21 +38,29 @@ object Corpus {
    * plain literal; `Some(iri)` a typed one.
    */
   private def tableCorpus(df: DataFrame, table: String, keyCol: String,
-                          cols: Seq[(String, Column, Option[String])]): Dataset[CorpusRow] = {
+                          cols: Seq[(String, Column, Option[String])]): Dataset[CorpusRow] =
+    tableCorpusSuffixed(df, table, keyCol, cols.map { case (n, v, dtIri) =>
+      (n, v, lit(dtIri.fold("\" .")(iri => s"""\"^^<$iri> ."""))) })
+
+  /** [[tableCorpus]] generalized to a COLUMN-valued literal suffix (the
+    * text after the closing quote), enabling row-dependent tags like
+    * `"value"@lang .`. */
+  private def tableCorpusSuffixed(df: DataFrame, table: String, keyCol: String,
+                                  cols: Seq[(String, Column, Column)]): Dataset[CorpusRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val lines = cols.map { case (name, valueExpr, dtIri) =>
-      val suffix = dtIri.fold("\" .")(iri => s"""\"^^<$iri> .""")
+    val lines = cols.map { case (name, valueExpr, suffix) =>
       val triple = concat(
         lit(s"<urn:g:$table:"), col(keyCol).cast("string"), lit("> "),
         lit(s"<urn:col:$table:$name> \""), escapeLiteralCol(valueExpr.cast("string")),
-        lit(suffix))
+        suffix)
       // NULL value guard: a NULL makes concat() NULL and concat_ws would
       // silently DROP the whole line, shifting subsequent line numbers and
       // losing the fact with no error row. Emit an intentionally invalid
       // statement instead, so the loss surfaces as a lenient error row /
-      // strict job failure with exact lineage.
-      when(valueExpr.isNull,
+      // strict job failure with exact lineage. (A NULL column-valued
+      // suffix — e.g. a NULL lang tag — hits the same guard.)
+      when(valueExpr.isNull || suffix.isNull,
         concat(lit(s"<urn:g:$table:"), col(keyCol).cast("string"),
           lit(s"> <urn:col:$table:$name> ?NULL")))
         .otherwise(triple)
@@ -75,6 +83,14 @@ object Corpus {
   def fromTableTyped(df: DataFrame, table: String, keyCol: String,
                      cols: Seq[(String, Column, String)]): Dataset[CorpusRow] =
     tableCorpus(df, table, keyCol, cols.map { case (n, v, dt) => (n, v, Some(dt)) })
+
+  /** Language-tagged table corpus: each listed column renders as
+    * `"value"@lang` with the tag taken from a COLUMN (row-dependent) —
+    * the input shape for LANG()/langString value-space queries. */
+  def fromTableTagged(df: DataFrame, table: String, keyCol: String,
+                      cols: Seq[(String, Column, Column)]): Dataset[CorpusRow] =
+    tableCorpusSuffixed(df, table, keyCol, cols.map { case (n, v, langCol) =>
+      (n, v, concat(lit("\"@"), langCol.cast("string"), lit(" ."))) })
 
   /** The W3C fixture files as corpus documents (driver-side read: 74 tiny files). */
   def w3cFixtures(spark: SparkSession, lang: String = TripleExtract.LangStrict): Dataset[CorpusRow] = {

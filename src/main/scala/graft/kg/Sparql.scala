@@ -19,9 +19,10 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  * {{{
  *   query   := select | ASK WHERE? { group }
  *            | CONSTRUCT { triple+ } WHERE { group }
+ *            | DESCRIBE (?var | <iri>)+ (WHERE? { group })?
  *   select  := SELECT DISTINCT? (proj+ | *) WHERE { group } modifiers
  *   proj    := ?var | ( agg ( DISTINCT? (?var | *) sepOpt ) AS ?alias )
- *   agg     := COUNT | MIN | MAX | SAMPLE | GROUP_CONCAT
+ *   agg     := COUNT | SUM | AVG | MIN | MAX | SAMPLE | GROUP_CONCAT
  *   sepOpt  := (';' SEPARATOR = "sep")?          (GROUP_CONCAT only)
  *   group   := (triple '.'? | OPTIONAL { triples } | MINUS { triples }
  *              | FILTER ( expr ) | FILTER NOT? EXISTS { triples }
@@ -48,6 +49,14 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *              where nterm := ?var | number — a comparison with a
  *              number (or an ordering operator) is VALUE-SPACE and
  *              needs the nodes table: run(edges, nodes, query)
+ *            | (STRSTARTS | STRENDS | CONTAINS) ( sarg , sarg )
+ *            | sterm (= | !=) (sterm | "lit" | <iri> | ?var)
+ *            | (ISIRI | ISLITERAL | ISBLANK) ( ?var )
+ *              where sterm := STR(?v) | LANG(?v) | DATATYPE(?v) and
+ *              sarg := sterm | ?var | "lit" — all STRING-VALUE-SPACE
+ *              forms, needing the nodes table like nterm; a bare ?var
+ *              arg reads string-family literals only (SPARQL type
+ *              error = excluded), STR() also stringifies IRIs
  *   hexpr   := COUNT(...) (= | != | < | <= | > | >=) int
  *            | !hexpr | hexpr && hexpr | hexpr || hexpr | ( hexpr )
  * }}}
@@ -56,8 +65,12 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  * fragment: COUNT / COUNT DISTINCT / MIN / MAX are id-decidable;
  * SAMPLE compiles to `min` (a deterministic pick where the spec allows
  * any) and GROUP_CONCAT concatenates in sorted order (the spec leaves
- * order undefined) so results are engine-independent; SUM/AVG are
- * rejected with a pointer at the typed-literal columns. VALUES is a
+ * order undefined) so results are engine-independent; SUM/AVG read the
+ * NUMERIC VALUE SPACE (one bindValues join per argument variable —
+ * nodes-table overload required) with exact order-independent
+ * decimal(28,10) accumulation, strict SPARQL error semantics (any
+ * non-numeric/unbound value in the group makes the aggregate unbound)
+ * and a single final cast to double. VALUES is a
  * set-semantics selection: one variable is a pushed IN-filter, several
  * a broadcast semi-join ([[Bgp.applyValues]]); its variables must be
  * anchored in the required pattern. ORDER BY + LIMIT plan as
@@ -81,6 +94,17 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  * double — exact for |v| < 2^53). Non-numeric terms (IRIs, bnodes,
  * string literals) make the accessor NULL, so the row is excluded —
  * SPARQL's error-means-exclude, again.
+ *
+ * STRING VALUE-SPACE FILTER: STR / LANG / DATATYPE projections,
+ * STRSTARTS / STRENDS / CONTAINS predicates and ISIRI / ISLITERAL /
+ * ISBLANK kind tests ride the same bindValues join — one per distinct
+ * variable regardless of how many functions read it. Same exclusion
+ * rule: a function applied outside its SPARQL domain (STR of a bnode,
+ * LANG of an IRI, a bare non-string-literal arg) reads NULL and the
+ * row drops.
+ *
+ * DESCRIBE returns the forward description of the matched/listed
+ * nodes as edges-convention rows — see [[describeEdges]].
  */
 object Sparql {
 
@@ -101,11 +125,12 @@ object Sparql {
   private final case class TSym(s: String) extends Tok
 
   private val Keywords = Set(
-    "SELECT", "ASK", "CONSTRUCT", "DISTINCT", "WHERE", "OPTIONAL", "MINUS",
-    "FILTER", "UNION", "BOUND", "AS", "GROUP", "BY", "HAVING", "ORDER",
-    "ASC", "DESC", "LIMIT", "OFFSET", "VALUES", "UNDEF", "SEPARATOR",
-    "COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG",
-    "EXISTS", "NOT")
+    "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "DISTINCT", "WHERE",
+    "OPTIONAL", "MINUS", "FILTER", "UNION", "BOUND", "AS", "GROUP", "BY",
+    "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET", "VALUES", "UNDEF",
+    "SEPARATOR", "COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM",
+    "AVG", "EXISTS", "NOT", "STR", "LANG", "DATATYPE", "STRSTARTS",
+    "STRENDS", "CONTAINS", "ISIRI", "ISLITERAL", "ISBLANK")
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -119,7 +144,7 @@ object Sparql {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
-      else if ("{}().+*;/^".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
+      else if ("{}().+*;/^,".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
       else if (c == '=') { out += TSym("="); i += 1 }
       else if (c == '!' && peek(1) == '=') { out += TSym("!="); i += 2 }
       else if (c == '!') { out += TSym("!"); i += 1 }
@@ -228,6 +253,22 @@ object Sparql {
   private final case class NTVar(name: String) extends NTerm
   private final case class NTNum(v: Double) extends NTerm
   private final case class FNumCmp(l: NTerm, op: String, r: NTerm) extends FExpr
+  /** STRING value-space operand: a variable read through its bindValues
+    * `_term` struct (bare = string-family literal lexical form only,
+    * `viaStr` = SPARQL STR(), which also stringifies IRIs), its LANG()
+    * or DATATYPE() projection, or a raw string constant. */
+  private[kg] sealed trait STerm
+  private final case class SVar(name: String, viaStr: Boolean) extends STerm
+  private final case class SLang(name: String) extends STerm
+  private final case class SDt(name: String) extends STerm
+  private final case class SConst(s: String) extends STerm
+  /** STRSTARTS / STRENDS / CONTAINS over a string-space operand. */
+  private final case class FStrFn(func: String, arg: STerm, needle: STerm) extends FExpr
+  /** String value-space (in)equality — `=` / `!=` only (ordering over
+    * strings is collation-dependent and deliberately out of fragment). */
+  private final case class FStrCmp(l: STerm, eq: Boolean, r: STerm) extends FExpr
+  /** ISIRI / ISLITERAL / ISBLANK term-kind test (needs the `_term` struct). */
+  private final case class FKindTest(func: String, v: String) extends FExpr
 
   /** An aggregate invocation; `arg = None` is `COUNT(*)`. SAMPLE is
     * compiled as `min` (SPARQL leaves the pick arbitrary — a
@@ -248,10 +289,12 @@ object Sparql {
   private final case class HAnd(a: HExpr, b: HExpr) extends HExpr
   private final case class HOr(a: HExpr, b: HExpr) extends HExpr
 
-  /** Parsed query. `form` is SELECT, ASK or CONSTRUCT; `projection`
-    * empty means `SELECT *`; `orderBy` pairs are (variable-or-alias,
-    * ascending); `values` clauses are (variables, constant-id rows)
-    * selections; `template` holds CONSTRUCT's output triples. */
+  /** Parsed query. `form` is SELECT, ASK, CONSTRUCT or DESCRIBE;
+    * `projection` empty means `SELECT *`; `orderBy` pairs are
+    * (variable-or-alias, ascending); `values` clauses are (variables,
+    * constant-id rows) selections; `template` holds CONSTRUCT's output
+    * triples; `describeVars`/`describeIds` hold DESCRIBE's subject
+    * terms (group variables / constant node ids). */
   final case class Query(projection: Seq[Proj],
                          distinct: Boolean,
                          required: Seq[TriplePattern],
@@ -268,17 +311,29 @@ object Sparql {
                          form: String = "SELECT",
                          template: Seq[TriplePattern] = Nil,
                          exists: Seq[Seq[TriplePattern]] = Nil,
-                         notExists: Seq[Seq[TriplePattern]] = Nil) {
+                         notExists: Seq[Seq[TriplePattern]] = Nil,
+                         describeVars: Seq[String] = Nil,
+                         describeIds: Seq[String] = Nil) {
     /** Compiled FILTER predicates over the binding columns. */
     def filters: Seq[Column] = filterAst.map(compileF)
     /** Plain variables of the projection (empty for `SELECT *`). */
     def select: Seq[String] = projection.collect { case PVar(n) => n }
-    /** Variables read in the numeric value space — each needs one
+    /** Variables whose FILTERs read the VALUE space (numeric comparison,
+      * string function, LANG/DATATYPE, kind test) — each needs one
       * [[Bgp.bindValues]] join before the FILTERs apply. */
-    private[Sparql] def numericVars: Seq[String] = {
+    private[Sparql] def filterTermVars: Seq[String] = {
+      def svars(t: STerm): Seq[String] = t match {
+        case SVar(n, _) => Seq(n)
+        case SLang(n)   => Seq(n)
+        case SDt(n)     => Seq(n)
+        case SConst(_)  => Nil
+      }
       def walk(e: FExpr): Seq[String] = e match {
         case FNumCmp(l, _, r) =>
           Seq(l, r).collect { case NTVar(n) => n }
+        case FStrFn(_, a, b) => svars(a) ++ svars(b)
+        case FStrCmp(l, _, r) => svars(l) ++ svars(r)
+        case FKindTest(_, v) => Seq(v)
         case FNot(x)    => walk(x)
         case FAnd(a, b) => walk(a) ++ walk(b)
         case FOr(a, b)  => walk(a) ++ walk(b)
@@ -286,6 +341,13 @@ object Sparql {
       }
       filterAst.flatMap(walk).distinct
     }
+    /** Variables aggregated in the NUMERIC value space (SUM/AVG args) —
+      * these need [[Bgp.bindValues]] joins that must SURVIVE until the
+      * aggregation step. */
+    private[Sparql] def numericAggVars: Seq[String] =
+      projection.collect {
+        case PAgg(AggCall("SUM" | "AVG", _, Some(v), _), _) => v
+      }.distinct
     private[Sparql] def isAggregate: Boolean =
       groupBy.nonEmpty || havingAst.nonEmpty ||
         projection.exists(_.isInstanceOf[PAgg])
@@ -307,6 +369,37 @@ object Sparql {
     case NTNum(d) => lit(d)
   }
 
+  /** A string-space operand's value. Every non-constant case reads the
+    * variable's `_term` struct and yields NULL outside its SPARQL
+    * domain, so the enclosing predicate excludes the row
+    * (error-means-exclude):
+    *  - STR(?v): lexical form of a literal OR the IRI string (STR of a
+    *    blank node is an error per SPARQL);
+    *  - bare ?v: string-family literals ONLY (simple / xsd:string /
+    *    rdf:langString) — applying a string function to an IRI or a
+    *    number without STR() is a SPARQL type error;
+    *  - LANG(?v): the tag, '' for untagged literals, error for
+    *    non-literals;
+    *  - DATATYPE(?v): the datatype IRI (always materialized by the
+    *    parser — rdf:langString for tagged literals). */
+  private def strValue(t: STerm): Column = t match {
+    case SVar(v, true) =>
+      val term = col(s"${v}_term")
+      when(term("kind") === RdfTerm.IRI || term("kind") === RdfTerm.LITERAL,
+        term("value"))
+    case SVar(v, false) =>
+      val term = col(s"${v}_term")
+      when(term("kind") === RdfTerm.LITERAL &&
+        term("dt").isin(RdfTerm.XsdString, RdfTerm.RdfLangString), term("value"))
+    case SLang(v) =>
+      val term = col(s"${v}_term")
+      when(term("kind") === RdfTerm.LITERAL, coalesce(term("lang"), lit("")))
+    case SDt(v) =>
+      val term = col(s"${v}_term")
+      when(term("kind") === RdfTerm.LITERAL, term("dt"))
+    case SConst(s) => lit(s)
+  }
+
   private def compileF(e: FExpr): Column = e match {
     case FBound(v)         => col(v).isNotNull
     case FNot(x)           => !compileF(x)
@@ -323,6 +416,22 @@ object Sparql {
         case "<=" => a <= b
         case ">"  => a > b
         case ">=" => a >= b
+      }
+    case FStrFn(func, a, n) =>
+      val (h, needle) = (strValue(a), strValue(n))
+      func match {
+        case "STRSTARTS" => h.startsWith(needle)
+        case "STRENDS"   => h.endsWith(needle)
+        case "CONTAINS"  => h.contains(needle)
+      }
+    case FStrCmp(l, eq, r) =>
+      if (eq) strValue(l) === strValue(r) else strValue(l) =!= strValue(r)
+    case FKindTest(func, v) =>
+      val kind = col(s"${v}_term")("kind")
+      func match {
+        case "ISIRI"     => kind === RdfTerm.IRI
+        case "ISLITERAL" => kind === RdfTerm.LITERAL
+        case "ISBLANK"   => kind === RdfTerm.BNODE
       }
   }
 
@@ -440,25 +549,55 @@ object Sparql {
     r
   }
 
-  /** A comparison operand: variable, node-id constant (IRI/literal) or
-    * numeric constant. The operator decides which space the comparison
-    * lives in — see [[filterExpr]]. */
+  /** A comparison operand: variable, IRI/literal constant (kept raw —
+    * the SPACE the comparison lives in decides between the hashed node
+    * id and the raw string), numeric constant, or a string-space
+    * function projection. The operator and operand kinds decide the
+    * space — see [[filterExpr]]. */
   private sealed trait FOperand
   private final case class FOVar(n: String) extends FOperand
-  private final case class FOId(id: String) extends FOperand
+  private final case class FOIri(iri: String) extends FOperand
+  private final case class FOLit(v: String, lang: Option[String], dt: Option[String]) extends FOperand
   private final case class FONum(d: Double) extends FOperand
+  private final case class FOStrFn(t: STerm) extends FOperand
 
-  private def filterOperand(c: Cursor): FOperand = c.next() match {
-    case TVar(n)           => FOVar(n)
-    case TIri(iri)         => FOId(Bgp.iriId(iri))
-    case TLit(v, lang, dt) => FOId(Bgp.litId(v, dt.getOrElse(RdfTerm.XsdString), lang))
-    case TNum(v)           => FONum(v.toDouble)
-    case TDbl(v)           => FONum(v)
-    case t => fail(s"expected a variable, IRI, literal or number in FILTER, found $t")
+  /** `STR(?v)` / `LANG(?v)` / `DATATYPE(?v)` — the string-space
+    * projections usable as comparison sides and string-function args. */
+  private def strFnOperand(c: Cursor): Option[STerm] = c.peekOrFail match {
+    case TSym(s @ ("STR" | "LANG" | "DATATYPE")) =>
+      c.next(); c.takeSym("(")
+      val v = varName(c)
+      c.takeSym(")")
+      Some(s match {
+        case "STR"      => SVar(v, viaStr = true)
+        case "LANG"     => SLang(v)
+        case "DATATYPE" => SDt(v)
+      })
+    case _ => None
   }
+
+  private def filterOperand(c: Cursor): FOperand =
+    strFnOperand(c).map(FOStrFn).getOrElse(c.next() match {
+      case TVar(n)           => FOVar(n)
+      case TIri(iri)         => FOIri(iri)
+      case TLit(v, lang, dt) => FOLit(v, lang, dt)
+      case TNum(v)           => FONum(v.toDouble)
+      case TDbl(v)           => FONum(v)
+      case t => fail(s"expected a variable, IRI, literal or number in FILTER, found $t")
+    })
 
   // precedence: || < && < ! < atom
   private def filterExpr(c: Cursor): FExpr = {
+    // STRSTARTS/STRENDS/CONTAINS argument: a string-space projection, a
+    // bare variable (string-family literal read) or a plain string
+    def strArg(): STerm = strFnOperand(c).getOrElse(c.next() match {
+      case TVar(n)             => SVar(n, viaStr = false)
+      case TLit(v, None, None) => SConst(v)
+      case TLit(_, _, _)       => fail("string functions take PLAIN string " +
+        "literals (no @lang / ^^dt) in this fragment")
+      case t => fail(s"expected ?var, STR/LANG/DATATYPE(?var) or a plain " +
+        s"string literal, found $t")
+    })
     def atom(): FExpr = c.peekOrFail match {
       case TSym("(") => c.takeSym("("); val e = orExpr(); c.takeSym(")"); e
       case TSym("!") => c.takeSym("!"); FNot(atom())
@@ -470,6 +609,18 @@ object Sparql {
         }
         c.takeSym(")")
         FBound(v)
+      case TSym(f @ ("STRSTARTS" | "STRENDS" | "CONTAINS")) =>
+        c.next(); c.takeSym("(")
+        val a = strArg()
+        c.takeSym(",")
+        val n = strArg()
+        c.takeSym(")")
+        FStrFn(f, a, n)
+      case TSym(f @ ("ISIRI" | "ISLITERAL" | "ISBLANK")) =>
+        c.next(); c.takeSym("(")
+        val v = varName(c)
+        c.takeSym(")")
+        FKindTest(f, v)
       case _ =>
         val l = filterOperand(c)
         val op = c.next() match {
@@ -477,23 +628,43 @@ object Sparql {
           case t => fail(s"expected a comparison (= != < <= > >=) in FILTER, found $t")
         }
         val r = filterOperand(c)
-        // an ordering operator, or a bare-number side, selects the
-        // numeric VALUE space; = / != between vars/IRIs/literals stays
-        // node-id (in)equality (decidable without the nodes table)
-        if (Set("<", "<=", ">", ">=")(op) ||
+        // space selection: a STR/LANG/DATATYPE side puts the comparison
+        // in the STRING value space (= / != only — string ordering is
+        // collation-dependent and out of fragment); an ordering operator
+        // or a bare-number side selects the NUMERIC value space; = / !=
+        // between vars/IRIs/literals stays node-id (in)equality
+        // (decidable without the nodes table)
+        if (l.isInstanceOf[FOStrFn] || r.isInstanceOf[FOStrFn]) {
+          if (Set("<", "<=", ">", ">=")(op))
+            fail("string value-space comparisons support = / != only — " +
+              "string ordering is collation-dependent and out of this fragment")
+          def st(o: FOperand): STerm = o match {
+            case FOStrFn(t)           => t
+            case FOVar(n)             => SVar(n, viaStr = false)
+            case FOLit(v, None, None) => SConst(v)
+            case FOIri(iri)           => SConst(iri)
+            case FOLit(_, _, _) => fail("string-space comparisons take plain " +
+              "string literals (no @lang / ^^dt)")
+            case FONum(_) => fail("a string-space side cannot compare to a " +
+              "number — wrap the variable (not the function) for numeric space")
+          }
+          FStrCmp(st(l), op == "=", st(r))
+        } else if (Set("<", "<=", ">", ">=")(op) ||
             l.isInstanceOf[FONum] || r.isInstanceOf[FONum]) {
           def nt(o: FOperand): NTerm = o match {
             case FOVar(n) => NTVar(n)
             case FONum(d) => NTNum(d)
-            case FOId(_) => fail("value-space comparisons take ?vars or " +
+            case _ => fail("value-space comparisons take ?vars or " +
               "numbers — IRI/literal constants compare by node id with = / != only")
           }
           FNumCmp(nt(l), op, nt(r))
         } else {
           def ft(o: FOperand): FTerm = o match {
-            case FOVar(n) => FTVar(n)
-            case FOId(id) => FTConst(id)
-            case FONum(_) => fail("unreachable: numeric operand in id comparison")
+            case FOVar(n)           => FTVar(n)
+            case FOIri(iri)         => FTConst(Bgp.iriId(iri))
+            case FOLit(v, lang, dt) =>
+              FTConst(Bgp.litId(v, dt.getOrElse(RdfTerm.XsdString), lang))
+            case _ => fail("unreachable: numeric/string operand in id comparison")
           }
           FCmp(ft(l), op, ft(r))
         }
@@ -518,11 +689,10 @@ object Sparql {
 
   private def aggCall(c: Cursor): AggCall = {
     val f = c.next() match {
-      case TSym(s) if Set("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")(s) => s
-      case TSym(s) if Set("SUM", "AVG")(s) =>
-        fail(s"$s needs typed literal values — node ids are hashes; join the " +
-          "TypedLiterals columns outside the SPARQL fragment for numeric aggregation")
-      case t => fail(s"expected an aggregate (COUNT/MIN/MAX/SAMPLE/GROUP_CONCAT), found $t")
+      case TSym(s) if Set("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
+        "SUM", "AVG")(s) => s
+      case t => fail(s"expected an aggregate (COUNT/SUM/AVG/MIN/MAX/SAMPLE/" +
+        s"GROUP_CONCAT), found $t")
     }
     c.takeSym("(")
     val dist = c.atSym("DISTINCT")
@@ -700,8 +870,42 @@ object Sparql {
     c.peekOrFail match {
       case TSym("ASK")       => c.takeSym("ASK"); parseAsk(c)
       case TSym("CONSTRUCT") => c.takeSym("CONSTRUCT"); parseConstruct(c)
+      case TSym("DESCRIBE")  => c.takeSym("DESCRIBE"); parseDescribe(c)
       case _                 => c.takeSym("SELECT"); parseSelect(c)
     }
+  }
+
+  /** `DESCRIBE (?var | <iri>)+ [WHERE { group }]` — variables need the
+    * group to bind them; constants alone need no WHERE at all. */
+  private def parseDescribe(c: Cursor): Query = {
+    val vars = Seq.newBuilder[String]
+    val ids = Seq.newBuilder[String]
+    var more = true
+    while (more) c.peek match {
+      case Some(TVar(n))   => c.next(); vars += n
+      case Some(TIri(iri)) => c.next(); ids += Bgp.iriId(iri)
+      case _               => more = false
+    }
+    val (vs, is) = (vars.result().distinct, ids.result().distinct)
+    if (vs.isEmpty && is.isEmpty)
+      fail("DESCRIBE needs at least one ?var or <iri>")
+    val g =
+      if (c.atSym("WHERE") || c.atSym("{")) {
+        if (c.atSym("WHERE")) c.takeSym("WHERE")
+        c.takeSym("{")
+        parseGroupBody(c)
+      } else {
+        if (vs.nonEmpty)
+          fail(s"DESCRIBE ?${vs.head} needs a WHERE group to bind the variable")
+        GroupAst(Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil)
+      }
+    if (!c.done) fail(s"trailing tokens after the DESCRIBE query: ${c.peekOrFail}")
+    val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
+      g.unions, g.filters, values = g.values, form = "DESCRIBE",
+      exists = g.exists, notExists = g.notExists,
+      describeVars = vs, describeIds = is)
+    validate(qy)
+    qy
   }
 
   /** `ASK [WHERE] { group }` — no projection, no solution modifiers. */
@@ -827,7 +1031,8 @@ object Sparql {
         qy.minuses.nonEmpty || qy.values.nonEmpty))
       fail("a UNION group cannot be mixed with top-level triples/OPTIONAL/" +
         "MINUS/VALUES in this fragment — nest the common pattern into every branch")
-    if (qy.unions.isEmpty && qy.required.isEmpty)
+    if (qy.unions.isEmpty && qy.required.isEmpty &&
+        !(qy.form == "DESCRIBE" && qy.describeVars.isEmpty))
       fail("WHERE group has no required triple patterns")
     def varsOf(ps: Seq[TriplePattern]): Set[String] =
       ps.flatMap(p => Seq(p.subj, p.pred, p.obj).collect { case V(n) => n }).toSet
@@ -840,6 +1045,14 @@ object Sparql {
       if (unanchored.nonEmpty)
         fail(s"VALUES variable(s) ${unanchored.mkString(", ")} must be bound " +
           "by the required pattern (not only by OPTIONAL) in this fragment")
+    }
+    if (qy.form == "DESCRIBE") {
+      val groupVars = varsOf(qy.required) ++ qy.optionals.flatMap(varsOf) ++
+        qy.unions.flatMap(varsOf)
+      val unbound = qy.describeVars.filterNot(groupVars.contains)
+      if (unbound.nonEmpty)
+        fail(s"DESCRIBE variable(s) ${unbound.mkString(", ")} are not bound " +
+          "by the WHERE group")
     }
     if (qy.form == "CONSTRUCT") {
       qy.template.foreach(t => t.pred match {
@@ -885,13 +1098,34 @@ object Sparql {
 
   // ---------- execution ----------------------------------------------------
 
+  /** A SUM/AVG argument's numeric value space at decimal(28,10):
+    * integer-family and double/float/decimal literals both read as
+    * decimal, so the ACCUMULATION is exact and ORDER-INDEPENDENT —
+    * float sums differ run-to-run under parallel reduction; decimal
+    * sums cannot. The single rounding happens once, at the end, when
+    * the total is cast to double. Non-numeric terms read NULL. */
+  private def numDecValue(v: String): Column = {
+    val term = col(s"${v}_term")
+    coalesce(TypedLiterals.asLong(term).cast("decimal(28,10)"),
+      TypedLiterals.asDecimal(term, 28, 10))
+  }
+
   /** Aggregate compilation. COUNT family is codegen'd partial-agg
     * (map-side combine before the one group-key shuffle); GROUP_CONCAT
     * is collect_list/set — per-group state is O(group payload), so at
     * scale put it behind selective patterns, as with any SQL
     * string_agg. SAMPLE compiles to `min` and GROUP_CONCAT sorts — both
     * deliberate determinism choices where SPARQL leaves the result
-    * engine-defined. */
+    * engine-defined.
+    *
+    * SUM/AVG aggregate the NUMERIC VALUE SPACE via the bindValues
+    * `_term` struct ([[numDecValue]]): exact decimal(28,10)
+    * accumulation (order-independent, so engine- and
+    * parallelism-reproducible), one final cast to double. SPARQL error
+    * semantics are STRICT per the spec: a group containing any unbound
+    * or non-numeric value yields NULL (unbound) for the whole
+    * aggregate — the `count(num) = count(*)` guard — and the empty
+    * global group sums to 0 (Sum({}) = 0, Avg({}) = 0). */
   private def compileAgg(a: AggCall): Column = a match {
     case AggCall("COUNT", false, None, _)    => count(lit(1))
     case AggCall("COUNT", false, Some(v), _) => count(col(v))
@@ -903,6 +1137,17 @@ object Sparql {
       array_join(sort_array(collect_list(col(v))), sep)
     case AggCall("GROUP_CONCAT", true, Some(v), sep) =>
       array_join(sort_array(collect_set(col(v))), sep)
+    case AggCall("SUM", dist, Some(v), _) =>
+      val num = numDecValue(v)
+      val s = if (dist) sum_distinct(num) else sum(num)
+      when(count(num) === count(lit(1)),
+        coalesce(s, lit(0).cast("decimal(38,10)"))).cast("double")
+    case AggCall("AVG", dist, Some(v), _) =>
+      val num = numDecValue(v)
+      val s = if (dist) sum_distinct(num) else sum(num)
+      val n = if (dist) countDistinct(num) else count(num)
+      when(count(num) === count(lit(1)),
+        when(n === 0, lit(0.0)).otherwise(s.cast("double") / n))
     case other => fail(s"unsupported aggregate $other")
   }
 
@@ -982,6 +1227,34 @@ object Sparql {
     parts.reduce(_ union _).distinct()
   }
 
+  /** DESCRIBE evaluation. SPARQL leaves the description shape to the
+    * implementation; this engine describes a node as ITS OUTGOING EDGES
+    * — the forward Concise Bounded Description, whose bnode-closure
+    * step is vacuous here because skolemization (E4) already promoted
+    * every blank node to an IRI. The described-id set is the union of
+    * the group bindings of each DESCRIBE variable (NULL bindings from
+    * unmatched OPTIONALs are skipped — there is no term to describe)
+    * and the constant ids; it is deduped to a dimension-sized relation,
+    * then ONE left-semi equi-join selects the edges (AQE broadcasts the
+    * id side when small), and the graph-set distinct makes the result a
+    * graph. Output is the engine's edges convention
+    * (subj_id, pred, obj_id). */
+  private def describeEdges(edges: DataFrame, matched: Option[DataFrame],
+                            q: Query): DataFrame = {
+    val base = edges.select("subj_id", "pred", "obj_id")
+    val varIds = matched.toSeq.flatMap(m => q.describeVars.map(v =>
+      m.select(col(v).as("id")).filter(col("id").isNotNull)))
+    val constIds =
+      if (q.describeIds.isEmpty) Nil
+      else {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        Seq(q.describeIds.toDF("id"))
+      }
+    val ids = (varIds ++ constIds).reduce(_ union _).distinct()
+    base.join(ids, base("subj_id") === ids("id"), "left_semi").distinct()
+  }
+
   /** [[run]] for ASK queries, evaluated: true iff the group matches. */
   def ask(edges: DataFrame, queryString: String): Boolean = {
     val q = parse(queryString)
@@ -1001,32 +1274,40 @@ object Sparql {
   def run(edges: DataFrame, queryString: String): DataFrame =
     runWith(edges, None, queryString)
 
-  /** [[run]] with the D2 nodes table attached, enabling numeric
-    * VALUE-SPACE FILTER comparisons (`FILTER(?n > 100)`): each such
-    * variable is [[Bgp.bindValues]]-joined once before the filters
-    * apply (AQE broadcasts the projected nodes side when it is
-    * dimension-sized); the term columns are dropped again before
-    * projection. */
+  /** [[run]] with the D2 nodes table attached, enabling the VALUE-SPACE
+    * surface: numeric FILTER comparisons (`FILTER(?n > 100)`), string
+    * functions (STR/LANG/DATATYPE/STRSTARTS/STRENDS/CONTAINS, kind
+    * tests) and SUM/AVG aggregation. Each such variable is
+    * [[Bgp.bindValues]]-joined once before the filters apply (AQE
+    * broadcasts the projected nodes side when it is dimension-sized);
+    * the term columns are dropped again before projection. */
   def run(edges: DataFrame, nodes: DataFrame, queryString: String): DataFrame =
     runWith(edges, Some(nodes), queryString)
 
   private def runWith(edges: DataFrame, nodes: Option[DataFrame],
                       queryString: String): DataFrame = {
     val q = parse(queryString)
+    if (q.form == "DESCRIBE" && q.required.isEmpty && q.unions.isEmpty)
+      return describeEdges(edges, None, q) // constant-only DESCRIBE
     val grouped =
       if (q.unions.nonEmpty) Bgp.matchUnion(edges, q.unions)
       else Bgp.applyMinus(edges,
         Bgp.matchWithOptional(edges, q.required, q.optionals), q.minuses)
     val probed = Bgp.applyExists(edges,
       Bgp.applyExists(edges, grouped, q.exists), q.notExists, negate = true)
-    val numVars = q.numericVars
+    val filterVars = q.filterTermVars
+    val aggVars = q.numericAggVars
+    val termVars = (filterVars ++ aggVars).distinct
     val bound =
-      if (numVars.isEmpty) probed
+      if (termVars.isEmpty) probed
       else Bgp.bindValues(probed, nodes.getOrElse(fail(
-        "numeric FILTER comparisons read the value space — pass the nodes " +
-          "table: Sparql.run(edges, nodes, query)")), numVars)
+        "value-space FILTERs and SUM/AVG read the value space — pass the " +
+          "nodes table: Sparql.run(edges, nodes, query)")), termVars)
     val filtered = q.filters.foldLeft(bound)(_ filter _)
-    val matched0 = numVars.foldLeft(filtered)((df, v) => df.drop(s"${v}_term"))
+    // filter-only term structs are spent; SUM/AVG structs must survive
+    // until the aggregation step reads them
+    val matched0 = filterVars.filterNot(aggVars.contains)
+      .foldLeft(filtered)((df, v) => df.drop(s"${v}_term"))
     val matched = q.values.foldLeft(matched0) { case (df, (vs, rows)) =>
       Bgp.applyValues(df, vs, rows)
     }
@@ -1035,6 +1316,7 @@ object Sparql {
       // Spark stops scanning partitions once a row surfaces
       return matched.limit(1).agg((count(lit(1)) === 1).as("ask"))
     if (q.form == "CONSTRUCT") return construct(matched, q.template)
+    if (q.form == "DESCRIBE") return describeEdges(edges, Some(matched), q)
     val projected =
       if (q.isAggregate) aggregate(matched, q)
       else if (q.projection.isEmpty) matched

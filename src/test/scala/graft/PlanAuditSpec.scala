@@ -267,7 +267,21 @@ class PlanAuditSpec extends AnyFunSuite {
       // rewrite joins (both sides exchange under SMJ with AQE off) + the
       // merged-graph set-dedup — a global rewrite rightfully costs the
       // same shuffle class as the materialization that built the edges
-      "kg_sameas_rewrite" -> 9)
+      "kg_sameas_rewrite" -> 9,
+      // value-space FILTER pays exactly one nodes-table equi-join per
+      // numeric variable (SMJ exchange with AQE off; broadcasts under
+      // AQE — the Explain dump shows zero shuffles); EXISTS/NOT EXISTS
+      // pay their semi+anti probe joins and nothing else
+      "kg_bgp_typed_filter" -> 1, "kg_sparql_exists" -> 2,
+      "kg_sparql_typed_filter" -> 2,
+      // string-space FILTER rides the SAME single bindValues join the
+      // numeric space pays (all functions read one ?c term struct);
+      // SUM/AVG pay the ?p bind join + the one hash-agg group-by
+      // shuffle; DESCRIBE pays the described-id distinct + the
+      // edges semi-join (the graph-set distinct reuses the semi-join's
+      // partitioning)
+      "kg_sparql_strfilter" -> 1, "kg_sparql_sum_avg" -> 2,
+      "kg_sparql_describe" -> 2)
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.session.timeZone", "UTC")

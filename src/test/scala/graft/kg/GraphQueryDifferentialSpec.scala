@@ -221,6 +221,76 @@ class GraphQueryDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("value-space FILTERs and SUM/AVG equal brute force on random typed graphs") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val RLS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    final case class L(value: String, lang: Option[String], dt: String)
+    val rnd = new Random(83)
+    for (trial <- 1 to 3) {
+      // each subject carries 1-4 values: longs, decimals, tagged strings
+      val subjects = (0 until 8).map(i => s"urn:s:$i")
+      val lits = subjects.flatMap { s =>
+        (0 until 1 + rnd.nextInt(4)).map { _ =>
+          val l = rnd.nextInt(3) match {
+            case 0 => L((rnd.nextInt(200) - 100).toString, None, XSD + "long")
+            case 1 => L(s"${rnd.nextInt(50)}.${1 + rnd.nextInt(9)}", None, XSD + "double")
+            case _ => L("w" + rnd.nextInt(5) + (if (rnd.nextBoolean()) "x" else ""),
+              Some(Seq("en", "de")(rnd.nextInt(2))), RLS)
+          }
+          (s, l)
+        }
+      }.distinct
+      val subjId = subjects.map(s => s -> Bgp.iriId(s)).toMap
+      def objId(l: L): String =
+        Bgp.litId(l.value, if (l.lang.isDefined) XSD + "string" else l.dt, l.lang)
+      val edges = lits.map { case (s, l) => (subjId(s), "p", objId(l)) }
+        .toDF("subj_id", "pred", "obj_id")
+      val nodes = (lits.map { case (_, l) =>
+        (objId(l), RdfTerm.LITERAL, l.value, l.lang.orNull, l.dt)
+      } ++ subjects.map(s => (subjId(s), RdfTerm.IRI, s, null, null)))
+        .distinct.toDF("id", "kind", "value", "lang", "dt")
+      def numOf(l: L): Option[Double] =
+        if (l.dt == XSD + "long" || l.dt == XSD + "double") Some(l.value.toDouble)
+        else None
+      // numeric FILTER: strings excluded, longs+decimals promoted
+      val gotNum = Sparql.run(edges, nodes,
+        "SELECT ?s ?v WHERE { ?s <p> ?v FILTER (?v >= 3.5) }")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val bruteNum = lits.collect { case (s, l) if numOf(l).exists(_ >= 3.5) =>
+        (subjId(s), objId(l))
+      }.sorted
+      assert(gotNum === bruteNum, s"trial $trial numeric")
+      // string FILTER: bare var = string-family only; LANG projection
+      val gotStr = Sparql.run(edges, nodes,
+        """SELECT ?s ?v WHERE { ?s <p> ?v
+          |  FILTER (CONTAINS(?v, "x") && LANG(?v) = "en") }""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val bruteStr = lits.collect {
+        case (s, l) if l.lang.contains("en") && l.value.contains("x") =>
+          (subjId(s), objId(l))
+      }.sorted
+      assert(gotStr === bruteStr, s"trial $trial string")
+      // SUM/AVG with strict SPARQL errors: a group holding any
+      // non-numeric term aggregates to unbound (null)
+      val got = Sparql.run(edges, nodes,
+        """SELECT ?s (SUM(?v) AS ?t) (AVG(?v) AS ?m)
+          |WHERE { ?s <p> ?v } GROUP BY ?s""".stripMargin)
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) null else r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getDouble(2))).sortBy(_._1).toSeq
+      val brute = lits.groupBy(_._1).map { case (s, xs) =>
+        val vals = xs.map(_._2)
+        if (vals.forall(l => numOf(l).isDefined)) {
+          // mirror the engine's exact route: decimal accumulation at
+          // scale 10, ONE final rounding to double, then IEEE divide
+          val sum = vals.map(l => BigDecimal(l.value)).sum.toDouble
+          (subjId(s), sum, sum / vals.size)
+        } else (subjId(s), null, null)
+      }.toSeq.sortBy(_._1)
+      assert(got === brute, s"trial $trial sum/avg")
+    }
+  }
+
   test("entity resolution never false-merges and recovers single-end-edit variants") {
     val rnd = new Random(99)
     // far-apart random base labels (hex-ish), each with a tail-edit variant

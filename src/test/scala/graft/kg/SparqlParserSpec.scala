@@ -334,7 +334,7 @@ class SparqlParserSpec extends AnyFunSuite {
       val ex = intercept[IllegalArgumentException](Sparql.parse(q))
       assert(ex.getMessage.contains(needle), s"$q -> ${ex.getMessage}")
     }
-    bad("SELECT (SUM(?x) AS ?s) WHERE { ?a <p> ?x }", "typed literal")
+    bad("SELECT (SUM(*) AS ?s) WHERE { ?a <p> ?x }", "SUM takes a ?variable")
     bad("SELECT * WHERE { ?a <p> ?x } GROUP BY ?a", "project the grouped")
     bad("SELECT ?x (COUNT(?a) AS ?n) WHERE { ?a <p> ?x } GROUP BY ?a",
       "must appear in GROUP BY")
@@ -410,6 +410,144 @@ class SparqlParserSpec extends AnyFunSuite {
     val ex2 = intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?d WHERE { ?d <urn:price> ?p FILTER (?p > \"x\") }"))
     assert(ex2.getMessage.contains("value-space"))
+  }
+
+  test("string value-space FILTER functions parse to the strSpace twin") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val RLS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    val chatEn = Bgp.litId("chat room", lang = Some("en"))
+    val chatFr = Bgp.litId("chat", lang = Some("fr"))
+    val n42 = Bgp.litId("42", XSD + "long")
+    val e = edges((d1, "urn:cap", chatEn), (d2, "urn:cap", chatFr),
+      (d3, "urn:cap", n42), (d1, "urn:ref", d2))
+    val nodes = Seq(
+      (chatEn, RdfTerm.LITERAL, "chat room", "en", RLS),
+      (chatFr, RdfTerm.LITERAL, "chat", "fr", RLS),
+      (n42, RdfTerm.LITERAL, "42", null, XSD + "long"),
+      (d1, RdfTerm.IRI, "urn:doc:1", null, null),
+      (d2, RdfTerm.IRI, "urn:doc:2", null, null),
+      (d3, RdfTerm.IRI, "urn:doc:3", null, null))
+      .toDF("id", "kind", "value", "lang", "dt")
+    def ids(q: String): Set[String] =
+      Sparql.run(e, nodes, q).collect().map(_.getString(0)).toSet
+    // LANG: en-tagged only; the untagged number and the IRI object drop
+    assert(ids("SELECT ?d WHERE { ?d <urn:cap> ?c FILTER (LANG(?c) = \"en\") }")
+      === Set(d1))
+    // LANG != : fr survives; the untagged-number literal has lang '' (!= en),
+    // so it survives TOO — only the en row drops
+    assert(ids("SELECT ?d WHERE { ?d <urn:cap> ?c FILTER (LANG(?c) != \"en\") }")
+      === Set(d2, d3))
+    // bare-var CONTAINS reads string-family literals only: 42^^long drops
+    assert(ids("SELECT ?d WHERE { ?d <urn:cap> ?c FILTER (CONTAINS(?c, \"chat\")) }")
+      === Set(d1, d2))
+    // STRSTARTS + STRENDS via STR()
+    assert(ids("SELECT ?d WHERE { ?d <urn:cap> ?c FILTER (STRSTARTS(STR(?c), \"chat\") && STRENDS(STR(?c), \"room\")) }")
+      === Set(d1))
+    // STR() stringifies the IRI object too
+    assert(ids("SELECT ?d WHERE { ?d <urn:ref> ?o FILTER (STRSTARTS(STR(?o), \"urn:doc\")) }")
+      === Set(d1))
+    // DATATYPE against an IRI constant
+    assert(ids(s"SELECT ?d WHERE { ?d <urn:cap> ?c FILTER (DATATYPE(?c) = <$RLS>) }")
+      === Set(d1, d2))
+    // kind tests
+    assert(ids("SELECT ?d WHERE { ?d <urn:cap> ?c FILTER (ISLITERAL(?c)) }")
+      === Set(d1, d2, d3))
+    assert(ids("SELECT ?d WHERE { ?d <urn:ref> ?o FILTER (ISIRI(?o)) }")
+      === Set(d1))
+    assert(ids("SELECT ?d WHERE { ?d <urn:cap> ?c FILTER (ISBLANK(?c)) }")
+      === Set.empty[String])
+    // STR equality in string space (not node-id space)
+    assert(ids("SELECT ?d WHERE { ?d <urn:cap> ?c FILTER (STR(?c) = \"chat\") }")
+      === Set(d2))
+    // parsed form equals the programmatic strSpace twin
+    val parsed = Sparql.run(e, nodes,
+      "SELECT ?c ?d WHERE { ?d <urn:cap> ?c FILTER (CONTAINS(?c, \"chat\")) }")
+    val prog = Bgp.bindValues(
+      Bgp.matchPatterns(e, Seq(TriplePattern(V("d"), C("urn:cap"), V("c")))),
+      nodes, Seq("c"))
+      .filter(when(col("c_term")("kind") === RdfTerm.LITERAL &&
+        col("c_term")("dt").isin(RdfTerm.XsdString, RdfTerm.RdfLangString),
+        col("c_term")("value")).contains("chat"))
+      .drop("c_term").select(col("c"), col("d"))
+    assertSame(parsed, prog)
+    // string functions without the nodes table fail loudly
+    val ex = intercept[IllegalArgumentException](Sparql.run(e,
+      "SELECT ?d WHERE { ?d <urn:cap> ?c FILTER (CONTAINS(?c, \"x\")) }"))
+    assert(ex.getMessage.contains("nodes"))
+    // string ordering is out of fragment
+    val ex2 = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?d WHERE { ?d <urn:cap> ?c FILTER (STR(?c) < \"x\") }"))
+    assert(ex2.getMessage.contains("= / != only"))
+  }
+
+  test("SUM/AVG aggregate the numeric value space with strict SPARQL errors") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val p10 = Bgp.litId("10", XSD + "long")
+    val p200 = Bgp.litId("200", XSD + "long")
+    val p2_5 = Bgp.litId("2.5", XSD + "double")
+    val bad = Bgp.litId("oops")
+    val e = edges(
+      (d1, "urn:price", p10), (d1, "urn:price", p200), (d1, "urn:price", p2_5),
+      (d2, "urn:price", p10), (d2, "urn:price", p10), (d2, "urn:price", bad))
+    val nodes = Seq(
+      (p10, RdfTerm.LITERAL, "10", null, XSD + "long"),
+      (p200, RdfTerm.LITERAL, "200", null, XSD + "long"),
+      (p2_5, RdfTerm.LITERAL, "2.5", null, XSD + "double"),
+      (bad, RdfTerm.LITERAL, "oops", null, XSD + "string"),
+      (d1, RdfTerm.IRI, "urn:doc:1", null, null))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val rows = Sparql.run(e, nodes,
+      """SELECT ?d (SUM(?p) AS ?total) (AVG(?p) AS ?mean) (COUNT(?p) AS ?n)
+        |WHERE { ?d <urn:price> ?p } GROUP BY ?d""".stripMargin)
+      .collect().map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getLong(3)))).toMap
+    // d1: all numeric -> exact 212.5 and 212.5/3 (one final rounding)
+    assert(rows(d1) === (212.5, 212.5 / 3, 3L))
+    // d2: contains a non-numeric literal -> STRICT error: SUM/AVG unbound,
+    // COUNT still counts bindings
+    assert(rows(d2) === (null, null, 3L))
+    // SUM(DISTINCT) / AVG(DISTINCT) on d1 (all distinct: unchanged) and
+    // global (no GROUP BY) over d1-only pattern
+    val g = Sparql.run(e, nodes,
+      """SELECT (SUM(DISTINCT ?p) AS ?t) (AVG(DISTINCT ?p) AS ?m)
+        |WHERE { <urn:doc:2> <urn:price> ?p . FILTER (?p > 5) }""".stripMargin)
+      .collect()(0)
+    // doc2's numeric values {10, 10} -> distinct {10}
+    assert(g.getDouble(0) === 10.0 && g.getDouble(1) === 10.0)
+    // the empty global group: Sum({}) = 0, Avg({}) = 0 per SPARQL 18.5.1
+    val z = Sparql.run(e, nodes,
+      "SELECT (SUM(?p) AS ?t) (AVG(?p) AS ?m) WHERE { ?d <urn:nope> ?p }")
+      .collect()(0)
+    assert(z.getDouble(0) === 0.0 && z.getDouble(1) === 0.0)
+    // without the nodes table SUM must fail loudly
+    val ex = intercept[IllegalArgumentException](Sparql.run(e,
+      "SELECT (SUM(?p) AS ?t) WHERE { ?d <urn:price> ?p }"))
+    assert(ex.getMessage.contains("nodes"))
+  }
+
+  test("DESCRIBE returns the forward description as edges-convention rows") {
+    def render(df: DataFrame): Set[(String, String, String)] =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val all = corpus.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // variable form: all outgoing edges of the en docs (d1, d3)
+    val viaVar = Sparql.run(corpus,
+      """DESCRIBE ?d WHERE { ?d <urn:lang> "en" }""")
+    assert(viaVar.columns.toSeq === Seq("subj_id", "pred", "obj_id"))
+    assert(render(viaVar) === all.filter(t => t._1 == d1 || t._1 == d3).toSet)
+    // constant-only form needs no WHERE
+    val viaConst = Sparql.run(corpus, "DESCRIBE <urn:doc:2>")
+    assert(render(viaConst) === all.filter(_._1 == d2).toSet)
+    // mixed form unions and dedups
+    val mixed = Sparql.run(corpus,
+      """DESCRIBE ?d <urn:doc:2> <urn:doc:1> WHERE { ?d <urn:lang> "en" }""")
+    assert(render(mixed) === all.toSet)
+    // a DESCRIBE variable must be bound by the group
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      "DESCRIBE ?x WHERE { ?d <urn:lang> ?l }"))
+    assert(ex.getMessage.contains("not bound"))
+    val ex2 = intercept[IllegalArgumentException](Sparql.parse("DESCRIBE ?x"))
+    assert(ex2.getMessage.contains("WHERE group"))
   }
 
   test("malformed queries fail loudly, not wrongly") {

@@ -1519,6 +1519,84 @@ object SparkEntry {
       Sparql.run(e,
         """DESCRIBE ?d <urn:g:documents:7>
           |WHERE { ?d <urn:col:documents:lang> "de" }""".stripMargin)
+    }),
+
+    // SPARQL BIND, numeric: an arithmetic projection over the value
+    // space (IEEE double — bit-deterministic cross-engine) that later
+    // FILTERs read DIRECTLY (bind columns never re-join the nodes
+    // table); a pure projection, zero added shuffles
+    "kg_sparql_bind" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_custkey", col("o_custkey"), s"${XSD}long"),
+        ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
+      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
+      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+        """SELECT ?o ?c ?net WHERE {
+          |  ?o <urn:col:orders:o_custkey> ?c .
+          |  ?o <urn:col:orders:o_totalprice> ?p .
+          |  BIND(?p - ?p / 4 AS ?net)
+          |  FILTER(?net > 150000 && ?c < 300)
+          |}""".stripMargin)
+    }),
+
+    // SPARQL BIND, string: CONCAT/UCASE/LCASE/STR/LANG compose over the
+    // ONE term join the variable pays; STRLEN feeds the numeric space
+    // from a string value
+    "kg_sparql_bind_str" -> ((s, dir) => {
+      val corpus = Corpus.fromTableTagged(docs(s, dir), "documents", "doc_id",
+        Seq(("caption", col("source"), col("lang"))))
+      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
+      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+        """SELECT ?d ?tag WHERE {
+          |  ?d <urn:col:documents:caption> ?c .
+          |  BIND(CONCAT(UCASE(LANG(?c)), ":", LCASE(STR(?c))) AS ?tag)
+          |  FILTER(STRLEN(?tag) = 7 && STRSTARTS(?tag, "D"))
+          |}""".stripMargin)
+    }),
+
+    // SPARQL BIND as a GROUP BY key: the computed column IS the grouping
+    // key of the one hash-agg shuffle — a histogram over a derived value
+    "kg_sparql_bind_group" -> ((s, dir) => {
+      val corpus = Corpus.fromTableTagged(docs(s, dir), "documents", "doc_id",
+        Seq(("caption", col("source"), col("lang"))))
+      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
+      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+        """SELECT ?u (COUNT(*) AS ?n) (MIN(?d) AS ?mn) WHERE {
+          |  ?d <urn:col:documents:caption> ?c .
+          |  BIND(UCASE(LANG(?c)) AS ?u)
+          |} GROUP BY ?u""".stripMargin)
+    }),
+
+    // SPARQL subquery: the classic aggregate-then-join — per-lang doc
+    // counts computed bottom-up (ONE hash-agg shuffle), inner-joined
+    // back onto the docs on the anchored ?l, the COUNT alias read
+    // directly by the outer FILTER (a computed value — no nodes join)
+    "kg_sparql_subquery" -> ((s, dir) => {
+      val t = Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir))))
+        .localCheckpoint(true)
+      Sparql.run(Materialize.edges(t),
+        """SELECT ?d ?l ?n WHERE {
+          |  ?d <urn:col:documents:lang> ?l .
+          |  { SELECT ?l (COUNT(*) AS ?n)
+          |    WHERE { ?x <urn:col:documents:lang> ?l } GROUP BY ?l }
+          |  FILTER(?n >= 100)
+          |}""".stripMargin)
+    }),
+
+    // SPARQL REGEX: partial-match over the string value space, with the
+    // one inline flag both engines' regex dialects spell identically
+    // ((?i)); anchored classes keep the two RE dialects aligned
+    "kg_sparql_regex" -> ((s, dir) => {
+      val t = Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir))))
+        .localCheckpoint(true)
+      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+        """SELECT ?d ?s WHERE {
+          |  ?d <urn:col:documents:source> ?s .
+          |  ?d <urn:col:documents:lang> ?l .
+          |  FILTER(REGEX(?s, "^src[24]$") && REGEX(?l, "^(EN|DE)$", "i"))
+          |}""".stripMargin)
     })
   )
 
@@ -2762,6 +2840,53 @@ object SparkEntry {
          |SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>'),
          |       'urn:col:documents:source',
          |       sha256('"' || source || '"^^<$XSD_STR>') FROM d""".stripMargin,
+
+    // numeric BIND mirror: the lexical double round-trips exactly in
+    // both engines, then the arithmetic is plain IEEE double in both
+    "kg_sparql_bind" ->
+      """WITH v AS (SELECT o_orderkey, o_custkey,
+        |                  CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS p
+        |           FROM orders)
+        |SELECT sha256('<urn:g:orders:' || CAST(o_orderkey AS VARCHAR) || '>') AS o,
+        |       sha256('"' || CAST(o_custkey AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#long>') AS c,
+        |       p - p / 4 AS net
+        |FROM v
+        |WHERE p - p / 4 > 150000 AND o_custkey < 300""".stripMargin,
+
+    // string BIND mirror: CONCAT/UCASE/LCASE/STR/LANG reduce to plain
+    // string functions over the source columns
+    "kg_sparql_bind_str" ->
+      """SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+        |       upper(lang) || ':' || lower(source) AS tag
+        |FROM documents
+        |WHERE length(upper(lang) || ':' || lower(source)) = 7
+        |  AND starts_with(upper(lang) || ':' || lower(source), 'D')""".stripMargin,
+
+    // BIND-as-group-key mirror: the derived key is just upper(lang)
+    "kg_sparql_bind_group" ->
+      """SELECT upper(lang) AS u, CAST(COUNT(*) AS BIGINT) AS n,
+        |       min(sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>')) AS mn
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // subquery mirror: the aggregate-then-join reduces to a grouped CTE
+    // joined back on the lang column
+    "kg_sparql_subquery" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang)
+         |SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       sha256('"' || lang || '"^^<$XSD_STR>') AS l,
+         |       CAST(cnt AS BIGINT) AS n
+         |FROM documents JOIN c USING (lang)
+         |WHERE cnt >= 100""".stripMargin,
+
+    // REGEX mirror: both dialects (Java regex / RE2) agree on anchored
+    // character classes and the inline (?i) flag
+    "kg_sparql_regex" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       sha256('"' || source || '"^^<$XSD_STR>') AS s
+         |FROM documents
+         |WHERE regexp_matches(source, '^src[24]$$')
+         |  AND regexp_matches(lang, '(?i)^(EN|DE)$$')""".stripMargin,
 
     // value-space FILTER mirror: the bindValues+TypedLiterals pipeline
     // reduces to plain numeric predicates over the source columns

@@ -26,9 +26,18 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *   sepOpt  := (';' SEPARATOR = "sep")?          (GROUP_CONCAT only)
  *   group   := (triple '.'? | OPTIONAL { triples } | MINUS { triples }
  *              | FILTER ( expr ) | FILTER NOT? EXISTS { triples }
- *              | VALUES valuesClause)*
+ *              | BIND ( bexpr AS ?var ) | VALUES valuesClause
+ *              | { select } )*                 (subquery — see below)
  *            | { triples } UNION { triples } (UNION { triples })*
  *              (FILTER ( expr ) | FILTER NOT? EXISTS { triples })*
+ *   bexpr   := nexpr | sexpr | ?var | "lit"
+ *              (?var alone copies the binding — id space; numeric and
+ *               string expressions produce PLAIN VALUE columns)
+ *   nexpr   := nmul (('+' | '-') nmul)*        numeric VALUE space
+ *   nmul    := natom (('*' | '/') natom)*      (x/0 = unbound, not INF)
+ *   natom   := number | ?var | STRLEN ( sarg ) | ( nexpr ) | '-' natom
+ *   sexpr   := STR(?v) | LANG(?v) | DATATYPE(?v) | CONCAT(sarg, sarg+)
+ *            | LCASE(sarg) | UCASE(sarg)       string VALUE space
  *   valuesClause := ?var { const+ } | ( ?var+ ) { ( const+ )+ }
  *   modifiers := (GROUP BY ?var+)? (HAVING ( hexpr ))*
  *                (ORDER BY (?var | ASC(?var) | DESC(?var))+)?
@@ -49,13 +58,16 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *              where nterm := ?var | number — a comparison with a
  *              number (or an ordering operator) is VALUE-SPACE and
  *              needs the nodes table: run(edges, nodes, query)
+ *            | nexpr (cmp) nexpr — arithmetic on either side selects
+ *              the numeric value space (a parenthesized LEFT side is
+ *              read as boolean grouping — start with the bare term)
  *            | (STRSTARTS | STRENDS | CONTAINS) ( sarg , sarg )
- *            | sterm (= | !=) (sterm | "lit" | <iri> | ?var)
+ *            | REGEX ( sarg , "pattern" (, "i")? )
+ *            | sexpr (= | !=) (sexpr | "lit" | <iri> | ?var)
  *            | (ISIRI | ISLITERAL | ISBLANK) ( ?var )
- *              where sterm := STR(?v) | LANG(?v) | DATATYPE(?v) and
- *              sarg := sterm | ?var | "lit" — all STRING-VALUE-SPACE
- *              forms, needing the nodes table like nterm; a bare ?var
- *              arg reads string-family literals only (SPARQL type
+ *              where sarg := sexpr | ?var | "lit" — all STRING-VALUE-
+ *              SPACE forms, needing the nodes table like nexpr; a bare
+ *              ?var arg reads string-family literals only (SPARQL type
  *              error = excluded), STR() also stringifies IRIs
  *   hexpr   := COUNT(...) (= | != | < | <= | > | >=) int
  *            | !hexpr | hexpr && hexpr | hexpr || hexpr | ( hexpr )
@@ -103,6 +115,31 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  * LANG of an IRI, a bare non-string-literal arg) reads NULL and the
  * row drops.
  *
+ * SUBQUERIES (`{ SELECT ... }` inside a group) evaluate bottom-up and
+ * inner-join the enclosing group on their shared plain variables —
+ * SPARQL 1.1's join of solution mappings, restricted to the
+ * never-NULL fragment: every subquery-projected plain variable must be
+ * anchored in the subquery's required pattern, and at least one must
+ * be shared with the outer required pattern (or an earlier subquery),
+ * so the equi-join can never diverge from unbound-is-compatible
+ * semantics. Aggregate aliases flow out as plain VALUE columns — outer
+ * FILTERs/BINDs read them directly (a COUNT alias compares numerically
+ * with no extra join), and the classic aggregate-then-join shape
+ * (`{ SELECT ?g (COUNT(*) AS ?n) ... GROUP BY ?g }` joined back on
+ * ?g) costs the subquery's one hash-agg shuffle plus one broadcast-able
+ * equi-join.
+ *
+ * BIND computes a PLAIN VALUE column (double for nexpr, string for
+ * sexpr) or an id-space copy (?var alone) — a pure projection, never a
+ * shuffle. Bind variables can be FILTERed (numeric comparisons and the
+ * string functions read them directly — no extra join), projected,
+ * ORDER BY'd and used as GROUP BY keys; they are NOT RDF terms, so
+ * LANG/DATATYPE/ISIRI-family tests, id-space `=` against constants,
+ * SUM/AVG arguments and CONSTRUCT/DESCRIBE positions reject them at
+ * parse with a pointer at the right spelling. A bind over a variable
+ * the row leaves unbound (unmatched OPTIONAL) is itself unbound, per
+ * SPARQL's error-propagation rule.
+ *
  * DESCRIBE returns the forward description of the matched/listed
  * nodes as edges-convention rows — see [[describeEdges]].
  */
@@ -130,7 +167,8 @@ object Sparql {
     "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET", "VALUES", "UNDEF",
     "SEPARATOR", "COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM",
     "AVG", "EXISTS", "NOT", "STR", "LANG", "DATATYPE", "STRSTARTS",
-    "STRENDS", "CONTAINS", "ISIRI", "ISLITERAL", "ISBLANK")
+    "STRENDS", "CONTAINS", "ISIRI", "ISLITERAL", "ISBLANK", "BIND",
+    "CONCAT", "LCASE", "UCASE", "STRLEN", "REGEX")
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -144,7 +182,7 @@ object Sparql {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
-      else if ("{}().+*;/^,".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
+      else if ("{}().+*;/^,-".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
       else if (c == '=') { out += TSym("="); i += 1 }
       else if (c == '!' && peek(1) == '=') { out += TSym("!="); i += 2 }
       else if (c == '!') { out += TSym("!"); i += 1 }
@@ -247,28 +285,47 @@ object Sparql {
   private final case class FAnd(a: FExpr, b: FExpr) extends FExpr
   private final case class FOr(a: FExpr, b: FExpr) extends FExpr
   private final case class FCmp(l: FTerm, op: String, r: FTerm) extends FExpr
-  /** Numeric VALUE-SPACE comparison: a side is a variable (read through
-    * its bindValues `_term` struct) or a numeric constant. */
-  private[kg] sealed trait NTerm
-  private final case class NTVar(name: String) extends NTerm
-  private final case class NTNum(v: Double) extends NTerm
-  private final case class FNumCmp(l: NTerm, op: String, r: NTerm) extends FExpr
+  /** Numeric VALUE-SPACE expression: leaves are variables (read through
+    * their bindValues `_term` struct, or directly for numeric BIND
+    * columns), numeric constants and STRLEN projections; interior nodes
+    * are `+ - * /` (IEEE double — deterministic cross-engine). */
+  private[kg] sealed trait NExpr
+  private final case class NVar(name: String) extends NExpr
+  private final case class NNum(v: Double) extends NExpr
+  private final case class NStrLen(arg: STerm) extends NExpr
+  private final case class NArith(l: NExpr, op: String, r: NExpr) extends NExpr
+  private final case class FNumCmp(l: NExpr, op: String, r: NExpr) extends FExpr
   /** STRING value-space operand: a variable read through its bindValues
     * `_term` struct (bare = string-family literal lexical form only,
-    * `viaStr` = SPARQL STR(), which also stringifies IRIs), its LANG()
-    * or DATATYPE() projection, or a raw string constant. */
+    * `viaStr` = SPARQL STR(), which also stringifies IRIs — both read a
+    * string BIND column directly), its LANG() or DATATYPE() projection,
+    * a raw string constant, or an LCASE/UCASE/CONCAT combinator. */
   private[kg] sealed trait STerm
   private final case class SVar(name: String, viaStr: Boolean) extends STerm
   private final case class SLang(name: String) extends STerm
   private final case class SDt(name: String) extends STerm
   private final case class SConst(s: String) extends STerm
+  private final case class SCase(arg: STerm, upper: Boolean) extends STerm
+  private final case class SConcat(args: Seq[STerm]) extends STerm
   /** STRSTARTS / STRENDS / CONTAINS over a string-space operand. */
   private final case class FStrFn(func: String, arg: STerm, needle: STerm) extends FExpr
+  /** REGEX(sarg, "pattern"[, "i"]) — partial match, optional
+    * case-insensitive flag compiled as an inline `(?i)` (the one flag
+    * both regex dialects spell identically). */
+  private final case class FRegex(arg: STerm, pattern: String, ci: Boolean) extends FExpr
   /** String value-space (in)equality — `=` / `!=` only (ordering over
     * strings is collation-dependent and deliberately out of fragment). */
   private final case class FStrCmp(l: STerm, eq: Boolean, r: STerm) extends FExpr
   /** ISIRI / ISLITERAL / ISBLANK term-kind test (needs the `_term` struct). */
   private final case class FKindTest(func: String, v: String) extends FExpr
+
+  /** A BIND(expr AS ?v) right-hand side: a numeric value expression, a
+    * string value expression, or a plain id-space copy of another
+    * PATTERN variable. */
+  private[kg] sealed trait BExpr
+  private final case class BNum(e: NExpr) extends BExpr
+  private final case class BStr(e: STerm) extends BExpr
+  private final case class BCopy(v: String) extends BExpr
 
   /** An aggregate invocation; `arg = None` is `COUNT(*)`. SAMPLE is
     * compiled as `min` (SPARQL leaves the pick arbitrary — a
@@ -313,27 +370,45 @@ object Sparql {
                          exists: Seq[Seq[TriplePattern]] = Nil,
                          notExists: Seq[Seq[TriplePattern]] = Nil,
                          describeVars: Seq[String] = Nil,
-                         describeIds: Seq[String] = Nil) {
+                         describeIds: Seq[String] = Nil,
+                         private[Sparql] val binds: Seq[(String, BExpr)] = Nil,
+                         private[Sparql] val subqueries: Seq[Query] = Nil) {
+    /** BIND variable -> value kind: 'n'umeric, 's'tring, 'c'opy. */
+    private[Sparql] lazy val bindKinds: Map[String, Char] =
+      binds.map { case (n, b) =>
+        n -> (b match { case BNum(_) => 'n'; case BStr(_) => 's'; case BCopy(_) => 'c' })
+      }.toMap
+    /** All computed-value columns and their kinds: BIND variables plus
+      * subquery aggregate aliases (COUNT/SUM/AVG are numeric values,
+      * GROUP_CONCAT strings, MIN/MAX/SAMPLE id picks -> id-space 'c'). */
+    private[Sparql] lazy val valueKinds: Map[String, Char] =
+      bindKinds ++ subqueries.flatMap(_.projection.collect {
+        case PAgg(AggCall(f, _, _, _), alias) => alias -> (f match {
+          case "COUNT" | "SUM" | "AVG" => 'n'
+          case "GROUP_CONCAT"          => 's'
+          case _                       => 'c'
+        })
+      })
+    /** Result-column names each subquery contributes to the group. */
+    private[Sparql] def subqueryOutputs: Seq[String] =
+      subqueries.flatMap(sq =>
+        sq.select ++ sq.projection.collect { case PAgg(_, a) => a })
     /** Compiled FILTER predicates over the binding columns. */
-    def filters: Seq[Column] = filterAst.map(compileF)
+    def filters: Seq[Column] = filterAst.map(compileF(_, valueKinds))
     /** Plain variables of the projection (empty for `SELECT *`). */
     def select: Seq[String] = projection.collect { case PVar(n) => n }
     /** Variables whose FILTERs read the VALUE space (numeric comparison,
       * string function, LANG/DATATYPE, kind test) — each needs one
-      * [[Bgp.bindValues]] join before the FILTERs apply. */
+      * [[Bgp.bindValues]] join before the FILTERs apply (BIND-produced
+      * variables are plain value columns and are excluded by the
+      * caller). */
     private[Sparql] def filterTermVars: Seq[String] = {
-      def svars(t: STerm): Seq[String] = t match {
-        case SVar(n, _) => Seq(n)
-        case SLang(n)   => Seq(n)
-        case SDt(n)     => Seq(n)
-        case SConst(_)  => Nil
-      }
       def walk(e: FExpr): Seq[String] = e match {
-        case FNumCmp(l, _, r) =>
-          Seq(l, r).collect { case NTVar(n) => n }
-        case FStrFn(_, a, b) => svars(a) ++ svars(b)
+        case FNumCmp(l, _, r) => nvars(l) ++ nvars(r)
+        case FStrFn(_, a, b)  => svars(a) ++ svars(b)
+        case FRegex(a, _, _)  => svars(a)
         case FStrCmp(l, _, r) => svars(l) ++ svars(r)
-        case FKindTest(_, v) => Seq(v)
+        case FKindTest(_, v)  => Seq(v)
         case FNot(x)    => walk(x)
         case FAnd(a, b) => walk(a) ++ walk(b)
         case FOr(a, b)  => walk(a) ++ walk(b)
@@ -341,6 +416,14 @@ object Sparql {
       }
       filterAst.flatMap(walk).distinct
     }
+    /** Variables BIND expressions read in the VALUE space — joined like
+      * [[filterTermVars]]; spent once the bind columns are computed. */
+    private[Sparql] def bindTermVars: Seq[String] =
+      binds.flatMap {
+        case (_, BNum(e))  => nvars(e)
+        case (_, BStr(t))  => svars(t)
+        case (_, BCopy(_)) => Nil
+      }.distinct
     /** Variables aggregated in the NUMERIC value space (SUM/AVG args) —
       * these need [[Bgp.bindValues]] joins that must SURVIVE until the
       * aggregation step. */
@@ -358,15 +441,51 @@ object Sparql {
     case FTConst(v) => lit(v)
   }
 
-  /** A variable's numeric value space with SPARQL's promotion: the
-    * integer family and double/float/decimal both read as double
-    * (exact for |v| < 2^53); everything else is NULL (excluded). */
-  private def numValue(t: NTerm): Column = t match {
-    case NTVar(v) =>
+  /** Variables a numeric expression reads (through either space). */
+  private def nvars(e: NExpr): Seq[String] = e match {
+    case NVar(n)         => Seq(n)
+    case NNum(_)         => Nil
+    case NStrLen(a)      => svars(a)
+    case NArith(l, _, r) => nvars(l) ++ nvars(r)
+  }
+
+  /** Variables a string expression reads. */
+  private def svars(t: STerm): Seq[String] = t match {
+    case SVar(n, _)   => Seq(n)
+    case SLang(n)     => Seq(n)
+    case SDt(n)       => Seq(n)
+    case SConst(_)    => Nil
+    case SCase(a, _)  => svars(a)
+    case SConcat(as)  => as.flatMap(svars)
+  }
+
+  /** A numeric expression's value with SPARQL's promotion: the integer
+    * family and double/float/decimal both read as double (exact for
+    * |v| < 2^53); everything else is NULL (excluded). A numeric BIND
+    * variable (`k(n) == 'n'`) is already a plain double column and is
+    * read directly. Arithmetic is IEEE double — bit-deterministic
+    * cross-engine, including /0 -> Infinity per xsd:double. */
+  private def numValue(t: NExpr, k: Map[String, Char]): Column = t match {
+    case NVar(v) if k.get(v).contains('n') => col(v)
+    case NVar(v) =>
       val term = col(s"${v}_term")
       coalesce(TypedLiterals.asLong(term).cast("double"),
         TypedLiterals.asDouble(term))
-    case NTNum(d) => lit(d)
+    case NNum(d)    => lit(d)
+    case NStrLen(a) => length(strValue(a, k)).cast("double")
+    case NArith(l, op, r) =>
+      val (a, b) = (numValue(l, k), numValue(r, k))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        // division by zero is NULL -> the row is EXCLUDED (SPARQL
+        // error-means-exclude), deliberately diverging from IEEE's INF:
+        // NULL is deterministic cross-engine (mirror: a / nullif(b, 0))
+        // where signed-infinity rendering is not, and ANSI Spark would
+        // otherwise throw mid-job
+        case "/" => try_divide(a, b)
+      }
   }
 
   /** A string-space operand's value. Every non-constant case reads the
@@ -381,8 +500,12 @@ object Sparql {
     *  - LANG(?v): the tag, '' for untagged literals, error for
     *    non-literals;
     *  - DATATYPE(?v): the datatype IRI (always materialized by the
-    *    parser — rdf:langString for tagged literals). */
-  private def strValue(t: STerm): Column = t match {
+    *    parser — rdf:langString for tagged literals).
+    * A string BIND variable (`k(v) == 's'`) is already a plain string
+    * column — bare and STR() reads take it directly; NULL-propagation
+    * through CONCAT/LCASE/UCASE keeps error-means-exclude intact. */
+  private def strValue(t: STerm, k: Map[String, Char]): Column = t match {
+    case SVar(v, _) if k.get(v).contains('s') => col(v)
     case SVar(v, true) =>
       val term = col(s"${v}_term")
       when(term("kind") === RdfTerm.IRI || term("kind") === RdfTerm.LITERAL,
@@ -397,18 +520,21 @@ object Sparql {
     case SDt(v) =>
       val term = col(s"${v}_term")
       when(term("kind") === RdfTerm.LITERAL, term("dt"))
-    case SConst(s) => lit(s)
+    case SConst(s)        => lit(s)
+    case SCase(a, true)   => upper(strValue(a, k))
+    case SCase(a, false)  => lower(strValue(a, k))
+    case SConcat(as)      => concat(as.map(strValue(_, k)): _*)
   }
 
-  private def compileF(e: FExpr): Column = e match {
+  private def compileF(e: FExpr, k: Map[String, Char]): Column = e match {
     case FBound(v)         => col(v).isNotNull
-    case FNot(x)           => !compileF(x)
-    case FAnd(a, b)        => compileF(a) && compileF(b)
-    case FOr(a, b)         => compileF(a) || compileF(b)
+    case FNot(x)           => !compileF(x, k)
+    case FAnd(a, b)        => compileF(a, k) && compileF(b, k)
+    case FOr(a, b)         => compileF(a, k) || compileF(b, k)
     case FCmp(l, "=", r)   => compileT(l) === compileT(r)
     case FCmp(l, _, r)     => compileT(l) =!= compileT(r)
     case FNumCmp(l, op, r) =>
-      val (a, b) = (numValue(l), numValue(r))
+      val (a, b) = (numValue(l, k), numValue(r, k))
       op match {
         case "="  => a === b
         case "!=" => a =!= b
@@ -418,14 +544,17 @@ object Sparql {
         case ">=" => a >= b
       }
     case FStrFn(func, a, n) =>
-      val (h, needle) = (strValue(a), strValue(n))
+      val (h, needle) = (strValue(a, k), strValue(n, k))
       func match {
         case "STRSTARTS" => h.startsWith(needle)
         case "STRENDS"   => h.endsWith(needle)
         case "CONTAINS"  => h.contains(needle)
       }
+    case FRegex(a, pattern, ci) =>
+      strValue(a, k).rlike(if (ci) "(?i)" + pattern else pattern)
     case FStrCmp(l, eq, r) =>
-      if (eq) strValue(l) === strValue(r) else strValue(l) =!= strValue(r)
+      if (eq) strValue(l, k) === strValue(r, k)
+      else strValue(l, k) =!= strValue(r, k)
     case FKindTest(func, v) =>
       val kind = col(s"${v}_term")("kind")
       func match {
@@ -435,11 +564,19 @@ object Sparql {
       }
   }
 
+  /** A BIND right-hand side's value column. */
+  private def compileB(b: BExpr, k: Map[String, Char]): Column = b match {
+    case BNum(e)  => numValue(e, k)
+    case BStr(t)  => strValue(t, k)
+    case BCopy(v) => col(v)
+  }
+
   // ---------- parser -------------------------------------------------------
 
   private final class Cursor(toks: Vector[Tok]) {
     private var i = 0
     def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    def peek2: Option[Tok] = if (i + 1 < toks.length) Some(toks(i + 1)) else None
     def next(): Tok = { val t = peekOrFail; i += 1; t }
     def peekOrFail: Tok = peek.getOrElse(fail("unexpected end of query"))
     def takeSym(s: String): Unit = next() match {
@@ -561,8 +698,9 @@ object Sparql {
   private final case class FONum(d: Double) extends FOperand
   private final case class FOStrFn(t: STerm) extends FOperand
 
-  /** `STR(?v)` / `LANG(?v)` / `DATATYPE(?v)` — the string-space
-    * projections usable as comparison sides and string-function args. */
+  /** `STR(?v)` / `LANG(?v)` / `DATATYPE(?v)` / `CONCAT(sarg, ...)` /
+    * `LCASE(sarg)` / `UCASE(sarg)` — the string-space expressions usable
+    * as comparison sides, string-function args and BIND bodies. */
   private def strFnOperand(c: Cursor): Option[STerm] = c.peekOrFail match {
     case TSym(s @ ("STR" | "LANG" | "DATATYPE")) =>
       c.next(); c.takeSym("(")
@@ -573,8 +711,76 @@ object Sparql {
         case "LANG"     => SLang(v)
         case "DATATYPE" => SDt(v)
       })
+    case TSym(s @ ("LCASE" | "UCASE")) =>
+      c.next(); c.takeSym("(")
+      val a = strArg(c)
+      c.takeSym(")")
+      Some(SCase(a, upper = s == "UCASE"))
+    case TSym("CONCAT") =>
+      c.next(); c.takeSym("(")
+      val args = Seq.newBuilder[STerm]
+      args += strArg(c)
+      while (c.atSym(",")) { c.takeSym(","); args += strArg(c) }
+      c.takeSym(")")
+      val as = args.result()
+      if (as.sizeIs < 2) fail("CONCAT takes at least two arguments")
+      Some(SConcat(as))
     case _ => None
   }
+
+  /** A string-space argument: a string expression, a bare variable
+    * (string-family literal read — or a string BIND column) or a plain
+    * string constant. */
+  private def strArg(c: Cursor): STerm = strFnOperand(c).getOrElse(c.next() match {
+    case TVar(n)             => SVar(n, viaStr = false)
+    case TLit(v, None, None) => SConst(v)
+    case TLit(_, _, _)       => fail("string functions take PLAIN string " +
+      "literals (no @lang / ^^dt) in this fragment")
+    case t => fail(s"expected ?var, STR/LANG/DATATYPE/CONCAT/LCASE/UCASE(...) " +
+      s"or a plain string literal, found $t")
+  })
+
+  /** Numeric value-space expression parsing — the usual two precedence
+    * levels (`* /` over `+ -`), parentheses, unary minus and STRLEN. */
+  private def natom(c: Cursor): NExpr = c.peekOrFail match {
+    case TSym("(") => c.takeSym("("); val e = nexpr(c); c.takeSym(")"); e
+    case TSym("-") => c.takeSym("-"); NArith(NNum(0), "-", natom(c))
+    case TSym("STRLEN") =>
+      c.next(); c.takeSym("(")
+      val a = strArg(c)
+      c.takeSym(")")
+      NStrLen(a)
+    case TNum(v) => c.next(); NNum(v.toDouble)
+    case TDbl(v) => c.next(); NNum(v)
+    case TVar(n) => c.next(); NVar(n)
+    case t => fail(s"expected a number, ?var, STRLEN(...), '(' or unary '-' " +
+      s"in a numeric expression, found $t")
+  }
+
+  private def isArithSym(c: Cursor): Boolean =
+    c.atSym("+") || c.atSym("-") || c.atSym("*") || c.atSym("/")
+
+  /** Continues a `* /` chain from an already-parsed atom. */
+  private def nmulFrom(c: Cursor, first: NExpr): NExpr = {
+    var l = first
+    while (c.atSym("*") || c.atSym("/")) {
+      val op = c.next() match { case TSym(s) => s; case t => fail(s"unexpected $t") }
+      l = NArith(l, op, natom(c))
+    }
+    l
+  }
+
+  /** Continues a full additive expression from an already-parsed atom. */
+  private def nexprFrom(c: Cursor, first: NExpr): NExpr = {
+    var l = nmulFrom(c, first)
+    while (c.atSym("+") || c.atSym("-")) {
+      val op = c.next() match { case TSym(s) => s; case t => fail(s"unexpected $t") }
+      l = NArith(l, op, nmulFrom(c, natom(c)))
+    }
+    l
+  }
+
+  private def nexpr(c: Cursor): NExpr = nexprFrom(c, natom(c))
 
   private def filterOperand(c: Cursor): FOperand =
     strFnOperand(c).map(FOStrFn).getOrElse(c.next() match {
@@ -588,16 +794,17 @@ object Sparql {
 
   // precedence: || < && < ! < atom
   private def filterExpr(c: Cursor): FExpr = {
-    // STRSTARTS/STRENDS/CONTAINS argument: a string-space projection, a
-    // bare variable (string-family literal read) or a plain string
-    def strArg(): STerm = strFnOperand(c).getOrElse(c.next() match {
-      case TVar(n)             => SVar(n, viaStr = false)
-      case TLit(v, None, None) => SConst(v)
-      case TLit(_, _, _)       => fail("string functions take PLAIN string " +
-        "literals (no @lang / ^^dt) in this fragment")
-      case t => fail(s"expected ?var, STR/LANG/DATATYPE(?var) or a plain " +
-        s"string literal, found $t")
-    })
+    def cmpOp(): String = c.next() match {
+      case TSym(s) if Set("=", "!=", "<", "<=", ">", ">=")(s) => s
+      case t => fail(s"expected a comparison (= != < <= > >=) in FILTER, found $t")
+    }
+    // an operand pulled into arithmetic must be a numeric leaf
+    def toN(o: FOperand): NExpr = o match {
+      case FOVar(n) => NVar(n)
+      case FONum(d) => NNum(d)
+      case _ => fail("arithmetic takes ?vars and numbers — use STRLEN(...) " +
+        "for string lengths; STR/LANG/DATATYPE values are strings")
+    }
     def atom(): FExpr = c.peekOrFail match {
       case TSym("(") => c.takeSym("("); val e = orExpr(); c.takeSym(")"); e
       case TSym("!") => c.takeSym("!"); FNot(atom())
@@ -611,30 +818,65 @@ object Sparql {
         FBound(v)
       case TSym(f @ ("STRSTARTS" | "STRENDS" | "CONTAINS")) =>
         c.next(); c.takeSym("(")
-        val a = strArg()
+        val a = strArg(c)
         c.takeSym(",")
-        val n = strArg()
+        val n = strArg(c)
         c.takeSym(")")
         FStrFn(f, a, n)
+      case TSym("REGEX") =>
+        c.next(); c.takeSym("(")
+        val a = strArg(c)
+        c.takeSym(",")
+        val pat = c.next() match {
+          case TLit(v, None, None) => v
+          case t => fail(s"REGEX takes a plain string literal pattern, found $t")
+        }
+        val ci = if (c.atSym(",")) {
+          c.takeSym(",")
+          c.next() match {
+            case TLit("i", None, None) => true
+            case TLit(f, _, _) => fail(s"unsupported REGEX flags '$f' — only " +
+              "\"i\" (case-insensitive) is in this fragment")
+            case t => fail(s"REGEX flags must be a plain string literal, found $t")
+          }
+        } else false
+        c.takeSym(")")
+        FRegex(a, pat, ci)
       case TSym(f @ ("ISIRI" | "ISLITERAL" | "ISBLANK")) =>
         c.next(); c.takeSym("(")
         val v = varName(c)
         c.takeSym(")")
         FKindTest(f, v)
+      // an unambiguous numeric-expression opener: the whole comparison
+      // lives in the numeric value space
+      case TSym("STRLEN") | TSym("-") =>
+        val l = nexpr(c)
+        FNumCmp(l, cmpOp(), nexpr(c))
       case _ =>
         val l = filterOperand(c)
-        val op = c.next() match {
-          case TSym(s) if Set("=", "!=", "<", "<=", ">", ">=")(s) => s
-          case t => fail(s"expected a comparison (= != < <= > >=) in FILTER, found $t")
-        }
+        if (isArithSym(c)) {
+          // left side continues arithmetically -> numeric value space
+          val lfull = nexprFrom(c, toN(l))
+          FNumCmp(lfull, cmpOp(), nexpr(c))
+        } else {
+        val op = cmpOp()
+        // a right side opening with '-', '(' or STRLEN is unambiguously
+        // a numeric expression (the left side already parsed as a term)
+        if (c.atSym("-") || c.atSym("(") || c.atSym("STRLEN"))
+          FNumCmp(toN(l), op, nexpr(c))
+        else {
         val r = filterOperand(c)
-        // space selection: a STR/LANG/DATATYPE side puts the comparison
-        // in the STRING value space (= / != only — string ordering is
-        // collation-dependent and out of fragment); an ordering operator
-        // or a bare-number side selects the NUMERIC value space; = / !=
-        // between vars/IRIs/literals stays node-id (in)equality
-        // (decidable without the nodes table)
-        if (l.isInstanceOf[FOStrFn] || r.isInstanceOf[FOStrFn]) {
+        if (isArithSym(c)) {
+          // right side continues arithmetically -> numeric value space
+          FNumCmp(toN(l), op, nexprFrom(c, toN(r)))
+        }
+        // space selection: a STR/LANG/DATATYPE/CONCAT/LCASE/UCASE side
+        // puts the comparison in the STRING value space (= / != only —
+        // string ordering is collation-dependent and out of fragment);
+        // an ordering operator or a bare-number side selects the NUMERIC
+        // value space; = / != between vars/IRIs/literals stays node-id
+        // (in)equality (decidable without the nodes table)
+        else if (l.isInstanceOf[FOStrFn] || r.isInstanceOf[FOStrFn]) {
           if (Set("<", "<=", ">", ">=")(op))
             fail("string value-space comparisons support = / != only — " +
               "string ordering is collation-dependent and out of this fragment")
@@ -651,9 +893,9 @@ object Sparql {
           FStrCmp(st(l), op == "=", st(r))
         } else if (Set("<", "<=", ">", ">=")(op) ||
             l.isInstanceOf[FONum] || r.isInstanceOf[FONum]) {
-          def nt(o: FOperand): NTerm = o match {
-            case FOVar(n) => NTVar(n)
-            case FONum(d) => NTNum(d)
+          def nt(o: FOperand): NExpr = o match {
+            case FOVar(n) => NVar(n)
+            case FONum(d) => NNum(d)
             case _ => fail("value-space comparisons take ?vars or " +
               "numbers — IRI/literal constants compare by node id with = / != only")
           }
@@ -667,6 +909,8 @@ object Sparql {
             case _ => fail("unreachable: numeric/string operand in id comparison")
           }
           FCmp(ft(l), op, ft(r))
+        }
+        }
         }
     }
     def andExpr(): FExpr = {
@@ -803,7 +1047,9 @@ object Sparql {
                                     filters: Seq[FExpr],
                                     values: Seq[(Seq[String], Seq[Seq[String]])],
                                     exists: Seq[Seq[TriplePattern]],
-                                    notExists: Seq[Seq[TriplePattern]])
+                                    notExists: Seq[Seq[TriplePattern]],
+                                    binds: Seq[(String, BExpr)],
+                                    subqueries: Seq[Query])
 
   /** Parses a group after its opening '{' (consumes the closing '}'). */
   private def parseGroupBody(c: Cursor): GroupAst = {
@@ -815,6 +1061,34 @@ object Sparql {
     val values = Seq.newBuilder[(Seq[String], Seq[Seq[String]])]
     val exists = Seq.newBuilder[Seq[TriplePattern]]
     val notExists = Seq.newBuilder[Seq[TriplePattern]]
+    val binds = Seq.newBuilder[(String, BExpr)]
+    val subqueries = Seq.newBuilder[Query]
+    // BIND ( bexpr AS ?var ) — the body's kind is decided by its first
+    // token: a string function opens the string space, STRLEN/number/
+    // paren/unary-minus the numeric space, a bare ?var (no arithmetic
+    // following) is an id-space copy, a plain "lit" a string constant
+    def bindClause(): Unit = {
+      c.takeSym("BIND"); c.takeSym("(")
+      val b: BExpr = strFnOperand(c) match {
+        case Some(st) => BStr(st)
+        case None => c.peekOrFail match {
+          case TVar(n) =>
+            c.next()
+            if (isArithSym(c)) BNum(nexprFrom(c, NVar(n))) else BCopy(n)
+          case TLit(v, None, None) => c.next(); BStr(SConst(v))
+          case TLit(_, _, _) =>
+            fail("BIND string constants must be plain (no @lang / ^^dt)")
+          case TNum(_) | TDbl(_) | TSym("(") | TSym("-") | TSym("STRLEN") =>
+            BNum(nexpr(c))
+          case t => fail(s"expected a numeric/string expression, ?var or " +
+            s"a plain string literal in BIND, found $t")
+        }
+      }
+      c.takeSym("AS")
+      val v = varName(c)
+      c.takeSym(")")
+      binds += ((v, b))
+    }
     // FILTER ( expr ) | FILTER EXISTS { .. } | FILTER NOT EXISTS { .. }
     def filterClause(): Unit = {
       c.takeSym("FILTER")
@@ -830,7 +1104,7 @@ object Sparql {
         c.takeSym(")")
       }
     }
-    if (c.atSym("{")) {
+    if (c.atSym("{") && !c.peek2.contains(TSym("SELECT"))) {
       // union group: { triples } UNION { triples } [UNION ...] [FILTER...]
       c.takeSym("{")
       unions += triplesBlock(c)
@@ -853,16 +1127,28 @@ object Sparql {
           minuses += triplesBlock(c)
         case TSym("FILTER") =>
           filterClause()
+        case TSym("BIND") =>
+          bindClause()
         case TSym("VALUES") =>
           c.takeSym("VALUES")
           values += valuesClause(c)
+        case TSym("{") =>
+          // nested group: a SPARQL 1.1 subquery — evaluated bottom-up,
+          // then joined into the group on its shared variables
+          c.takeSym("{")
+          if (!c.atSym("SELECT"))
+            fail("a nested { } group must be a subquery ({ SELECT ... }) " +
+              "in this fragment")
+          c.takeSym("SELECT")
+          subqueries += parseSelect(c, nested = true)
         case _ => required += triple(c)
       }
       c.takeSym("}")
     }
     GroupAst(required.result(), optionals.result(), minuses.result(),
       unions.result(), filters.result(), values.result(),
-      exists.result(), notExists.result())
+      exists.result(), notExists.result(), binds.result(),
+      subqueries.result())
   }
 
   def parse(q: String): Query = {
@@ -897,13 +1183,14 @@ object Sparql {
       } else {
         if (vs.nonEmpty)
           fail(s"DESCRIBE ?${vs.head} needs a WHERE group to bind the variable")
-        GroupAst(Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil)
+        GroupAst(Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil)
       }
     if (!c.done) fail(s"trailing tokens after the DESCRIBE query: ${c.peekOrFail}")
     val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
       g.unions, g.filters, values = g.values, form = "DESCRIBE",
       exists = g.exists, notExists = g.notExists,
-      describeVars = vs, describeIds = is)
+      describeVars = vs, describeIds = is, binds = g.binds,
+      subqueries = g.subqueries)
     validate(qy)
     qy
   }
@@ -916,7 +1203,8 @@ object Sparql {
     if (!c.done) fail(s"trailing tokens after the ASK group: ${c.peekOrFail}")
     val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
       g.unions, g.filters, values = g.values, form = "ASK",
-      exists = g.exists, notExists = g.notExists)
+      exists = g.exists, notExists = g.notExists, binds = g.binds,
+      subqueries = g.subqueries)
     validate(qy)
     qy
   }
@@ -933,12 +1221,15 @@ object Sparql {
     if (!c.done) fail(s"trailing tokens after the CONSTRUCT group: ${c.peekOrFail}")
     val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
       g.unions, g.filters, values = g.values, form = "CONSTRUCT",
-      template = template, exists = g.exists, notExists = g.notExists)
+      template = template, exists = g.exists, notExists = g.notExists,
+      binds = g.binds, subqueries = g.subqueries)
     validate(qy)
     qy
   }
 
-  private def parseSelect(c: Cursor): Query = {
+  /** SELECT body; `nested = true` parses a subquery, which ends at its
+    * closing '}' (consumed) instead of at end-of-input. */
+  private def parseSelect(c: Cursor, nested: Boolean = false): Query = {
     val distinct = c.atSym("DISTINCT")
     if (distinct) c.takeSym("DISTINCT")
     val projection = Seq.newBuilder[Proj]
@@ -1016,10 +1307,15 @@ object Sparql {
         offset = Some(n)
       }
     }
-    if (!c.done) fail(s"trailing tokens after the query: ${c.peekOrFail}")
+    if (nested) c.takeSym("}")
+    else if (!c.done) fail(s"trailing tokens after the query: ${c.peekOrFail}")
     val qy = Query(projection.result(), distinct, g.required, g.optionals,
       g.minuses, g.unions, g.filters, groupBy, having.result(), orderBy,
-      limit, offset, g.values, exists = g.exists, notExists = g.notExists)
+      limit, offset, g.values, exists = g.exists, notExists = g.notExists,
+      binds = g.binds, subqueries = g.subqueries)
+    if (nested && qy.projection.isEmpty)
+      fail("subqueries must project explicitly (?vars / aggregates) — " +
+        "SELECT * has no statically-known output to join on")
     validate(qy)
     qy
   }
@@ -1028,12 +1324,17 @@ object Sparql {
     * would otherwise run with silently-surprising semantics. */
   private def validate(qy: Query): Unit = {
     if (qy.unions.nonEmpty && (qy.required.nonEmpty || qy.optionals.nonEmpty ||
-        qy.minuses.nonEmpty || qy.values.nonEmpty))
+        qy.minuses.nonEmpty || qy.values.nonEmpty || qy.subqueries.nonEmpty))
       fail("a UNION group cannot be mixed with top-level triples/OPTIONAL/" +
-        "MINUS/VALUES in this fragment — nest the common pattern into every branch")
-    if (qy.unions.isEmpty && qy.required.isEmpty &&
+        "MINUS/VALUES/subqueries in this fragment — nest the common pattern " +
+        "into every branch")
+    if (qy.unions.isEmpty && qy.required.isEmpty && qy.subqueries.isEmpty &&
         !(qy.form == "DESCRIBE" && qy.describeVars.isEmpty))
-      fail("WHERE group has no required triple patterns")
+      fail("WHERE group has no required triple patterns or subqueries")
+    if (qy.required.isEmpty && qy.subqueries.nonEmpty &&
+        (qy.optionals.nonEmpty || qy.minuses.nonEmpty))
+      fail("OPTIONAL/MINUS need required triple patterns to anchor on — a " +
+        "subquery-only group supports FILTER/BIND/VALUES only")
     def varsOf(ps: Seq[TriplePattern]): Set[String] =
       ps.flatMap(p => Seq(p.subj, p.pred, p.obj).collect { case V(n) => n }).toSet
     // VALUES variables must be anchored in the REQUIRED pattern: a NULL
@@ -1046,9 +1347,146 @@ object Sparql {
         fail(s"VALUES variable(s) ${unanchored.mkString(", ")} must be bound " +
           "by the required pattern (not only by OPTIONAL) in this fragment")
     }
+    // ---- BIND checks: freshness, read availability and value-space
+    // kinds. Every rejection here is a query that would otherwise run
+    // with a silently-wrong space (e.g. a raw string compared to a
+    // hashed node id). Reads are tagged by HOW the variable is used:
+    // 'n' numeric value, 's' string value, 't' RDF-term structure,
+    // 'c' id-space comparison.
+    val kinds = qy.valueKinds
+    def readsN(e: NExpr): Seq[(String, Char)] = e match {
+      case NVar(n)         => Seq((n, 'n'))
+      case NNum(_)         => Nil
+      case NStrLen(a)      => readsS(a)
+      case NArith(l, _, r) => readsN(l) ++ readsN(r)
+    }
+    def readsS(t: STerm): Seq[(String, Char)] = t match {
+      case SVar(n, _)  => Seq((n, 's'))
+      case SLang(n)    => Seq((n, 't'))
+      case SDt(n)      => Seq((n, 't'))
+      case SConst(_)   => Nil
+      case SCase(a, _) => readsS(a)
+      case SConcat(as) => as.flatMap(readsS)
+    }
+    def readsF(e: FExpr): Seq[(String, Char)] = e match {
+      case FBound(_)        => Nil
+      case FNot(x)          => readsF(x)
+      case FAnd(a, b)       => readsF(a) ++ readsF(b)
+      case FOr(a, b)        => readsF(a) ++ readsF(b)
+      case FCmp(l, _, r)    => Seq(l, r).collect { case FTVar(n) => (n, 'c') }
+      case FNumCmp(l, _, r) => readsN(l) ++ readsN(r)
+      case FStrFn(_, a, b)  => readsS(a) ++ readsS(b)
+      case FRegex(a, _, _)  => readsS(a)
+      case FStrCmp(l, _, r) => readsS(l) ++ readsS(r)
+      case FKindTest(_, v)  => Seq((v, 't'))
+    }
+    def checkRead(v: String, how: Char, ctx: String): Unit =
+      kinds.get(v).foreach { k =>
+        how match {
+          case 't' => fail(s"$ctx: ?$v is a BIND value, not an RDF term — " +
+            "LANG/DATATYPE/ISIRI-family tests cannot apply to it")
+          case 'c' if k != 'c' => fail(s"$ctx: ?$v is a BIND value — compare " +
+            s"it in its value space (a numeric comparison, or STR(?$v) = " +
+            "\"...\" for strings), not by node id")
+          case 'n' if k != 'n' =>
+            fail(s"$ctx: ?$v is not a numeric BIND value")
+          case 's' if k != 's' =>
+            fail(s"$ctx: ?$v is not a string BIND value")
+          case _ => ()
+        }
+      }
+    val bindNames = qy.binds.map(_._1)
+    val dupBind = bindNames.diff(bindNames.distinct)
+    if (dupBind.nonEmpty)
+      fail(s"duplicate BIND variable(s): ${dupBind.distinct.mkString(", ")}")
+    val patternVarsAll = varsOf(qy.required) ++ qy.optionals.flatMap(varsOf) ++
+      qy.unions.flatMap(varsOf)
+    qy.binds.zipWithIndex.foreach { case ((name, b), i) =>
+      if (patternVarsAll.contains(name))
+        fail(s"BIND variable ?$name is already bound by the pattern group")
+      val earlier = bindNames.take(i).toSet
+      val reads = b match {
+        case BCopy(src) =>
+          if (!patternVarsAll.contains(src))
+            fail(s"BIND(?$src AS ?$name): a bare-?var BIND copies a PATTERN " +
+              s"binding — ?$src is not one (computed values need an expression)")
+          Nil
+        case BNum(e) => readsN(e)
+        case BStr(t) => readsS(t)
+      }
+      reads.foreach { case (v, how) =>
+        if (!patternVarsAll.contains(v) && !earlier.contains(v) &&
+            !qy.subqueryOutputs.contains(v))
+          fail(s"BIND ?$name reads ?$v, which is bound neither by the " +
+            "patterns, a subquery, nor an earlier BIND")
+        checkRead(v, how, s"BIND ?$name")
+      }
+    }
+    qy.filterAst.flatMap(readsF).foreach { case (v, how) =>
+      checkRead(v, how, "FILTER")
+    }
+    // ---- subquery checks: result-name hygiene and join anchoring.
+    // Every subquery-projected PLAIN variable must be bound by the
+    // subquery's own REQUIRED pattern and the join must share at least
+    // one such variable with the outer required pattern (or an earlier
+    // subquery) — anchored keys are never NULL, so the inner equi-join
+    // cannot silently diverge from SPARQL's unbound-is-compatible rule.
+    if (qy.subqueries.nonEmpty) {
+      val allOut = qy.subqueryOutputs
+      val dupOut = allOut.diff(allOut.distinct)
+      if (dupOut.nonEmpty)
+        fail(s"subqueries expose duplicate result name(s): " +
+          s"${dupOut.distinct.mkString(", ")}")
+      val bindClash = allOut.filter(bindNames.contains)
+      if (bindClash.nonEmpty)
+        fail(s"subquery result name(s) ${bindClash.mkString(", ")} collide " +
+          "with BIND variables")
+      qy.subqueries.zipWithIndex.foreach { case (sq, i) =>
+        // aggregate aliases are plain VALUES; an outer pattern variable
+        // of the same name would join an id column against them
+        val aliasClash = sq.projection.collect { case PAgg(_, a) => a }
+          .filter(patternVarsAll.contains)
+        if (aliasClash.nonEmpty)
+          fail(s"subquery aggregate alias(es) ${aliasClash.mkString(", ")} " +
+            "collide with outer pattern variables — rename the alias")
+        val subReq = varsOf(sq.required)
+        val unanchored = sq.select.filterNot(subReq.contains)
+        if (unanchored.nonEmpty)
+          fail(s"subquery-projected variable(s) ${unanchored.mkString(", ")} " +
+            "must be bound by the subquery's required pattern (not only " +
+            "OPTIONAL/UNION) in this fragment")
+        if (qy.required.nonEmpty || i > 0) {
+          val prior = qy.subqueries.take(i).flatMap(_.select).toSet
+          val shared = sq.select.filter(v => reqVars.contains(v) || prior.contains(v))
+          if (shared.isEmpty)
+            fail(s"subquery ${i + 1} shares no plain variable with the " +
+              "group's required pattern — an unjoined subquery would be a " +
+              "cross product")
+        }
+      }
+    }
+    // the EXISTS/NOT EXISTS probes join BEFORE binds compute — a probe
+    // naming a bind variable (or a subquery VALUE alias) would silently
+    // not join / join nonsense
+    val probeVars = (qy.exists ++ qy.notExists).flatMap(varsOf).toSet
+    val valueAliases = qy.subqueryOutputs.filter(v =>
+      kinds.get(v).exists(k => k == 'n' || k == 's'))
+    val probeClash = (bindNames ++ valueAliases).filter(probeVars.contains)
+    if (probeClash.nonEmpty)
+      fail(s"FILTER EXISTS patterns cannot reference computed variable(s) " +
+        s"${probeClash.mkString(", ")} — the probes join on node-id columns")
+    qy.projection.foreach {
+      case PAgg(AggCall(f @ ("SUM" | "AVG"), _, Some(v), _), _) if kinds.contains(v) =>
+        fail(s"$f(?$v) aggregates the numeric VALUE space of RDF terms — " +
+          "aggregate the base variable instead of the computed value")
+      case PAgg(AggCall("GROUP_CONCAT", _, Some(v), _), _) if kinds.get(v).contains('n') =>
+        fail(s"GROUP_CONCAT(?$v) over a numeric computed value is not " +
+          "supported — concatenation needs strings")
+      case _ => ()
+    }
     if (qy.form == "DESCRIBE") {
       val groupVars = varsOf(qy.required) ++ qy.optionals.flatMap(varsOf) ++
-        qy.unions.flatMap(varsOf)
+        qy.unions.flatMap(varsOf) ++ qy.subqueries.flatMap(_.select)
       val unbound = qy.describeVars.filterNot(groupVars.contains)
       if (unbound.nonEmpty)
         fail(s"DESCRIBE variable(s) ${unbound.mkString(", ")} are not bound " +
@@ -1061,7 +1499,7 @@ object Sparql {
           s"template (it names OUTPUT edges, not matches): $other")
       })
       val groupVars = varsOf(qy.required) ++ qy.optionals.flatMap(varsOf) ++
-        qy.unions.flatMap(varsOf)
+        qy.unions.flatMap(varsOf) ++ qy.subqueries.flatMap(_.select)
       val unbound = varsOf(qy.template) -- groupVars
       if (unbound.nonEmpty)
         fail(s"CONSTRUCT template variable(s) ${unbound.mkString(", ")} are " +
@@ -1087,7 +1525,7 @@ object Sparql {
     val outNames: Set[String] =
       if (qy.projection.isEmpty)
         varsOf(qy.required) ++ qy.optionals.flatMap(varsOf) ++
-          qy.unions.flatMap(varsOf)
+          qy.unions.flatMap(varsOf) ++ bindNames ++ qy.subqueryOutputs
       else qy.select.toSet ++ aliases
     qy.orderBy.foreach { case (v, _) =>
       if (!outNames.contains(v))
@@ -1285,28 +1723,56 @@ object Sparql {
     runWith(edges, Some(nodes), queryString)
 
   private def runWith(edges: DataFrame, nodes: Option[DataFrame],
-                      queryString: String): DataFrame = {
-    val q = parse(queryString)
-    if (q.form == "DESCRIBE" && q.required.isEmpty && q.unions.isEmpty)
+                      queryString: String): DataFrame =
+    runParsed(edges, nodes, parse(queryString))
+
+  private def runParsed(edges: DataFrame, nodes: Option[DataFrame],
+                        q: Query): DataFrame = {
+    if (q.form == "DESCRIBE" && q.required.isEmpty && q.unions.isEmpty &&
+        q.subqueries.isEmpty)
       return describeEdges(edges, None, q) // constant-only DESCRIBE
+    // subqueries evaluate bottom-up (recursively through this same
+    // pipeline), then inner-join the group on their shared plain
+    // variables — validated non-NULL anchors, so bag semantics match
+    // SPARQL's join of solution mappings
+    val subDfs = q.subqueries.map(sq => runParsed(edges, nodes, sq))
+    def joinSubs(base: DataFrame, subs: Seq[DataFrame]): DataFrame =
+      subs.foldLeft(base) { (df, sdf) =>
+        val shared = sdf.columns.filter(df.columns.contains).toSeq
+        df.join(sdf, shared, "inner")
+      }
     val grouped =
       if (q.unions.nonEmpty) Bgp.matchUnion(edges, q.unions)
-      else Bgp.applyMinus(edges,
-        Bgp.matchWithOptional(edges, q.required, q.optionals), q.minuses)
+      else if (q.required.isEmpty && q.subqueries.nonEmpty)
+        joinSubs(subDfs.head, subDfs.tail) // subquery-only group
+      else joinSubs(Bgp.applyMinus(edges,
+        Bgp.matchWithOptional(edges, q.required, q.optionals), q.minuses),
+        subDfs)
     val probed = Bgp.applyExists(edges,
       Bgp.applyExists(edges, grouped, q.exists), q.notExists, negate = true)
-    val filterVars = q.filterTermVars
+    val kinds = q.valueKinds
+    // BIND columns are plain values — only PATTERN variables read in a
+    // value space need the nodes-table term join
+    val filterVars = q.filterTermVars.filterNot(kinds.contains)
+    val bindInVars = q.bindTermVars.filterNot(kinds.contains)
     val aggVars = q.numericAggVars
-    val termVars = (filterVars ++ aggVars).distinct
+    val termVars = (filterVars ++ bindInVars ++ aggVars).distinct
     val bound =
       if (termVars.isEmpty) probed
       else Bgp.bindValues(probed, nodes.getOrElse(fail(
-        "value-space FILTERs and SUM/AVG read the value space — pass the " +
-          "nodes table: Sparql.run(edges, nodes, query)")), termVars)
-    val filtered = q.filters.foldLeft(bound)(_ filter _)
-    // filter-only term structs are spent; SUM/AVG structs must survive
-    // until the aggregation step reads them
-    val matched0 = filterVars.filterNot(aggVars.contains)
+        "value-space FILTERs, BIND expressions and SUM/AVG read the value " +
+          "space — pass the nodes table: Sparql.run(edges, nodes, query)")),
+        termVars)
+    // BINDs compute after the value joins and before the FILTERs (FILTER
+    // is group-scoped in SPARQL — its position inside the group is
+    // irrelevant), in declaration order so later binds read earlier ones
+    val withBinds = q.binds.foldLeft(bound) { case (df, (n, b)) =>
+      df.withColumn(n, compileB(b, kinds))
+    }
+    val filtered = q.filters.foldLeft(withBinds)(_ filter _)
+    // filter- and bind-input term structs are spent; SUM/AVG structs
+    // must survive until the aggregation step reads them
+    val matched0 = (filterVars ++ bindInVars).distinct.filterNot(aggVars.contains)
       .foldLeft(filtered)((df, v) => df.drop(s"${v}_term"))
     val matched = q.values.foldLeft(matched0) { case (df, (vs, rows)) =>
       Bgp.applyValues(df, vs, rows)

@@ -281,7 +281,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // edges semi-join (the graph-set distinct reuses the semi-join's
       // partitioning)
       "kg_sparql_strfilter" -> 1, "kg_sparql_sum_avg" -> 2,
-      "kg_sparql_describe" -> 2)
+      "kg_sparql_describe" -> 2,
+      // BIND is a pure projection: each query pays ONLY its variables'
+      // term joins (?p+?c / ?c / ?c / ?s+?l) plus, for bind_group, the
+      // one hash-agg group-by shuffle — the computed columns themselves
+      // never shuffle
+      "kg_sparql_bind" -> 2, "kg_sparql_bind_str" -> 1,
+      "kg_sparql_bind_group" -> 2, "kg_sparql_regex" -> 2,
+      // subquery: the inner hash-agg group-by shuffle + the
+      // aggregate-then-join back onto the docs (SMJ, both sides
+      // exchange with AQE off; the dimension-sized agg side broadcasts
+      // under AQE)
+      "kg_sparql_subquery" -> 3)
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.session.timeZone", "UTC")

@@ -291,6 +291,90 @@ class GraphQueryDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("BIND expressions equal brute force on random typed graphs") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val RLS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    final case class L(value: String, lang: Option[String], dt: String)
+    val rnd = new Random(97)
+    for (trial <- 1 to 3) {
+      val subjects = (0 until 8).map(i => s"urn:s:$i")
+      val lits = subjects.flatMap { s =>
+        (0 until 1 + rnd.nextInt(4)).map { _ =>
+          val l = rnd.nextInt(3) match {
+            case 0 => L((rnd.nextInt(200) - 100).toString, None, XSD + "long")
+            case 1 => L(s"${rnd.nextInt(50)}.${1 + rnd.nextInt(9)}", None, XSD + "double")
+            case _ => L("w" + rnd.nextInt(5) + (if (rnd.nextBoolean()) "x" else ""),
+              Some(Seq("en", "de")(rnd.nextInt(2))), RLS)
+          }
+          (s, l)
+        }
+      }.distinct
+      val subjId = subjects.map(s => s -> Bgp.iriId(s)).toMap
+      def objId(l: L): String =
+        Bgp.litId(l.value, if (l.lang.isDefined) XSD + "string" else l.dt, l.lang)
+      val edges = lits.map { case (s, l) => (subjId(s), "p", objId(l)) }
+        .toDF("subj_id", "pred", "obj_id")
+      val nodes = (lits.map { case (_, l) =>
+        (objId(l), RdfTerm.LITERAL, l.value, l.lang.orNull, l.dt)
+      } ++ subjects.map(s => (subjId(s), RdfTerm.IRI, s, null, null)))
+        .distinct.toDF("id", "kind", "value", "lang", "dt")
+      def numOf(l: L): Option[Double] =
+        if (l.dt == XSD + "long" || l.dt == XSD + "double") Some(l.value.toDouble)
+        else None
+      // numeric BIND: full precedence, unary minus, a chained second
+      // bind reading the first — brute force mirrors the EXACT IEEE
+      // evaluation order the parse tree fixes
+      val got = Sparql.run(edges, nodes,
+        """SELECT ?s ?e WHERE { ?s <p> ?v
+          |  BIND(?v * 2 + 1 - ?v / 4 AS ?half)
+          |  BIND(-?half / 2 AS ?e)
+          |  FILTER(?e < 0) }""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+      val brute = lits.flatMap { case (s, l) =>
+        numOf(l).map { v =>
+          val half = v * 2 + 1 - v / 4
+          (subjId(s), (0 - half) / 2)
+        }
+      }.filter(_._2 < 0).sorted
+      assert(got === brute, s"trial $trial numeric bind")
+      // string BIND: non-string values make the bind unbound and drop
+      val gotS = Sparql.run(edges, nodes,
+        """SELECT ?s ?t WHERE { ?s <p> ?v
+          |  BIND(CONCAT(UCASE(?v), "@", LANG(?v)) AS ?t)
+          |  FILTER(STRLEN(?t) >= 5 && REGEX(?t, "@(en|de)$")) }""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val bruteS = lits.collect { case (s, l) if l.lang.isDefined =>
+        (subjId(s), l.value.toUpperCase + "@" + l.lang.get)
+      }.filter(_._2.length >= 5).sorted
+      assert(gotS === bruteS, s"trial $trial string bind")
+    }
+  }
+
+  test("subquery aggregate-then-join equals brute force on random graphs") {
+    val rnd = new Random(131)
+    for (trial <- 1 to 5) {
+      val nodes = (0 until 10).map(i => s"n$i")
+      val es = Seq.fill(50)((nodes(rnd.nextInt(10)), Seq("p", "q")(rnd.nextInt(2)),
+        nodes(rnd.nextInt(10)))).distinct
+      val df = es.toDF("subj_id", "pred", "obj_id")
+      val k = 1 + rnd.nextInt(3)
+      val got = Sparql.run(df,
+        s"""SELECT ?a ?b ?n WHERE {
+           |  ?a <p> ?b .
+           |  { SELECT ?b (COUNT(*) AS ?n) WHERE { ?b <q> ?c } GROUP BY ?b }
+           |  FILTER(?n >= $k)
+           |}""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+      val counts = es.filter(_._2 == "q").groupBy(_._1).map { case (s, xs) => (s, xs.size.toLong) }
+      val brute = (for {
+        (a, p, b) <- es if p == "p"
+        n <- counts.get(b) if n >= k
+      } yield (a, b, n)).sorted
+      assert(got === brute, s"trial $trial")
+    }
+  }
+
   test("entity resolution never false-merges and recovers single-end-edit variants") {
     val rnd = new Random(99)
     // far-apart random base labels (hex-ish), each with a tail-edit variant

@@ -550,6 +550,220 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("WHERE group"))
   }
 
+  test("BIND arithmetic: precedence, unary minus, chaining and FILTER reads") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val p10 = Bgp.litId("10", XSD + "long")
+    val p200 = Bgp.litId("200", XSD + "long")
+    val p2_5 = Bgp.litId("2.5", XSD + "double")
+    val e = edges((d1, "urn:price", p10), (d2, "urn:price", p200),
+      (d3, "urn:price", p2_5))
+    val nodes = Seq(
+      (p10, RdfTerm.LITERAL, "10", null, XSD + "long"),
+      (p200, RdfTerm.LITERAL, "200", null, XSD + "long"),
+      (p2_5, RdfTerm.LITERAL, "2.5", null, XSD + "double"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val out = Sparql.run(e, nodes,
+      """SELECT ?d ?t WHERE {
+        |  ?d <urn:price> ?p .
+        |  BIND(?p + ?p * 2 AS ?t)
+        |  BIND(-?t / 3 AS ?neg)
+        |  FILTER(?neg < -5 && ?t > 20)
+        |}""".stripMargin)
+    // t = p + 2p = 3p; neg = -p; survivors: p=10 (t=30, neg=-10) and
+    // p=200; p=2.5 fails neg<-5? neg=-2.5 -> dropped
+    val got = out.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got === Map(d1 -> 30.0, d2 -> 600.0))
+    // arithmetic on the right side of a comparison, paren precedence
+    assert(Sparql.run(e, nodes,
+      "SELECT ?d WHERE { ?d <urn:price> ?p FILTER(?p > (1 + 1) * 4.9) }")
+      .collect().map(_.getString(0)).toSet === Set(d1, d2))
+    // division by zero is NULL -> excluded (error-means-exclude;
+    // deliberately not IEEE INF — deterministic cross-engine), and a
+    // bind built on it is unbound
+    assert(Sparql.run(e, nodes,
+      "SELECT ?d WHERE { ?d <urn:price> ?p FILTER(?p / 0 > 1000000) }")
+      .count() === 0)
+    assert(Sparql.run(e, nodes,
+      """SELECT ?d WHERE { ?d <urn:price> ?p
+        |  BIND(?p / 0 AS ?inf) FILTER(!BOUND(?inf)) }""".stripMargin)
+      .count() === 3)
+  }
+
+  test("BIND string expressions, STRLEN, REGEX and copy binds") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val RLS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    val chatEn = Bgp.litId("Chat Room", lang = Some("en"))
+    val chatFr = Bgp.litId("chat", lang = Some("fr"))
+    val e = edges((d1, "urn:cap", chatEn), (d2, "urn:cap", chatFr))
+    val nodes = Seq(
+      (chatEn, RdfTerm.LITERAL, "Chat Room", "en", RLS),
+      (chatFr, RdfTerm.LITERAL, "chat", "fr", RLS),
+      (web, RdfTerm.LITERAL, "web", null, XSD + "string"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val out = Sparql.run(e, nodes,
+      """SELECT ?d ?tag WHERE {
+        |  ?d <urn:cap> ?c .
+        |  BIND(CONCAT(UCASE(LANG(?c)), "-", LCASE(?c)) AS ?tag)
+        |  FILTER(STRLEN(?tag) > 7 && STRSTARTS(?tag, "EN"))
+        |}""".stripMargin)
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq((d1, "EN-chat room")))
+    // REGEX: partial match, case-insensitive flag, over a bind column
+    def ids(q: String): Set[String] =
+      Sparql.run(e, nodes, q).collect().map(_.getString(0)).toSet
+    assert(ids("SELECT ?d WHERE { ?d <urn:cap> ?c FILTER(REGEX(?c, \"^cha\")) }")
+      === Set(d2))
+    assert(ids("SELECT ?d WHERE { ?d <urn:cap> ?c FILTER(REGEX(?c, \"^CHA\", \"i\")) }")
+      === Set(d1, d2))
+    assert(ids(
+      """SELECT ?d WHERE { ?d <urn:cap> ?c
+        |  BIND(UCASE(?c) AS ?u) FILTER(REGEX(?u, "ROOM$")) }""".stripMargin)
+      === Set(d1))
+    // copy bind: id-space, comparable to constants, projectable
+    val copied = Sparql.run(e,
+      """SELECT ?alias WHERE { ?d <urn:cap> ?c
+        |  BIND(?d AS ?alias) FILTER(?alias = <urn:doc:1>) }""".stripMargin)
+    assert(copied.collect().map(_.getString(0)).toSeq === Seq(d1))
+    // a bind over an unmatched OPTIONAL variable is unbound (NULL
+    // propagates through CONCAT), and BOUND sees it
+    val opt = Sparql.run(
+      edges((d1, "urn:cap", chatEn), (d1, "urn:src", web), (d2, "urn:cap", chatFr)),
+      nodes,
+      """SELECT ?d ?k WHERE {
+        |  ?d <urn:cap> ?c .
+        |  OPTIONAL { ?d <urn:src> ?s }
+        |  BIND(CONCAT("k-", STR(?s)) AS ?k)
+        |  FILTER(!BOUND(?k))
+        |}""".stripMargin)
+    assert(opt.collect().map(r => (r.getString(0), r.isNullAt(1))).toSeq
+      === Seq((d2, true)))
+  }
+
+  test("BIND as a GROUP BY key and aggregate input") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val RLS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    val a = Bgp.litId("ab", lang = Some("en"))
+    val b = Bgp.litId("cd", lang = Some("EN"))
+    val f = Bgp.litId("ef", lang = Some("fr"))
+    val e = edges((d1, "urn:cap", a), (d2, "urn:cap", b), (d3, "urn:cap", f))
+    val nodes = Seq(
+      (a, RdfTerm.LITERAL, "ab", "en", RLS),
+      (b, RdfTerm.LITERAL, "cd", "EN", RLS),
+      (f, RdfTerm.LITERAL, "ef", "fr", RLS))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val out = Sparql.run(e, nodes,
+      """SELECT ?u (COUNT(*) AS ?n) (MAX(?d) AS ?mx) WHERE {
+        |  ?d <urn:cap> ?c . BIND(UCASE(LANG(?c)) AS ?u)
+        |} GROUP BY ?u""".stripMargin)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("EN" -> 2L, "FR" -> 1L))
+  }
+
+  test("BIND misuse fails loudly at parse") {
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"'${ex.getMessage}' !~ '$needle'")
+    }
+    bad("SELECT ?x WHERE { ?d <urn:p> ?x BIND(1 + 1 AS ?x) }",
+      "already bound")
+    bad("SELECT ?x WHERE { ?d <urn:p> ?o BIND(1 AS ?x) BIND(2 AS ?x) }",
+      "duplicate BIND")
+    bad("SELECT ?x WHERE { ?d <urn:p> ?o BIND(?later + 1 AS ?x) BIND(2 AS ?later) }",
+      "bound neither")
+    bad("SELECT ?s WHERE { ?d <urn:p> ?o BIND(?o AS ?c) BIND(?c AS ?s) }",
+      "copies a PATTERN binding")
+    bad("SELECT (SUM(?t) AS ?s) WHERE { ?d <urn:p> ?o BIND(?o + 1 AS ?t) }",
+      "aggregate the base variable")
+    bad("SELECT ?d WHERE { ?d <urn:p> ?o BIND(?o + 1 AS ?t) FILTER(LANG(?t) = \"en\") }",
+      "not an RDF term")
+    bad("SELECT ?d WHERE { ?d <urn:p> ?o BIND(UCASE(?o) AS ?u) FILTER(?u = \"X\") }",
+      "value space")
+    bad("SELECT ?d WHERE { ?d <urn:p> ?o BIND(UCASE(?o) AS ?u) FILTER(?u > 3) }",
+      "not a numeric BIND value")
+    bad("SELECT ?d WHERE { ?d <urn:p> ?o BIND(?o + 1 AS ?t) FILTER(CONTAINS(?t, \"x\")) }",
+      "not a string BIND value")
+    bad("SELECT ?d WHERE { ?d <urn:p> ?o BIND(?o + 1 AS ?t) FILTER EXISTS { ?d <urn:q> ?t } }",
+      "probes join on node-id columns")
+    bad("SELECT ?d WHERE { ?d <urn:p> ?o FILTER(REGEX(?o, \"x\", \"g\")) }",
+      "unsupported REGEX flags")
+    bad("SELECT ?d WHERE { ?d <urn:p> ?o FILTER(STR(?o) + 1 > 2) }",
+      "arithmetic takes")
+    bad("SELECT ?d WHERE { ?d <urn:p> ?o BIND(CONCAT(?o) AS ?x) }",
+      "at least two")
+  }
+
+  test("subqueries: aggregate-then-join, value aliases, composition") {
+    // en appears twice, fr once
+    val q = Sparql.run(corpus,
+      """SELECT ?d ?l ?n WHERE {
+        |  ?d <urn:lang> ?l .
+        |  { SELECT ?l (COUNT(*) AS ?n) WHERE { ?x <urn:lang> ?l } GROUP BY ?l }
+        |  FILTER(?n >= 2)
+        |}""".stripMargin)
+    val got = q.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got === Seq((d1, en, 2L), (d3, en, 2L)).sorted)
+    // subquery-only group (no outer triples): the subquery IS the group
+    val only = Sparql.run(corpus,
+      """SELECT ?l ?n WHERE {
+        |  { SELECT ?l (COUNT(*) AS ?n) WHERE { ?x <urn:lang> ?l } GROUP BY ?l }
+        |  FILTER(?n = 1)
+        |}""".stripMargin)
+    assert(only.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq((fr, 1L)))
+    // a BIND reading the subquery's count alias, and ORDER BY over it
+    val bound = Sparql.run(corpus,
+      """SELECT ?l ?x WHERE {
+        |  ?d <urn:lang> ?l .
+        |  { SELECT ?l (COUNT(*) AS ?n) WHERE { ?x <urn:lang> ?l } GROUP BY ?l }
+        |  BIND(?n * 10 AS ?x)
+        |} ORDER BY DESC(?x) LIMIT 1""".stripMargin)
+    assert(bound.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      === Seq((en, 20.0)))
+    // MIN alias is an id pick — id-space comparable
+    val minPick = Sparql.run(corpus,
+      """SELECT ?d ?mx WHERE {
+        |  ?d <urn:lang> ?l .
+        |  { SELECT ?d (MIN(?s) AS ?mx) WHERE { ?d <urn:src> ?s } GROUP BY ?d }
+        |  FILTER(?mx = "web")
+        |}""".stripMargin)
+    assert(minPick.collect().map(_.getString(0)).toSeq === Seq(d1))
+    // nested: a subquery inside a subquery
+    val nested = Sparql.run(corpus,
+      """SELECT ?l ?n WHERE {
+        |  ?d <urn:lang> ?l .
+        |  { SELECT ?l (COUNT(*) AS ?n) WHERE {
+        |      ?x <urn:lang> ?l .
+        |      { SELECT ?x WHERE { ?x <urn:src> ?s } }
+        |    } GROUP BY ?l }
+        |}""".stripMargin)
+    // docs with BOTH lang and src: d1 (en), d2 (fr) -> counts 1 and 1;
+    // the outer join is a BAG — en appears once per en-doc (d1, d3)
+    assert(nested.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      === Seq((en, 1L), (en, 1L), (fr, 1L)).sorted)
+  }
+
+  test("subquery misuse fails loudly at parse") {
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"'${ex.getMessage}' !~ '$needle'")
+    }
+    bad("SELECT ?d WHERE { ?d <urn:lang> ?l { SELECT * WHERE { ?x <urn:src> ?s } } }",
+      "project explicitly")
+    bad("SELECT ?d WHERE { ?d <urn:lang> ?l { SELECT ?a WHERE { ?a <urn:other> ?b } } }",
+      "shares no plain variable")
+    bad("SELECT ?d WHERE { ?d <urn:lang> ?l { SELECT ?l ?s WHERE { ?x <urn:lang> ?l OPTIONAL { ?x <urn:src> ?s } } } }",
+      "must be bound by the subquery's required pattern")
+    bad("SELECT ?d WHERE { ?d <urn:lang> ?l { SELECT ?x (COUNT(*) AS ?l) WHERE { ?x <urn:lang> ?y } GROUP BY ?x } }",
+      "rename the alias")
+    bad("""SELECT ?d WHERE { ?d <urn:lang> ?l
+        |  { SELECT ?l (COUNT(*) AS ?n) WHERE { ?x <urn:lang> ?l } GROUP BY ?l }
+        |  FILTER EXISTS { ?d <urn:q> ?n } }""".stripMargin,
+      "computed variable")
+    bad("""SELECT (SUM(?n) AS ?t) WHERE { ?d <urn:lang> ?l
+        |  { SELECT ?l (COUNT(*) AS ?n) WHERE { ?x <urn:lang> ?l } GROUP BY ?l } }""".stripMargin,
+      "aggregate the base variable")
+  }
+
   test("malformed queries fail loudly, not wrongly") {
     def bad(q: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](Sparql.parse(q))

@@ -230,7 +230,8 @@ object Bench {
     * informational (not part of the pinned headline set, which stays
     * fixed for cross-round comparability). */
   private val queryOpNames = Seq("kg_bgp_match", "kg_entity_resolution",
-    "kg_rdfs_closure", "kg_property_table", "td_bm25")
+    "kg_rdfs_closure", "kg_property_table", "td_bm25",
+    "kg_sparql_subquery", "kg_sparql_bind")
   private var queryOps: Option[Seq[(String, Double)]] = None
 
   private def timeQueryOps(s: SparkSession, sfDir: String): Seq[(String, Double)] =
@@ -594,7 +595,7 @@ object Bench {
       val fields = ops.map { case (n, sec) => s""""$n":${"%.3f".format(sec)}""" }.mkString(",")
       s""","kg_query_ops":{$fields""" +
         (if (!verbose) "}" else
-          s""","note":"KG query layer (BGP match, entity resolution, RDFS closure, property pivot, BM25), noop-sink best-of-2 on the warm session; informational, not in the pinned headline set"}""")
+          s""","note":"KG query layer (BGP match, entity resolution, RDFS closure, property pivot, BM25, SPARQL subquery aggregate-then-join, SPARQL BIND over the value space), noop-sink best-of-2 on the warm session; informational, not in the pinned headline set"}""")
     }.getOrElse("")
 
     def render(verbose: Boolean): String =

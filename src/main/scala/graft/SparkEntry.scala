@@ -1569,6 +1569,36 @@ object SparkEntry {
           |} GROUP BY ?u""".stripMargin)
     }),
 
+    // SPARQL PREFIX: prefixed names expand to full IRIs BEFORE the body
+    // parser and the node-id hashing run, so a prefixed constant matches
+    // the same materialized edge the full-IRI spelling does
+    "kg_sparql_prefix" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Sparql.run(e,
+        """PREFIX col: <urn:col:documents:>
+          |SELECT ?d ?s WHERE { ?d col:lang "en" . ?d col:source ?s }""".stripMargin)
+    }),
+
+    // SPARQL HAVING over SUM: the group filter reads the numeric value
+    // space exactly like projected SUM/AVG (exact decimal accumulation,
+    // one final cast to double under the same strict-error guard) —
+    // the aggregate is computed in the SAME hash-agg pass under an
+    // internal alias and dropped after the filter
+    "kg_sparql_having" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_custkey", col("o_custkey"), s"${XSD}long"),
+        ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
+      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
+      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+        """SELECT ?c (COUNT(*) AS ?n) WHERE {
+          |  ?o <urn:col:orders:o_custkey> ?c .
+          |  ?o <urn:col:orders:o_totalprice> ?p .
+          |} GROUP BY ?c HAVING(SUM(?p) > 400000.5)""".stripMargin)
+    }),
+
     // SPARQL subquery: the classic aggregate-then-join — per-lang doc
     // counts computed bottom-up (ONE hash-agg shuffle), inner-joined
     // back onto the docs on the anchored ?l, the COUNT alias read
@@ -2868,6 +2898,26 @@ object SparkEntry {
       """SELECT upper(lang) AS u, CAST(COUNT(*) AS BIGINT) AS n,
         |       min(sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>')) AS mn
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // PREFIX mirror: expansion is pure syntax — the mirror is the plain
+    // en-docs selection
+    "kg_sparql_prefix" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       sha256('"' || source || '"^^<$XSD_STR>') AS s
+         |FROM documents WHERE lang = 'en'""".stripMargin,
+
+    // HAVING-SUM mirror: the same exact-accumulation route as
+    // kg_sparql_sum_avg — decimal(28,10) from the lexical double, one
+    // final cast to double, compared in the HAVING clause
+    "kg_sparql_having" ->
+      """WITH v AS (SELECT o_orderkey, o_custkey,
+        |                  CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)) AS p
+        |           FROM orders)
+        |SELECT sha256('"' || CAST(o_custkey AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#long>') AS c,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM v GROUP BY o_custkey
+        |HAVING CAST(SUM(p) AS DOUBLE) > 400000.5""".stripMargin,
 
     // subquery mirror: the aggregate-then-join reduces to a grouped CTE
     // joined back on the lang column

@@ -17,9 +17,11 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  * layer implements — a parse error beats silently wrong semantics):
  *
  * {{{
- *   query   := select | ASK WHERE? { group }
+ *   query   := (PREFIX ns: <iri>)*                 (later decl wins)
+ *              ( select | ASK WHERE? { group }
  *            | CONSTRUCT { triple+ } WHERE { group }
- *            | DESCRIBE (?var | <iri>)+ (WHERE? { group })?
+ *            | DESCRIBE (?var | <iri>)+ (WHERE? { group })? )
+ *              — ns:local / :local expand to full IRIs pre-parse
  *   select  := SELECT DISTINCT? (proj+ | *) WHERE { group } modifiers
  *   proj    := ?var | ( agg ( DISTINCT? (?var | *) sepOpt ) AS ?alias )
  *   agg     := COUNT | SUM | AVG | MIN | MAX | SAMPLE | GROUP_CONCAT
@@ -69,8 +71,10 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *              SPACE forms, needing the nodes table like nexpr; a bare
  *              ?var arg reads string-family literals only (SPARQL type
  *              error = excluded), STR() also stringifies IRIs
- *   hexpr   := COUNT(...) (= | != | < | <= | > | >=) int
+ *   hexpr   := (COUNT | SUM | AVG)(...) (= | != | < | <= | > | >=) number
  *            | !hexpr | hexpr && hexpr | hexpr || hexpr | ( hexpr )
+ *              (SUM/AVG in HAVING read the numeric value space like
+ *               their projected forms — nodes-table overload required)
  * }}}
  *
  * Aggregation is SPARQL 1.1 GROUP BY semantics over the hashed-id
@@ -160,8 +164,12 @@ object Sparql {
     * OFFSET VALUES UNDEF and the aggregate names) or the bare rdf:type
     * shorthand "a". */
   private final case class TSym(s: String) extends Tok
+  /** A prefixed name `ns:local` (or `ns:` in a PREFIX declaration, or
+    * `:local` on the default prefix) — expanded to a [[TIri]] before
+    * the body parser runs. */
+  private final case class TPname(prefix: String, local: String) extends Tok
 
-  private val Keywords = Set(
+  private val Keywords = Set("PREFIX",
     "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "DISTINCT", "WHERE",
     "OPTIONAL", "MINUS", "FILTER", "UNION", "BOUND", "AS", "GROUP", "BY",
     "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET", "VALUES", "UNDEF",
@@ -260,14 +268,26 @@ object Sparql {
           out += TLit(sb.toString, None, Some(q.substring(s, i)))
           i += 1
         } else out += TLit(sb.toString, None, None)
-      } else if (c.isLetter) {
+      } else if (c.isLetter || c == ':') {
         val s = i
         while (i < n && (q.charAt(i).isLetter || q.charAt(i) == '_')) i += 1
         val w = q.substring(s, i)
-        val up = w.toUpperCase
-        if (Keywords(up)) out += TSym(up)
-        else if (w == "a") out += TSym("a")
-        else fail(s"unexpected word '$w' (prefixed names are not supported — use full <iri>s)")
+        if (i < n && q.charAt(i) == ':') {
+          // prefixed name: ns:local, :local (default prefix) or the
+          // bare ns: of a PREFIX declaration — prefix is case-sensitive
+          i += 1
+          val ls = i
+          while (i < n && (q.charAt(i).isLetterOrDigit ||
+            q.charAt(i) == '_' || q.charAt(i) == '-')) i += 1
+          out += TPname(w, q.substring(ls, i))
+        } else {
+          val up = w.toUpperCase
+          if (Keywords(up)) out += TSym(up)
+          else if (w == "a") out += TSym("a")
+          else if (w.isEmpty) fail(s"unexpected character ':' at offset $s")
+          else fail(s"unexpected word '$w' — declare a prefix (PREFIX $w: <...>) " +
+            "or use a full <iri>")
+        }
       } else fail(s"unexpected character '$c' at offset $i")
     }
     out.result()
@@ -341,7 +361,7 @@ object Sparql {
   private[kg] final case class PAgg(call: AggCall, alias: String) extends Proj
 
   private[kg] sealed trait HExpr
-  private final case class HCmp(call: AggCall, op: String, n: Long) extends HExpr
+  private final case class HCmp(call: AggCall, op: String, n: Double) extends HExpr
   private final case class HNot(e: HExpr) extends HExpr
   private final case class HAnd(a: HExpr, b: HExpr) extends HExpr
   private final case class HOr(a: HExpr, b: HExpr) extends HExpr
@@ -424,12 +444,13 @@ object Sparql {
         case (_, BStr(t))  => svars(t)
         case (_, BCopy(_)) => Nil
       }.distinct
-    /** Variables aggregated in the NUMERIC value space (SUM/AVG args) —
-      * these need [[Bgp.bindValues]] joins that must SURVIVE until the
-      * aggregation step. */
+    /** Variables aggregated in the NUMERIC value space (SUM/AVG args,
+      * projected OR in HAVING) — these need [[Bgp.bindValues]] joins
+      * that must SURVIVE until the aggregation step. */
     private[Sparql] def numericAggVars: Seq[String] =
-      projection.collect {
-        case PAgg(AggCall("SUM" | "AVG", _, Some(v), _), _) => v
+      (projection.collect { case PAgg(call, _) => call } ++
+        havingAst.flatMap(havingCalls)).collect {
+        case AggCall("SUM" | "AVG", _, Some(v), _) => v
       }.distinct
     private[Sparql] def isAggregate: Boolean =
       groupBy.nonEmpty || havingAst.nonEmpty ||
@@ -962,27 +983,32 @@ object Sparql {
     AggCall(f, dist, arg, sep)
   }
 
-  // HAVING: aggregate-to-integer comparisons under !/&&/||; COUNT only
-  // (MIN/MAX/SAMPLE/GROUP_CONCAT yield id/string values an integer
-  // comparison cannot mean anything against)
+  // HAVING: aggregate-to-number comparisons under !/&&/||; COUNT (any
+  // comparison) and SUM/AVG (numeric value space — the nodes-table
+  // overload is required, exactly as for projected SUM/AVG).
+  // MIN/MAX/SAMPLE/GROUP_CONCAT yield id/string values a numeric
+  // comparison cannot mean anything against.
   private def havingExpr(c: Cursor): HExpr = {
     def atom(): HExpr = c.peekOrFail match {
       case TSym("(") => c.takeSym("("); val e = orE(); c.takeSym(")"); e
       case TSym("!") => c.takeSym("!"); HNot(atom())
       case _ =>
         val call = aggCall(c)
-        if (call.func != "COUNT")
-          fail(s"HAVING supports COUNT comparisons only — ${call.func} yields " +
-            "an id/string value; filter those with FILTER before aggregation")
+        if (call.func != "COUNT" && call.func != "SUM" && call.func != "AVG")
+          fail(s"HAVING supports COUNT/SUM/AVG comparisons only — ${call.func} " +
+            "yields an id/string value; filter those with FILTER before aggregation")
         val op = c.next() match {
           case TSym(s) if Set("=", "!=", "<", "<=", ">", ">=")(s) => s
           case t => fail(s"expected a comparison after the HAVING aggregate, found $t")
         }
+        val neg = c.atSym("-")
+        if (neg) c.takeSym("-")
         val n = c.next() match {
-          case TNum(v) => v
-          case t       => fail(s"HAVING compares an aggregate to an integer, found $t")
+          case TNum(v) => v.toDouble
+          case TDbl(v) => v
+          case t       => fail(s"HAVING compares an aggregate to a number, found $t")
         }
-        HCmp(call, op, n)
+        HCmp(call, op, if (neg) -n else n)
     }
     def andE(): HExpr = {
       var e = atom()
@@ -1152,7 +1178,28 @@ object Sparql {
   }
 
   def parse(q: String): Query = {
-    val c = new Cursor(tokenize(q))
+    val toks0 = tokenize(q)
+    // PREFIX ns: <iri> headers (later declaration wins, as in SPARQL):
+    // prefixed names are expanded to full IRIs HERE, so the body parser
+    // and the engine's node-id hashing only ever see full <iri>s
+    var i = 0
+    val prefixes = scala.collection.mutable.Map.empty[String, String]
+    while (i < toks0.length && toks0(i) == TSym("PREFIX")) {
+      (toks0.lift(i + 1), toks0.lift(i + 2)) match {
+        case (Some(TPname(p, "")), Some(TIri(iri))) =>
+          prefixes(p) = iri
+          i += 3
+        case _ => fail("a PREFIX declaration is `PREFIX ns: <iri>`")
+      }
+    }
+    val toks = toks0.drop(i).map {
+      case TPname(p, l) => TIri(prefixes.getOrElse(p,
+        fail(s"undeclared prefix '$p:' — add `PREFIX $p: <...>` before the query")) + l)
+      case TSym("PREFIX") =>
+        fail("PREFIX declarations must precede the query form")
+      case t => t
+    }
+    val c = new Cursor(toks)
     c.peekOrFail match {
       case TSym("ASK")       => c.takeSym("ASK"); parseAsk(c)
       case TSym("CONSTRUCT") => c.takeSym("CONSTRUCT"); parseConstruct(c)
@@ -1475,11 +1522,12 @@ object Sparql {
     if (probeClash.nonEmpty)
       fail(s"FILTER EXISTS patterns cannot reference computed variable(s) " +
         s"${probeClash.mkString(", ")} — the probes join on node-id columns")
-    qy.projection.foreach {
-      case PAgg(AggCall(f @ ("SUM" | "AVG"), _, Some(v), _), _) if kinds.contains(v) =>
+    (qy.projection.collect { case PAgg(call, _) => call } ++
+      qy.havingAst.flatMap(havingCalls)).foreach {
+      case AggCall(f @ ("SUM" | "AVG"), _, Some(v), _) if kinds.contains(v) =>
         fail(s"$f(?$v) aggregates the numeric VALUE space of RDF terms — " +
           "aggregate the base variable instead of the computed value")
-      case PAgg(AggCall("GROUP_CONCAT", _, Some(v), _), _) if kinds.get(v).contains('n') =>
+      case AggCall("GROUP_CONCAT", _, Some(v), _) if kinds.get(v).contains('n') =>
         fail(s"GROUP_CONCAT(?$v) over a numeric computed value is not " +
           "supported — concatenation needs strings")
       case _ => ()

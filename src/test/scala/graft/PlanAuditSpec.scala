@@ -292,7 +292,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // aggregate-then-join back onto the docs (SMJ, both sides
       // exchange with AQE off; the dimension-sized agg side broadcasts
       // under AQE)
-      "kg_sparql_subquery" -> 3)
+      "kg_sparql_subquery" -> 3,
+      // HAVING SUM: the ?p term join + the one group-by hash-agg
+      // shuffle — the HAVING aggregate rides the same pass
+      "kg_sparql_having" -> 2)
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.session.timeZone", "UTC")

@@ -347,7 +347,7 @@ class SparqlParserSpec extends AnyFunSuite {
     bad("SELECT ?a (COUNT(?x) AS ?a) WHERE { ?a <p> ?x } GROUP BY ?a",
       "duplicate SELECT name")
     bad("SELECT ?a WHERE { ?a <p> ?x } GROUP BY ?a HAVING (MIN(?x) > 3)",
-      "COUNT comparisons only")
+      "COUNT/SUM/AVG comparisons only")
     bad("SELECT ?a WHERE { ?a <p> ?x } LIMIT 3 LIMIT 4", "duplicate LIMIT")
   }
 
@@ -548,6 +548,43 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not bound"))
     val ex2 = intercept[IllegalArgumentException](Sparql.parse("DESCRIBE ?x"))
     assert(ex2.getMessage.contains("WHERE group"))
+  }
+
+  test("HAVING over SUM/AVG reads the numeric value space") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val p10 = Bgp.litId("10", XSD + "long")
+    val p2_5 = Bgp.litId("2.5", XSD + "double")
+    val p200 = Bgp.litId("200", XSD + "long")
+    val e = edges((d1, "urn:price", p10), (d1, "urn:price", p2_5),
+      (d2, "urn:price", p200))
+    val nodes = Seq(
+      (p10, RdfTerm.LITERAL, "10", null, XSD + "long"),
+      (p2_5, RdfTerm.LITERAL, "2.5", null, XSD + "double"),
+      (p200, RdfTerm.LITERAL, "200", null, XSD + "long"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    def rows(q: String): Seq[(String, Long)] =
+      Sparql.run(e, nodes, q).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // SUM in HAVING only (not projected): d1 sums 12.5, d2 sums 200
+    assert(rows("""SELECT ?d (COUNT(?p) AS ?n) WHERE { ?d <urn:price> ?p }
+                  |GROUP BY ?d HAVING(SUM(?p) > 100)""".stripMargin)
+      === Seq((d2, 1L)))
+    // AVG with a decimal threshold; d1 avg = 6.25
+    assert(rows("""SELECT ?d (COUNT(?p) AS ?n) WHERE { ?d <urn:price> ?p }
+                  |GROUP BY ?d HAVING(AVG(?p) <= 6.25)""".stripMargin)
+      === Seq((d1, 2L)))
+    // negative threshold parses
+    assert(rows("""SELECT ?d (COUNT(?p) AS ?n) WHERE { ?d <urn:price> ?p }
+                  |GROUP BY ?d HAVING(SUM(?p) > -1)""".stripMargin)
+      === Seq((d1, 2L), (d2, 1L)).sorted)
+    // MIN in HAVING is rejected; HAVING SUM without nodes fails loudly
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?d WHERE { ?d <urn:price> ?p } GROUP BY ?d HAVING(MIN(?p) > 3)"))
+    assert(ex.getMessage.contains("COUNT/SUM/AVG"))
+    val ex2 = intercept[IllegalArgumentException](Sparql.run(e,
+      """SELECT ?d (COUNT(?p) AS ?n) WHERE { ?d <urn:price> ?p }
+        |GROUP BY ?d HAVING(SUM(?p) > 1)""".stripMargin))
+    assert(ex2.getMessage.contains("nodes"))
   }
 
   test("BIND arithmetic: precedence, unary minus, chaining and FILTER reads") {
@@ -764,12 +801,43 @@ class SparqlParserSpec extends AnyFunSuite {
       "aggregate the base variable")
   }
 
+  test("PREFIX declarations expand prefixed names to the full-IRI twin") {
+    val parsed = Sparql.run(corpus,
+      """PREFIX u: <urn:>
+        |PREFIX : <urn:>
+        |SELECT ?d ?s WHERE { ?d u:lang "en" . ?d :src ?s }""".stripMargin)
+    val prog = Sparql.run(corpus,
+      """SELECT ?d ?s WHERE { ?d <urn:lang> "en" . ?d <urn:src> ?s }""")
+    assertSame(parsed, prog)
+    // expansion reaches every position: path operators included
+    val up = edges((d1, "urn:up", d2), (d2, "urn:up", d3))
+    val path = Sparql.run(up,
+      """PREFIX u: <urn:>
+        |SELECT ?x ?y WHERE { ?x u:up+ ?y }""".stripMargin)
+    assert(path.count() === 3) // d1->d2, d2->d3, d1->d3
+    // later declaration wins, as in SPARQL
+    val re = Sparql.run(corpus,
+      """PREFIX u: <urn:WRONG>
+        |PREFIX u: <urn:>
+        |SELECT ?d WHERE { ?d u:lang "en" }""".stripMargin)
+    assert(re.count() === 2)
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"'${ex.getMessage}' !~ '$needle'")
+    }
+    bad("SELECT ?d WHERE { ?d u:lang \"en\" }", "undeclared prefix")
+    bad("SELECT ?d WHERE { ?d <urn:lang> ?l } PREFIX u: <urn:>",
+      "must precede the query")
+    bad("PREFIX u <urn:> SELECT ?d WHERE { ?d <urn:lang> ?l }",
+      "declare a prefix")
+  }
+
   test("malformed queries fail loudly, not wrongly") {
     def bad(q: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](Sparql.parse(q))
       assert(ex.getMessage.contains(needle), s"$q -> ${ex.getMessage}")
     }
-    bad("SELECT * WHERE { ?a foaf:knows ?b }", "prefixed names")
+    bad("SELECT * WHERE { ?a foaf:knows ?b }", "undeclared prefix")
     bad("SELECT * WHERE { { ?a <p> ?b } UNION { ?c <p> ?d } ?x <p> ?y }", "expected")
     bad("SELECT * WHERE { }", "no required triple")
     bad("SELECT * WHERE { ?a <p> ?b } ?c", "trailing")

@@ -1569,6 +1569,18 @@ object SparkEntry {
           |} GROUP BY ?u""".stripMargin)
     }),
 
+    // resolveTerms: query-result ids joined back to their n3 lexical
+    // forms — the human-readable exit from the hashed-id plane; one
+    // broadcast-able left join per column, unmatched ids pass through
+    "kg_sparql_labels" -> ((s, dir) => {
+      val t = Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir))))
+        .localCheckpoint(true)
+      val res = Sparql.run(Materialize.edges(t),
+        """PREFIX col: <urn:col:documents:>
+          |SELECT ?d ?s WHERE { ?d col:lang "de" . ?d col:source ?s }""".stripMargin)
+      Sparql.resolveTerms(res, Materialize.nodes(t), Seq("d", "s"))
+    }),
+
     // SPARQL PREFIX: prefixed names expand to full IRIs BEFORE the body
     // parser and the node-id hashing run, so a prefixed constant matches
     // the same materialized edge the full-IRI spelling does
@@ -2898,6 +2910,13 @@ object SparkEntry {
       """SELECT upper(lang) AS u, CAST(COUNT(*) AS BIGINT) AS n,
         |       min(sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>')) AS mn
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // resolveTerms mirror: the n3 forms directly — IRI "<...>", literal
+    // with its always-printed datatype
+    "kg_sparql_labels" ->
+      s"""SELECT '<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>' AS d,
+         |       '"' || source || '"^^<$XSD_STR>' AS s
+         |FROM documents WHERE lang = 'de'""".stripMargin,
 
     // PREFIX mirror: expansion is pure syntax — the mirror is the plain
     // en-docs selection

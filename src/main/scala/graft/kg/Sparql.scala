@@ -270,7 +270,11 @@ object Sparql {
         } else out += TLit(sb.toString, None, None)
       } else if (c.isLetter || c == ':') {
         val s = i
-        while (i < n && (q.charAt(i).isLetter || q.charAt(i) == '_')) i += 1
+        // digits allowed after the first character (SPARQL PN_PREFIX
+        // permits them — `PREFIX p1:` is legal); keywords contain none,
+        // so keyword matching is unaffected
+        if (i < n && q.charAt(i).isLetter) i += 1
+        while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
         val w = q.substring(s, i)
         if (i < n && q.charAt(i) == ':') {
           // prefixed name: ns:local, :local (default prefix) or the
@@ -485,7 +489,8 @@ object Sparql {
     * |v| < 2^53); everything else is NULL (excluded). A numeric BIND
     * variable (`k(n) == 'n'`) is already a plain double column and is
     * read directly. Arithmetic is IEEE double — bit-deterministic
-    * cross-engine, including /0 -> Infinity per xsd:double. */
+    * cross-engine — EXCEPT division by zero, which is NULL -> excluded
+    * (see the `/` case below), deliberately not xsd:double's INF. */
   private def numValue(t: NExpr, k: Map[String, Char]): Column = t match {
     case NVar(v) if k.get(v).contains('n') => col(v)
     case NVar(v) =>
@@ -881,10 +886,18 @@ object Sparql {
           FNumCmp(lfull, cmpOp(), nexpr(c))
         } else {
         val op = cmpOp()
-        // a right side opening with '-', '(' or STRLEN is unambiguously
-        // a numeric expression (the left side already parsed as a term)
-        if (c.atSym("-") || c.atSym("(") || c.atSym("STRLEN"))
+        // a right side opening with '-' or STRLEN is unambiguously a
+        // numeric expression; '(' is numeric too but ONLY under an
+        // ordering operator — `?x = (?y)` would otherwise silently turn
+        // an id-space equality into a value-space one
+        if (c.atSym("-") || c.atSym("STRLEN") ||
+            (c.atSym("(") && Set("<", "<=", ">", ">=")(op)))
           FNumCmp(toN(l), op, nexpr(c))
+        else if (c.atSym("("))
+          fail("a parenthesized operand after = / != is ambiguous between " +
+            "the id and numeric spaces — drop the parentheses for id " +
+            "equality, or start the arithmetic unparenthesized " +
+            "(`?x = ?y + 1`) for the numeric space")
         else {
         val r = filterOperand(c)
         if (isArithSym(c)) {
@@ -1502,6 +1515,17 @@ object Sparql {
           fail(s"subquery-projected variable(s) ${unanchored.mkString(", ")} " +
             "must be bound by the subquery's required pattern (not only " +
             "OPTIONAL/UNION) in this fragment")
+        // the OUTER side of the join must be never-NULL too: a shared
+        // variable bound only by an outer OPTIONAL is NULL on unmatched
+        // rows, and the inner equi-join would drop them where SPARQL's
+        // unbound-is-compatible rule keeps them
+        val optOnly = sq.select.filter(v =>
+          !reqVars.contains(v) && qy.optionals.exists(o => varsOf(o).contains(v)))
+        if (optOnly.nonEmpty)
+          fail(s"subquery variable(s) ${optOnly.mkString(", ")} are bound " +
+            "only by an outer OPTIONAL — an unmatched row's NULL key would " +
+            "silently drop it from the join; anchor the variable in the " +
+            "required pattern or rename the subquery projection")
         if (qy.required.nonEmpty || i > 0) {
           val prior = qy.subqueries.take(i).flatMap(_.select).toSet
           val shared = sq.select.filter(v => reqVars.contains(v) || prior.contains(v))
@@ -1592,7 +1616,12 @@ object Sparql {
     * the total is cast to double. Non-numeric terms read NULL. */
   private def numDecValue(v: String): Column = {
     val term = col(s"${v}_term")
-    coalesce(TypedLiterals.asLong(term).cast("decimal(28,10)"),
+    // try_cast, not cast: a long with >= 19 integral digits overflows
+    // decimal(28,10), and under ANSI a plain cast would throw mid-job —
+    // try_cast reads NULL, so the strict-error guard makes the GROUP's
+    // aggregate unbound instead (error-means-unbound, same rule as any
+    // non-numeric term)
+    coalesce(TypedLiterals.asLong(term).try_cast("decimal(28,10)"),
       TypedLiterals.asDecimal(term, 28, 10))
   }
 
@@ -1739,6 +1768,29 @@ object Sparql {
       }
     val ids = (varIds ++ constIds).reduce(_ union _).distinct()
     base.join(ids, base("subj_id") === ids("id"), "left_semi").distinct()
+  }
+
+  /** Joins the N3 lexical form of each listed id column back onto a
+    * query result — the human-readable exit from the hashed-id plane.
+    * One LEFT equi-join per column against the dimension-sized nodes
+    * projection (AQE broadcasts it); ids with no nodes row (computed
+    * value columns, NULL unmatched-OPTIONAL bindings) pass through
+    * unchanged. Each id column is REPLACED by its n3 rendering under
+    * the same name, so the frame stays drop-in for downstream code. */
+  def resolveTerms(result: DataFrame, nodes: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "resolveTerms needs at least one column")
+    val missing = cols.filterNot(result.columns.contains)
+    require(missing.isEmpty,
+      s"resolveTerms column(s) ${missing.mkString(", ")} are not in the result")
+    cols.foldLeft(result) { (df, v) =>
+      val n3c = nodes.select(col("id").as(s"${v}__id"),
+        Canonicalize.n3(struct(col("kind"), col("value"), col("lang"),
+          col("dt"))).as(s"${v}__n3"))
+      df.join(n3c, df(v) === n3c(s"${v}__id"), "left")
+        .withColumn(v, coalesce(col(s"${v}__n3"), col(v)))
+        .drop(s"${v}__id", s"${v}__n3")
+    }
   }
 
   /** [[run]] for ASK queries, evaluated: true iff the group matches. */

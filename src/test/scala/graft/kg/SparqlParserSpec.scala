@@ -830,6 +830,66 @@ class SparqlParserSpec extends AnyFunSuite {
       "must precede the query")
     bad("PREFIX u <urn:> SELECT ?d WHERE { ?d <urn:lang> ?l }",
       "declare a prefix")
+    // digits are legal in prefix labels after the first character
+    val dig = Sparql.run(corpus,
+      """PREFIX p1: <urn:>
+        |SELECT ?d WHERE { ?d p1:lang "en" }""".stripMargin)
+    assert(dig.count() === 2)
+  }
+
+  test("resolveTerms joins n3 lexical forms back onto result ids") {
+    val nodes = Seq(
+      (d1, RdfTerm.IRI, "urn:doc:1", null, null),
+      (en, RdfTerm.LITERAL, "en", null, RdfTerm.XsdString),
+      (web, RdfTerm.LITERAL, "web", null, RdfTerm.XsdString))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val res = Sparql.run(corpus,
+      """SELECT ?d ?s WHERE { ?d <urn:lang> "en" . OPTIONAL { ?d <urn:src> ?s } }""")
+    val labeled = Sparql.resolveTerms(res, nodes, Seq("d", "s"))
+    val got = labeled.collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(t => (t._1, String.valueOf(t._2))).toSeq
+    // d1 resolves via the nodes table; d3 has no nodes row -> id passes
+    // through; d3's unmatched OPTIONAL stays NULL
+    assert(got === Seq(
+      ("<urn:doc:1>", "\"web\"^^<" + RdfTerm.XsdString + ">"),
+      (d3, null)).sortBy(t => (t._1, String.valueOf(t._2))))
+    val ex = intercept[IllegalArgumentException](
+      Sparql.resolveTerms(res, nodes, Seq("nope")))
+    assert(ex.getMessage.contains("not in the result"))
+  }
+
+  test("review-pass regressions: ambiguous parens, outer-OPTIONAL join keys, decimal overflow") {
+    // `?x = (?y)` must not silently switch an id-space equality into the
+    // numeric value space — rejected with guidance
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?a WHERE { ?a <urn:lang> ?x . ?a <urn:src> ?y FILTER(?x = (?y)) }"))
+    assert(ex.getMessage.contains("ambiguous"))
+    // ordering operators keep the parenthesized numeric right side
+    assert(Sparql.parse(
+      "SELECT ?a WHERE { ?a <urn:p> ?x FILTER(?x > (1 + 2) * 3) }") != null)
+    // a subquery variable bound only by an outer OPTIONAL would join on
+    // a NULL-able key — rejected, not silently wrong
+    val ex2 = intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?d WHERE {
+        |  ?d <urn:p> ?x . OPTIONAL { ?d <urn:q> ?l }
+        |  { SELECT ?d ?l WHERE { ?d <urn:r> ?z . ?z <urn:s> ?l } }
+        |}""".stripMargin))
+    assert(ex2.getMessage.contains("outer OPTIONAL"))
+    // a long too wide for decimal(28,10) is an ERROR value (unbound
+    // aggregate), never an ANSI cast crash
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val big = Bgp.litId("9223372036854775807", XSD + "long")
+    val p10 = Bgp.litId("10", XSD + "long")
+    val e = edges((d1, "urn:price", big), (d1, "urn:price", p10))
+    val nodes = Seq(
+      (big, RdfTerm.LITERAL, "9223372036854775807", null, XSD + "long"),
+      (p10, RdfTerm.LITERAL, "10", null, XSD + "long"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val r = Sparql.run(e, nodes,
+      """SELECT ?d (SUM(?p) AS ?t) WHERE { ?d <urn:price> ?p }
+        |GROUP BY ?d""".stripMargin).collect()
+    assert(r.length === 1 && r(0).isNullAt(1))
   }
 
   test("malformed queries fail loudly, not wrongly") {

@@ -1569,6 +1569,21 @@ object SparkEntry {
           |} GROUP BY ?u""".stripMargin)
     }),
 
+    // FILTER inside OPTIONAL: the condition gates the MATCH (SPARQL's
+    // LeftJoin third argument) — a failing condition leaves the row
+    // with an unbound ?s instead of dropping it; compiled as a
+    // group-side pre-filter, exactly the ON-clause semantics for
+    // group-variable-only conditions
+    "kg_sparql_opt_filter" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?d ?s WHERE {
+          |  ?d <urn:col:documents:lang> ?l .
+          |  OPTIONAL { ?d <urn:col:documents:source> ?s FILTER(?s != "src1") }
+          |}""".stripMargin)
+    }),
+
     // resolveTerms: query-result ids joined back to their n3 lexical
     // forms — the human-readable exit from the hashed-id plane; one
     // broadcast-able left join per column, unmatched ids pass through
@@ -2910,6 +2925,14 @@ object SparkEntry {
       """SELECT upper(lang) AS u, CAST(COUNT(*) AS BIGINT) AS n,
         |       min(sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>')) AS mn
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // OPTIONAL-FILTER mirror: every doc has exactly one source edge, so
+    // conditioning the match is a CASE that nulls the failing sources
+    "kg_sparql_opt_filter" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       CASE WHEN source <> 'src1'
+         |            THEN sha256('"' || source || '"^^<$XSD_STR>') END AS s
+         |FROM documents""".stripMargin,
 
     // resolveTerms mirror: the n3 forms directly — IRI "<...>", literal
     // with its always-printed datatype

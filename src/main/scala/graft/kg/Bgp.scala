@@ -303,12 +303,19 @@ object Bgp {
    */
   def matchWithOptional(edges: DataFrame, required: Seq[TriplePattern],
                         optional: Seq[Seq[TriplePattern]],
-                        filters: Seq[Column] = Nil): DataFrame = {
+                        filters: Seq[Column] = Nil,
+                        optionalFilters: Seq[Seq[Column]] = Nil): DataFrame = {
     val base = matchPatterns(edges, required)
     val reqVars = base.columns.toSet
     val newVarsSeen = scala.collection.mutable.Set.empty[String]
-    val joined = optional.foldLeft(base) { (acc, group) =>
-      val g = matchPatterns(edges, group)
+    val joined = optional.zipWithIndex.foldLeft(base) { case (acc, (group, i)) =>
+      // a FILTER inside the OPTIONAL group conditions the MATCH, not the
+      // row: SPARQL's LeftJoin(required, P, C). When C reads only the
+      // group's own variables (the Sparql front end enforces this),
+      // pre-filtering the group side is exactly the ON-clause semantics —
+      // a failing C makes the group unmatched (NULLs), never drops the row
+      val g = optionalFilters.lift(i).getOrElse(Nil)
+        .foldLeft(matchPatterns(edges, group))(_ filter _)
       val shared = g.columns.toSeq.filter(reqVars.contains)
       require(shared.nonEmpty,
         s"optional group ${group.mkString(", ")} shares no variable with the " +

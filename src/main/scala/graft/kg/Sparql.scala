@@ -26,7 +26,8 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *   proj    := ?var | ( agg ( DISTINCT? (?var | *) sepOpt ) AS ?alias )
  *   agg     := COUNT | SUM | AVG | MIN | MAX | SAMPLE | GROUP_CONCAT
  *   sepOpt  := (';' SEPARATOR = "sep")?          (GROUP_CONCAT only)
- *   group   := (triple '.'? | OPTIONAL { triples } | MINUS { triples }
+ *   group   := (triple '.'? | OPTIONAL { triples (FILTER ( expr ))* }
+ *              | MINUS { triples }
  *              | FILTER ( expr ) | FILTER NOT? EXISTS { triples }
  *              | BIND ( bexpr AS ?var ) | VALUES valuesClause
  *              | { select } )*                 (subquery — see below)
@@ -396,7 +397,8 @@ object Sparql {
                          describeVars: Seq[String] = Nil,
                          describeIds: Seq[String] = Nil,
                          private[Sparql] val binds: Seq[(String, BExpr)] = Nil,
-                         private[Sparql] val subqueries: Seq[Query] = Nil) {
+                         private[Sparql] val subqueries: Seq[Query] = Nil,
+                         private[Sparql] val optionalFilters: Seq[Seq[FExpr]] = Nil) {
     /** BIND variable -> value kind: 'n'umeric, 's'tring, 'c'opy. */
     private[Sparql] lazy val bindKinds: Map[String, Char] =
       binds.map { case (n, b) =>
@@ -1088,7 +1090,8 @@ object Sparql {
                                     exists: Seq[Seq[TriplePattern]],
                                     notExists: Seq[Seq[TriplePattern]],
                                     binds: Seq[(String, BExpr)],
-                                    subqueries: Seq[Query])
+                                    subqueries: Seq[Query],
+                                    optionalFilters: Seq[Seq[FExpr]])
 
   /** Parses a group after its opening '{' (consumes the closing '}'). */
   private def parseGroupBody(c: Cursor): GroupAst = {
@@ -1102,6 +1105,7 @@ object Sparql {
     val notExists = Seq.newBuilder[Seq[TriplePattern]]
     val binds = Seq.newBuilder[(String, BExpr)]
     val subqueries = Seq.newBuilder[Query]
+    val optionalFilters = Seq.newBuilder[Seq[FExpr]]
     // BIND ( bexpr AS ?var ) — the body's kind is decided by its first
     // token: a string function opens the string space, STRLEN/number/
     // paren/unary-minus the numeric space, a bare ?var (no arithmetic
@@ -1159,8 +1163,24 @@ object Sparql {
     } else {
       while (!c.atSym("}")) c.peekOrFail match {
         case TSym("OPTIONAL") =>
+          // OPTIONAL { triples (FILTER(expr))* } — the filters CONDITION
+          // the match (SPARQL LeftJoin's third argument), restricted to
+          // the group's own variables (validated)
           c.takeSym("OPTIONAL"); c.takeSym("{")
-          optionals += triplesBlock(c)
+          val pats = Seq.newBuilder[TriplePattern]
+          val ofs = Seq.newBuilder[FExpr]
+          while (!c.atSym("}")) {
+            if (c.atSym("FILTER")) {
+              c.takeSym("FILTER"); c.takeSym("(")
+              ofs += filterExpr(c)
+              c.takeSym(")")
+            } else pats += triple(c)
+          }
+          c.takeSym("}")
+          val ps = pats.result()
+          if (ps.isEmpty) fail("empty OPTIONAL group")
+          optionals += ps
+          optionalFilters += ofs.result()
         case TSym("MINUS") =>
           c.takeSym("MINUS"); c.takeSym("{")
           minuses += triplesBlock(c)
@@ -1187,7 +1207,7 @@ object Sparql {
     GroupAst(required.result(), optionals.result(), minuses.result(),
       unions.result(), filters.result(), values.result(),
       exists.result(), notExists.result(), binds.result(),
-      subqueries.result())
+      subqueries.result(), optionalFilters.result())
   }
 
   def parse(q: String): Query = {
@@ -1243,14 +1263,14 @@ object Sparql {
       } else {
         if (vs.nonEmpty)
           fail(s"DESCRIBE ?${vs.head} needs a WHERE group to bind the variable")
-        GroupAst(Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil)
+        GroupAst(Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil, Nil)
       }
     if (!c.done) fail(s"trailing tokens after the DESCRIBE query: ${c.peekOrFail}")
     val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
       g.unions, g.filters, values = g.values, form = "DESCRIBE",
       exists = g.exists, notExists = g.notExists,
       describeVars = vs, describeIds = is, binds = g.binds,
-      subqueries = g.subqueries)
+      subqueries = g.subqueries, optionalFilters = g.optionalFilters)
     validate(qy)
     qy
   }
@@ -1264,7 +1284,7 @@ object Sparql {
     val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
       g.unions, g.filters, values = g.values, form = "ASK",
       exists = g.exists, notExists = g.notExists, binds = g.binds,
-      subqueries = g.subqueries)
+      subqueries = g.subqueries, optionalFilters = g.optionalFilters)
     validate(qy)
     qy
   }
@@ -1282,7 +1302,8 @@ object Sparql {
     val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
       g.unions, g.filters, values = g.values, form = "CONSTRUCT",
       template = template, exists = g.exists, notExists = g.notExists,
-      binds = g.binds, subqueries = g.subqueries)
+      binds = g.binds, subqueries = g.subqueries,
+      optionalFilters = g.optionalFilters)
     validate(qy)
     qy
   }
@@ -1372,7 +1393,8 @@ object Sparql {
     val qy = Query(projection.result(), distinct, g.required, g.optionals,
       g.minuses, g.unions, g.filters, groupBy, having.result(), orderBy,
       limit, offset, g.values, exists = g.exists, notExists = g.notExists,
-      binds = g.binds, subqueries = g.subqueries)
+      binds = g.binds, subqueries = g.subqueries,
+      optionalFilters = g.optionalFilters)
     if (nested && qy.projection.isEmpty)
       fail("subqueries must project explicitly (?vars / aggregates) — " +
         "SELECT * has no statically-known output to join on")
@@ -1535,6 +1557,33 @@ object Sparql {
               "cross product")
         }
       }
+    }
+    // ---- OPTIONAL-group FILTER checks: pre-filtering the group side
+    // is exactly SPARQL's LeftJoin condition ONLY when the expression
+    // reads the group's OWN variables, in the id space
+    qy.optionalFilters.zip(qy.optionals).foreach { case (fs, group) =>
+      val gVars = varsOf(group)
+      def own(v: String, what: String): Unit =
+        if (!gVars.contains(v))
+          fail(s"a FILTER inside an OPTIONAL group may only read the " +
+            s"group's own variables — $what ?$v is bound elsewhere; " +
+            "move the condition to the outer group to filter ROWS instead " +
+            "of conditioning the match")
+      def checkIdSpace(e: FExpr): Unit = e match {
+        case FBound(v)     => own(v, "BOUND over")
+        case FCmp(l, _, r) =>
+          Seq(l, r).foreach {
+            case FTVar(n) => own(n, "operand")
+            case _        => ()
+          }
+        case FNot(x)    => checkIdSpace(x)
+        case FAnd(a, b) => checkIdSpace(a); checkIdSpace(b)
+        case FOr(a, b)  => checkIdSpace(a); checkIdSpace(b)
+        case _ => fail("FILTERs inside OPTIONAL are id-space only in this " +
+          "fragment (= / != / BOUND over the group's variables) — " +
+          "value-space conditions belong in a subquery or the outer group")
+      }
+      fs.foreach(checkIdSpace)
     }
     // the EXISTS/NOT EXISTS probes join BEFORE binds compute — a probe
     // naming a bind variable (or a subquery VALUE alias) would silently
@@ -1846,7 +1895,8 @@ object Sparql {
       else if (q.required.isEmpty && q.subqueries.nonEmpty)
         joinSubs(subDfs.head, subDfs.tail) // subquery-only group
       else joinSubs(Bgp.applyMinus(edges,
-        Bgp.matchWithOptional(edges, q.required, q.optionals), q.minuses),
+        Bgp.matchWithOptional(edges, q.required, q.optionals, Nil,
+          q.optionalFilters.map(_.map(compileF(_, Map.empty)))), q.minuses),
         subDfs)
     val probed = Bgp.applyExists(edges,
       Bgp.applyExists(edges, grouped, q.exists), q.notExists, negate = true)

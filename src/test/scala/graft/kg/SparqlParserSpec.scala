@@ -837,6 +837,40 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(dig.count() === 2)
   }
 
+  test("FILTER inside OPTIONAL conditions the match, not the row") {
+    val out = Sparql.run(corpus,
+      """SELECT ?d ?s WHERE {
+        |  ?d <urn:lang> ?l .
+        |  OPTIONAL { ?d <urn:src> ?s FILTER(?s != "web") }
+        |}""".stripMargin)
+    // d1's src=web FAILS the condition -> the row survives with ?s
+    // unbound (an outer FILTER would have dropped it); d2 keeps book;
+    // d3 never had a src
+    val got = out.collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(t => (t._1, String.valueOf(t._2))).toSeq
+    assert(got === Seq((d1, null), (d2, book), (d3, null))
+      .sortBy(t => (t._1, String.valueOf(t._2))))
+    // parsed form equals the programmatic twin
+    val prog = Bgp.matchWithOptional(corpus,
+      Seq(TriplePattern(V("d"), C("urn:lang"), V("l"))),
+      Seq(Seq(TriplePattern(V("d"), C("urn:src"), V("s")))),
+      Nil, Seq(Seq(col("s") =!= lit(web)))).select("d", "s")
+    assertSame(out, prog)
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"'${ex.getMessage}' !~ '$needle'")
+    }
+    // an outer variable in the group filter changes semantics — rejected
+    bad("""SELECT ?d WHERE { ?d <urn:lang> ?l
+          |  OPTIONAL { ?d <urn:src> ?s FILTER(?l = "en") } }""".stripMargin,
+      "group's own variables")
+    // value-space conditions are out of the optional fragment
+    bad("""SELECT ?d WHERE { ?d <urn:lang> ?l
+          |  OPTIONAL { ?d <urn:src> ?s FILTER(?s > 3) } }""".stripMargin,
+      "id-space only")
+  }
+
   test("resolveTerms joins n3 lexical forms back onto result ids") {
     val nodes = Seq(
       (d1, RdfTerm.IRI, "urn:doc:1", null, null),

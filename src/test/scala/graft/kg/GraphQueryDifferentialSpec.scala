@@ -375,6 +375,37 @@ class GraphQueryDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIONAL FILTER equals the brute-force conditioned left join on random graphs") {
+    val rnd = new Random(167)
+    for (trial <- 1 to 5) {
+      val nodes = (0 until 10).map(i => s"n$i")
+      val es = Seq.fill(50)((nodes(rnd.nextInt(10)), Seq("p", "q")(rnd.nextInt(2)),
+        nodes(rnd.nextInt(10)))).distinct
+      // q-objects are LITERALS (litId-hashed) so the parsed FILTER
+      // constant actually compares against them
+      val df = es.map { case (s, p, o) =>
+        (s, p, if (p == "q") Bgp.litId(o) else o)
+      }.toDF("subj_id", "pred", "obj_id")
+      val banned = nodes(rnd.nextInt(10))
+      val got = Sparql.run(df,
+        s"""SELECT ?a ?b WHERE {
+           |  ?a <p> ?x .
+           |  OPTIONAL { ?a <q> ?b FILTER(?b != "$banned") }
+           |}""".stripMargin)
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) "NULL" else r.getString(1))).sorted.toSeq
+      // brute: one row per required match; the group joins only where
+      // the condition HOLDS, else the row keeps ?b unbound
+      val brute = (for {
+        (a, p, _) <- es if p == "p"
+      } yield {
+        val ms = es.filter(e => e._1 == a && e._2 == "q" && e._3 != banned)
+        if (ms.isEmpty) Seq((a, "NULL")) else ms.map(m => (a, Bgp.litId(m._3)))
+      }).flatten.sorted
+      assert(got === brute, s"trial $trial banned=$banned")
+    }
+  }
+
   test("entity resolution never false-merges and recovers single-end-edit variants") {
     val rnd = new Random(99)
     // far-apart random base labels (hex-ish), each with a tail-edit variant

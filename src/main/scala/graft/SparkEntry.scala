@@ -1584,6 +1584,20 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // COALESCE over an OPTIONAL binding: the id-space fallback chain —
+    // the conditioned source when it matched, the (always-bound) lang
+    // otherwise; composes the optional-filter and bind layers
+    "kg_sparql_coalesce" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
+        .localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?d ?v WHERE {
+          |  ?d <urn:col:documents:lang> ?l .
+          |  OPTIONAL { ?d <urn:col:documents:source> ?s FILTER(?s != "src1") }
+          |  BIND(COALESCE(?s, ?l) AS ?v)
+          |}""".stripMargin)
+    }),
+
     // resolveTerms: query-result ids joined back to their n3 lexical
     // forms — the human-readable exit from the hashed-id plane; one
     // broadcast-able left join per column, unmatched ids pass through
@@ -2925,6 +2939,14 @@ object SparkEntry {
       """SELECT upper(lang) AS u, CAST(COUNT(*) AS BIGINT) AS n,
         |       min(sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>')) AS mn
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // COALESCE mirror: matched-and-passing source, else the lang
+    "kg_sparql_coalesce" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       CASE WHEN source <> 'src1'
+         |            THEN sha256('"' || source || '"^^<$XSD_STR>')
+         |            ELSE sha256('"' || lang || '"^^<$XSD_STR>') END AS v
+         |FROM documents""".stripMargin,
 
     // OPTIONAL-FILTER mirror: every doc has exactly one source edge, so
     // conditioning the match is a CASE that nulls the failing sources

@@ -33,9 +33,10 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *              | { select } )*                 (subquery — see below)
  *            | { triples } UNION { triples } (UNION { triples })*
  *              (FILTER ( expr ) | FILTER NOT? EXISTS { triples })*
- *   bexpr   := nexpr | sexpr | ?var | "lit"
- *              (?var alone copies the binding — id space; numeric and
- *               string expressions produce PLAIN VALUE columns)
+ *   bexpr   := nexpr | sexpr | ?var | "lit" | COALESCE(?var, ?var+)
+ *              (?var alone copies the binding, COALESCE is the id-space
+ *               OPTIONAL-fallback chain over pattern variables; numeric
+ *               and string expressions produce PLAIN VALUE columns)
  *   nexpr   := nmul (('+' | '-') nmul)*        numeric VALUE space
  *   nmul    := natom (('*' | '/') natom)*      (x/0 = unbound, not INF)
  *   natom   := number | ?var | STRLEN ( sarg ) | ( nexpr ) | '-' natom
@@ -177,7 +178,7 @@ object Sparql {
     "SEPARATOR", "COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM",
     "AVG", "EXISTS", "NOT", "STR", "LANG", "DATATYPE", "STRSTARTS",
     "STRENDS", "CONTAINS", "ISIRI", "ISLITERAL", "ISBLANK", "BIND",
-    "CONCAT", "LCASE", "UCASE", "STRLEN", "REGEX")
+    "CONCAT", "LCASE", "UCASE", "STRLEN", "REGEX", "COALESCE")
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -351,6 +352,9 @@ object Sparql {
   private final case class BNum(e: NExpr) extends BExpr
   private final case class BStr(e: STerm) extends BExpr
   private final case class BCopy(v: String) extends BExpr
+  /** COALESCE(?a, ?b, ...) over PATTERN variables — the id-space
+    * OPTIONAL-fallback chain (first bound binding wins). */
+  private final case class BCoalesce(vars: Seq[String]) extends BExpr
 
   /** An aggregate invocation; `arg = None` is `COUNT(*)`. SAMPLE is
     * compiled as `min` (SPARQL leaves the pick arbitrary — a
@@ -402,7 +406,11 @@ object Sparql {
     /** BIND variable -> value kind: 'n'umeric, 's'tring, 'c'opy. */
     private[Sparql] lazy val bindKinds: Map[String, Char] =
       binds.map { case (n, b) =>
-        n -> (b match { case BNum(_) => 'n'; case BStr(_) => 's'; case BCopy(_) => 'c' })
+        n -> (b match {
+          case BNum(_) => 'n'
+          case BStr(_) => 's'
+          case BCopy(_) | BCoalesce(_) => 'c'
+        })
       }.toMap
     /** All computed-value columns and their kinds: BIND variables plus
       * subquery aggregate aliases (COUNT/SUM/AVG are numeric values,
@@ -446,9 +454,10 @@ object Sparql {
       * [[filterTermVars]]; spent once the bind columns are computed. */
     private[Sparql] def bindTermVars: Seq[String] =
       binds.flatMap {
-        case (_, BNum(e))  => nvars(e)
-        case (_, BStr(t))  => svars(t)
-        case (_, BCopy(_)) => Nil
+        case (_, BNum(e))      => nvars(e)
+        case (_, BStr(t))      => svars(t)
+        case (_, BCopy(_))     => Nil
+        case (_, BCoalesce(_)) => Nil // id reads, no term join
       }.distinct
     /** Variables aggregated in the NUMERIC value space (SUM/AVG args,
       * projected OR in HAVING) — these need [[Bgp.bindValues]] joins
@@ -594,9 +603,10 @@ object Sparql {
 
   /** A BIND right-hand side's value column. */
   private def compileB(b: BExpr, k: Map[String, Char]): Column = b match {
-    case BNum(e)  => numValue(e, k)
-    case BStr(t)  => strValue(t, k)
-    case BCopy(v) => col(v)
+    case BNum(e)        => numValue(e, k)
+    case BStr(t)        => strValue(t, k)
+    case BCopy(v)       => col(v)
+    case BCoalesce(vs)  => coalesce(vs.map(col): _*)
   }
 
   // ---------- parser -------------------------------------------------------
@@ -1115,6 +1125,15 @@ object Sparql {
       val b: BExpr = strFnOperand(c) match {
         case Some(st) => BStr(st)
         case None => c.peekOrFail match {
+          case TSym("COALESCE") =>
+            c.next(); c.takeSym("(")
+            val vs = Seq.newBuilder[String]
+            vs += varName(c)
+            while (c.atSym(",")) { c.takeSym(","); vs += varName(c) }
+            c.takeSym(")")
+            val r = vs.result()
+            if (r.sizeIs < 2) fail("COALESCE takes at least two ?variables")
+            BCoalesce(r)
           case TVar(n) =>
             c.next()
             if (isArithSym(c)) BNum(nexprFrom(c, NVar(n))) else BCopy(n)
@@ -1492,6 +1511,14 @@ object Sparql {
           if (!patternVarsAll.contains(src))
             fail(s"BIND(?$src AS ?$name): a bare-?var BIND copies a PATTERN " +
               s"binding — ?$src is not one (computed values need an expression)")
+          Nil
+        case BCoalesce(vs) =>
+          // id-space fallback over pattern bindings (OPTIONAL vars are
+          // the point); value columns would mix spaces — rejected
+          val notPattern = vs.filterNot(patternVarsAll.contains)
+          if (notPattern.nonEmpty)
+            fail(s"COALESCE takes PATTERN variables — ${notPattern.map("?" + _).mkString(", ")} " +
+              "are not pattern bindings (coalescing ids with computed values mixes spaces)")
           Nil
         case BNum(e) => readsN(e)
         case BStr(t) => readsS(t)

@@ -676,6 +676,28 @@ class SparqlParserSpec extends AnyFunSuite {
       === Seq((d2, true)))
   }
 
+  test("COALESCE binds the first bound pattern variable (id space)") {
+    val out = Sparql.run(corpus,
+      """SELECT ?d ?v WHERE {
+        |  ?d <urn:lang> ?l .
+        |  OPTIONAL { ?d <urn:src> ?s }
+        |  BIND(COALESCE(?s, ?l) AS ?v)
+        |  FILTER(?v = "web" || ?v = "en")
+        |}""".stripMargin)
+    val got = out.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // d1 takes its src (web); d3 has no src and falls back to its lang
+    // (en); d2's fallback fr matches neither constant
+    assert(got === Seq((d1, web), (d3, en)).sorted)
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"'${ex.getMessage}' !~ '$needle'")
+    }
+    bad("SELECT ?d WHERE { ?d <urn:p> ?o BIND(COALESCE(?o) AS ?v) }",
+      "at least two")
+    bad("SELECT ?d WHERE { ?d <urn:p> ?o BIND(?o + 1 AS ?n) BIND(COALESCE(?n, ?o) AS ?v) }",
+      "PATTERN variables")
+  }
+
   test("BIND as a GROUP BY key and aggregate input") {
     val XSD = "http://www.w3.org/2001/XMLSchema#"
     val RLS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"

@@ -1584,6 +1584,21 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // SUBSTR/STRAFTER string builtins composing with STRLEN and the
+    // string-space inequality — all reading the ONE ?c term join
+    "kg_sparql_strfns" -> ((s, dir) => {
+      val corpus = Corpus.fromTableTagged(docs(s, dir), "documents", "doc_id",
+        Seq(("caption", col("source"), col("lang"))))
+      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
+      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+        """SELECT ?d ?head ?tail WHERE {
+          |  ?d <urn:col:documents:caption> ?c .
+          |  BIND(SUBSTR(STR(?c), 1, 3) AS ?head)
+          |  BIND(STRAFTER(STR(?c), "src") AS ?tail)
+          |  FILTER(STRLEN(?tail) = 1 && STR(?tail) != "1")
+          |}""".stripMargin)
+    }),
+
     // COALESCE over an OPTIONAL binding: the id-space fallback chain —
     // the conditioned source when it matched, the (always-bound) lang
     // otherwise; composes the optional-filter and bind layers
@@ -2939,6 +2954,19 @@ object SparkEntry {
       """SELECT upper(lang) AS u, CAST(COUNT(*) AS BIGINT) AS n,
         |       min(sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>')) AS mn
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // string-builtins mirror: SUBSTR/STRAFTER reduce to substr/strpos
+    // over the source column
+    "kg_sparql_strfns" ->
+      """WITH v AS (SELECT doc_id,
+        |                  substr(source, 1, 3) AS head,
+        |                  CASE WHEN strpos(source, 'src') > 0
+        |                       THEN substr(source, strpos(source, 'src') + 3)
+        |                       ELSE '' END AS tail
+        |           FROM documents)
+        |SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+        |       head, tail
+        |FROM v WHERE length(tail) = 1 AND tail <> '1'""".stripMargin,
 
     // COALESCE mirror: matched-and-passing source, else the lang
     "kg_sparql_coalesce" ->

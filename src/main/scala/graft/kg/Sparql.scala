@@ -42,6 +42,9 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *   natom   := number | ?var | STRLEN ( sarg ) | ( nexpr ) | '-' natom
  *   sexpr   := STR(?v) | LANG(?v) | DATATYPE(?v) | CONCAT(sarg, sarg+)
  *            | LCASE(sarg) | UCASE(sarg)       string VALUE space
+ *            | SUBSTR(sarg, nexpr (, nexpr)?)  1-based, like the spec
+ *            | STRBEFORE(sarg, sarg) | STRAFTER(sarg, sarg)
+ *            | REPLACE(sarg, "pat", "repl" (, "i")?)   all occurrences
  *   valuesClause := ?var { const+ } | ( ?var+ ) { ( const+ )+ }
  *   modifiers := (GROUP BY ?var+)? (HAVING ( hexpr ))*
  *                (ORDER BY (?var | ASC(?var) | DESC(?var))+)?
@@ -178,7 +181,8 @@ object Sparql {
     "SEPARATOR", "COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM",
     "AVG", "EXISTS", "NOT", "STR", "LANG", "DATATYPE", "STRSTARTS",
     "STRENDS", "CONTAINS", "ISIRI", "ISLITERAL", "ISBLANK", "BIND",
-    "CONCAT", "LCASE", "UCASE", "STRLEN", "REGEX", "COALESCE")
+    "CONCAT", "LCASE", "UCASE", "STRLEN", "REGEX", "COALESCE", "SUBSTR",
+    "STRBEFORE", "STRAFTER", "REPLACE")
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -333,6 +337,16 @@ object Sparql {
   private final case class SConst(s: String) extends STerm
   private final case class SCase(arg: STerm, upper: Boolean) extends STerm
   private final case class SConcat(args: Seq[STerm]) extends STerm
+  /** SUBSTR(arg, start[, len]) — 1-based like SPARQL/SQL; start/len are
+    * numeric value-space expressions. */
+  private final case class SSubstr(arg: STerm, start: NExpr, len: Option[NExpr]) extends STerm
+  /** STRBEFORE / STRAFTER — '' when the needle does not occur, per spec. */
+  private final case class SCut(arg: STerm, needle: STerm, before: Boolean) extends STerm
+  /** REPLACE(arg, "pattern", "replacement"[, "i"]) — regex, ALL
+    * occurrences (mirror with the 'g' flag in engines that default to
+    * first-match). */
+  private final case class SReplace(arg: STerm, pattern: String, repl: String,
+                                    ci: Boolean) extends STerm
   /** STRSTARTS / STRENDS / CONTAINS over a string-space operand. */
   private final case class FStrFn(func: String, arg: STerm, needle: STerm) extends FExpr
   /** REGEX(sarg, "pattern"[, "i"]) — partial match, optional
@@ -485,7 +499,8 @@ object Sparql {
     case NArith(l, _, r) => nvars(l) ++ nvars(r)
   }
 
-  /** Variables a string expression reads. */
+  /** Variables a string expression reads (including the numeric reads
+    * of SUBSTR's position arguments — they need term joins too). */
   private def svars(t: STerm): Seq[String] = t match {
     case SVar(n, _)   => Seq(n)
     case SLang(n)     => Seq(n)
@@ -493,6 +508,9 @@ object Sparql {
     case SConst(_)    => Nil
     case SCase(a, _)  => svars(a)
     case SConcat(as)  => as.flatMap(svars)
+    case SSubstr(a, s, l) => svars(a) ++ nvars(s) ++ l.toSeq.flatMap(nvars)
+    case SCut(a, b, _)    => svars(a) ++ svars(b)
+    case SReplace(a, _, _, _) => svars(a)
   }
 
   /** A numeric expression's value with SPARQL's promotion: the integer
@@ -561,6 +579,21 @@ object Sparql {
     case SCase(a, true)   => upper(strValue(a, k))
     case SCase(a, false)  => lower(strValue(a, k))
     case SConcat(as)      => concat(as.map(strValue(_, k)): _*)
+    case SSubstr(a, s, l) =>
+      strValue(a, k).substr(numValue(s, k).cast("int"),
+        l.map(numValue(_, k).cast("int")).getOrElse(lit(Int.MaxValue)))
+    case SCut(a, b, before) =>
+      val (h, n) = (strValue(a, k), strValue(b, k))
+      val pos = instr(h, n)
+      // instr(h, "") = 1, so the spec's empty-needle cases fall out:
+      // STRBEFORE(x, "") = "" (substr len 0), STRAFTER(x, "") = x
+      if (before) when(pos > 0, h.substr(lit(1), pos - 1)).otherwise(
+        when(h.isNotNull && n.isNotNull, lit("")))
+      else when(pos > 0, h.substr(pos + length(n), lit(Int.MaxValue))).otherwise(
+        when(h.isNotNull && n.isNotNull, lit("")))
+    case SReplace(a, pattern, repl, ci) =>
+      regexp_replace(strValue(a, k),
+        lit(if (ci) "(?i)" + pattern else pattern), lit(repl))
   }
 
   private def compileF(e: FExpr, k: Map[String, Char]): Column = e match {
@@ -763,6 +796,45 @@ object Sparql {
       val as = args.result()
       if (as.sizeIs < 2) fail("CONCAT takes at least two arguments")
       Some(SConcat(as))
+    case TSym("SUBSTR") =>
+      c.next(); c.takeSym("(")
+      val a = strArg(c)
+      c.takeSym(",")
+      val start = nexpr(c)
+      val len = if (c.atSym(",")) { c.takeSym(","); Some(nexpr(c)) } else None
+      c.takeSym(")")
+      Some(SSubstr(a, start, len))
+    case TSym(s @ ("STRBEFORE" | "STRAFTER")) =>
+      c.next(); c.takeSym("(")
+      val a = strArg(c)
+      c.takeSym(",")
+      val b = strArg(c)
+      c.takeSym(")")
+      Some(SCut(a, b, before = s == "STRBEFORE"))
+    case TSym("REPLACE") =>
+      c.next(); c.takeSym("(")
+      val a = strArg(c)
+      c.takeSym(",")
+      val pat = c.next() match {
+        case TLit(v, None, None) => v
+        case t => fail(s"REPLACE takes a plain string literal pattern, found $t")
+      }
+      c.takeSym(",")
+      val repl = c.next() match {
+        case TLit(v, None, None) => v
+        case t => fail(s"REPLACE takes a plain string literal replacement, found $t")
+      }
+      val ci = if (c.atSym(",")) {
+        c.takeSym(",")
+        c.next() match {
+          case TLit("i", None, None) => true
+          case TLit(f, _, _) => fail(s"unsupported REPLACE flags '$f' — only " +
+            "\"i\" (case-insensitive) is in this fragment")
+          case t => fail(s"REPLACE flags must be a plain string literal, found $t")
+        }
+      } else false
+      c.takeSym(")")
+      Some(SReplace(a, pat, repl, ci))
     case _ => None
   }
 
@@ -1468,6 +1540,10 @@ object Sparql {
       case SConst(_)   => Nil
       case SCase(a, _) => readsS(a)
       case SConcat(as) => as.flatMap(readsS)
+      case SSubstr(a, s, l) =>
+        readsS(a) ++ readsN(s) ++ l.toSeq.flatMap(readsN)
+      case SCut(a, b, _)        => readsS(a) ++ readsS(b)
+      case SReplace(a, _, _, _) => readsS(a)
     }
     def readsF(e: FExpr): Seq[(String, Char)] = e match {
       case FBound(_)        => Nil

@@ -676,6 +676,47 @@ class SparqlParserSpec extends AnyFunSuite {
       === Seq((d2, true)))
   }
 
+  test("SUBSTR / STRBEFORE / STRAFTER / REPLACE string builtins") {
+    val RLS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    val chatEn = Bgp.litId("Chat Room", lang = Some("en"))
+    val chatFr = Bgp.litId("chat", lang = Some("fr"))
+    val e = edges((d1, "urn:cap", chatEn), (d2, "urn:cap", chatFr))
+    val nodes = Seq(
+      (chatEn, RdfTerm.LITERAL, "Chat Room", "en", RLS),
+      (chatFr, RdfTerm.LITERAL, "chat", "fr", RLS))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val out = Sparql.run(e, nodes,
+      """SELECT ?d ?p ?b ?a ?r WHERE {
+        |  ?d <urn:cap> ?c .
+        |  BIND(SUBSTR(?c, 1, 4) AS ?p)
+        |  BIND(STRBEFORE(STR(?c), " ") AS ?b)
+        |  BIND(STRAFTER(?c, "t") AS ?a)
+        |  BIND(REPLACE(?c, "a", "o") AS ?r)
+        |}""".stripMargin)
+    val got = out.collect().map(r => r.getString(0) ->
+      (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(got(d1) === (("Chat", "Chat", " Room", "Chot Room")))
+    // no space in "chat" -> STRBEFORE '' ; after the final 't' -> ''
+    assert(got(d2) === (("chat", "", "", "chot")))
+    // spec edge: empty needle — STRAFTER(x, "") = x, STRBEFORE(x, "") = ""
+    val edge = Sparql.run(e, nodes,
+      """SELECT ?d ?x ?y WHERE { ?d <urn:cap> ?c
+        |  BIND(STRAFTER(?c, "") AS ?x) BIND(STRBEFORE(?c, "") AS ?y) }""".stripMargin)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(edge(d2) === (("chat", "")))
+    // case-insensitive REPLACE; SUBSTR without length runs to the end
+    val ci = Sparql.run(e, nodes,
+      """SELECT ?d ?x ?t WHERE { ?d <urn:cap> ?c
+        |  BIND(REPLACE(?c, "^CH", "X", "i") AS ?x)
+        |  BIND(SUBSTR(?c, 6) AS ?t) }""".stripMargin)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(ci(d1) === (("Xat Room", "Room")))
+    assert(ci(d2) === (("Xat", "")))
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?d WHERE { ?d <urn:cap> ?c BIND(REPLACE(?c, \"a\", \"o\", \"g\") AS ?x) }"))
+    assert(ex.getMessage.contains("unsupported REPLACE flags"))
+  }
+
   test("COALESCE binds the first bound pattern variable (id space)") {
     val out = Sparql.run(corpus,
       """SELECT ?d ?v WHERE {

@@ -1584,6 +1584,23 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // numeric builtins: a FLOOR-banded histogram with ABS/ROUND in the
+    // FILTER — floor/abs are bit-exact on doubles and ROUND compiles to
+    // floor(x+0.5) (spec round-half-toward-+INF) in BOTH engines
+    "kg_sparql_numfns" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
+      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
+      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+        """SELECT ?band (COUNT(*) AS ?n) WHERE {
+          |  ?o <urn:col:orders:o_totalprice> ?p .
+          |  BIND(FLOOR(?p / 50000) AS ?band)
+          |  FILTER(ABS(?band) < 6 && ROUND(?p / 50000) >= 1)
+          |} GROUP BY ?band""".stripMargin)
+    }),
+
     // SUBSTR/STRAFTER string builtins composing with STRLEN and the
     // string-space inequality — all reading the ONE ?c term join
     "kg_sparql_strfns" -> ((s, dir) => {
@@ -2954,6 +2971,16 @@ object SparkEntry {
       """SELECT upper(lang) AS u, CAST(COUNT(*) AS BIGINT) AS n,
         |       min(sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>')) AS mn
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // numeric-builtins mirror: the same floor/abs over the lexical
+    // double, ROUND spelled as its floor(x+0.5) definition
+    "kg_sparql_numfns" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS p
+        |           FROM orders)
+        |SELECT floor(p / 50000) AS band, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM v
+        |WHERE abs(floor(p / 50000)) < 6 AND floor(p / 50000 + 0.5) >= 1
+        |GROUP BY 1""".stripMargin,
 
     // string-builtins mirror: SUBSTR/STRAFTER reduce to substr/strpos
     // over the source column

@@ -40,6 +40,8 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *   nexpr   := nmul (('+' | '-') nmul)*        numeric VALUE space
  *   nmul    := natom (('*' | '/') natom)*      (x/0 = unbound, not INF)
  *   natom   := number | ?var | STRLEN ( sarg ) | ( nexpr ) | '-' natom
+ *            | (ABS | CEIL | FLOOR | ROUND) ( nexpr )
+ *              (ROUND = floor(x + 0.5): spec round-half-toward-+INF)
  *   sexpr   := STR(?v) | LANG(?v) | DATATYPE(?v) | CONCAT(sarg, sarg+)
  *            | LCASE(sarg) | UCASE(sarg)       string VALUE space
  *            | SUBSTR(sarg, nexpr (, nexpr)?)  1-based, like the spec
@@ -182,7 +184,7 @@ object Sparql {
     "AVG", "EXISTS", "NOT", "STR", "LANG", "DATATYPE", "STRSTARTS",
     "STRENDS", "CONTAINS", "ISIRI", "ISLITERAL", "ISBLANK", "BIND",
     "CONCAT", "LCASE", "UCASE", "STRLEN", "REGEX", "COALESCE", "SUBSTR",
-    "STRBEFORE", "STRAFTER", "REPLACE")
+    "STRBEFORE", "STRAFTER", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND")
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -324,6 +326,10 @@ object Sparql {
   private final case class NNum(v: Double) extends NExpr
   private final case class NStrLen(arg: STerm) extends NExpr
   private final case class NArith(l: NExpr, op: String, r: NExpr) extends NExpr
+  /** ABS / CEIL / FLOOR / ROUND — ROUND compiles to floor(x + 0.5),
+    * which IS xsd/SPARQL round-half-toward-+INF (a bare engine round()
+    * would be HALF_UP / HALF_EVEN depending on the engine). */
+  private final case class NFn(func: String, arg: NExpr) extends NExpr
   private final case class FNumCmp(l: NExpr, op: String, r: NExpr) extends FExpr
   /** STRING value-space operand: a variable read through its bindValues
     * `_term` struct (bare = string-family literal lexical form only,
@@ -497,6 +503,7 @@ object Sparql {
     case NNum(_)         => Nil
     case NStrLen(a)      => svars(a)
     case NArith(l, _, r) => nvars(l) ++ nvars(r)
+    case NFn(_, a)       => nvars(a)
   }
 
   /** Variables a string expression reads (including the numeric reads
@@ -540,6 +547,16 @@ object Sparql {
         // where signed-infinity rendering is not, and ANSI Spark would
         // otherwise throw mid-job
         case "/" => try_divide(a, b)
+      }
+    case NFn(func, a) =>
+      val x = numValue(a, k)
+      func match {
+        case "ABS"   => abs(x)
+        // floor/ceil return LONG in Spark — cast back so the whole
+        // numeric space stays double (exact for |v| < 2^53)
+        case "CEIL"  => ceil(x).cast("double")
+        case "FLOOR" => floor(x).cast("double")
+        case "ROUND" => floor(x + 0.5).cast("double")
       }
   }
 
@@ -860,6 +877,11 @@ object Sparql {
       val a = strArg(c)
       c.takeSym(")")
       NStrLen(a)
+    case TSym(f @ ("ABS" | "CEIL" | "FLOOR" | "ROUND")) =>
+      c.next(); c.takeSym("(")
+      val a = nexpr(c)
+      c.takeSym(")")
+      NFn(f, a)
     case TNum(v) => c.next(); NNum(v.toDouble)
     case TDbl(v) => c.next(); NNum(v)
     case TVar(n) => c.next(); NVar(n)
@@ -959,7 +981,8 @@ object Sparql {
         FKindTest(f, v)
       // an unambiguous numeric-expression opener: the whole comparison
       // lives in the numeric value space
-      case TSym("STRLEN") | TSym("-") =>
+      case TSym("STRLEN") | TSym("-") | TSym("ABS") | TSym("CEIL") |
+           TSym("FLOOR") | TSym("ROUND") =>
         val l = nexpr(c)
         FNumCmp(l, cmpOp(), nexpr(c))
       case _ =>
@@ -974,7 +997,8 @@ object Sparql {
         // numeric expression; '(' is numeric too but ONLY under an
         // ordering operator — `?x = (?y)` would otherwise silently turn
         // an id-space equality into a value-space one
-        if (c.atSym("-") || c.atSym("STRLEN") ||
+        if (c.atSym("-") || c.atSym("STRLEN") || c.atSym("ABS") ||
+            c.atSym("CEIL") || c.atSym("FLOOR") || c.atSym("ROUND") ||
             (c.atSym("(") && Set("<", "<=", ">", ">=")(op)))
           FNumCmp(toN(l), op, nexpr(c))
         else if (c.atSym("("))
@@ -1212,7 +1236,8 @@ object Sparql {
           case TLit(v, None, None) => c.next(); BStr(SConst(v))
           case TLit(_, _, _) =>
             fail("BIND string constants must be plain (no @lang / ^^dt)")
-          case TNum(_) | TDbl(_) | TSym("(") | TSym("-") | TSym("STRLEN") =>
+          case TNum(_) | TDbl(_) | TSym("(") | TSym("-") | TSym("STRLEN") |
+               TSym("ABS") | TSym("CEIL") | TSym("FLOOR") | TSym("ROUND") =>
             BNum(nexpr(c))
           case t => fail(s"expected a numeric/string expression, ?var or " +
             s"a plain string literal in BIND, found $t")
@@ -1532,6 +1557,7 @@ object Sparql {
       case NNum(_)         => Nil
       case NStrLen(a)      => readsS(a)
       case NArith(l, _, r) => readsN(l) ++ readsN(r)
+      case NFn(_, a)       => readsN(a)
     }
     def readsS(t: STerm): Seq[(String, Char)] = t match {
       case SVar(n, _)  => Seq((n, 's'))

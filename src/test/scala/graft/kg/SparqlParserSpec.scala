@@ -676,6 +676,39 @@ class SparqlParserSpec extends AnyFunSuite {
       === Seq((d2, true)))
   }
 
+  test("ABS / CEIL / FLOOR / ROUND numeric builtins") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val p10 = Bgp.litId("10", XSD + "long")
+    val p200 = Bgp.litId("200", XSD + "long")
+    val p2_5 = Bgp.litId("2.5", XSD + "double")
+    val e = edges((d1, "urn:price", p10), (d2, "urn:price", p200),
+      (d3, "urn:price", p2_5))
+    val nodes = Seq(
+      (p10, RdfTerm.LITERAL, "10", null, XSD + "long"),
+      (p200, RdfTerm.LITERAL, "200", null, XSD + "long"),
+      (p2_5, RdfTerm.LITERAL, "2.5", null, XSD + "double"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val out = Sparql.run(e, nodes,
+      """SELECT ?d ?f ?c ?r ?a WHERE {
+        |  ?d <urn:price> ?p .
+        |  BIND(FLOOR(?p / 3) AS ?f)
+        |  BIND(CEIL(?p / 3) AS ?c)
+        |  BIND(ROUND(-?p) AS ?r)
+        |  BIND(ABS(0 - ?p) AS ?a)
+        |}""".stripMargin)
+    val got = out.collect().map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(d1) === ((3.0, 4.0, -10.0, 10.0)))
+    assert(got(d2) === ((66.0, 67.0, -200.0, 200.0)))
+    // ROUND(-2.5) = -2: round-half-toward-+INF, where an engine
+    // HALF_UP round() would give -3
+    assert(got(d3) === ((0.0, 1.0, -2.0, 2.5)))
+    // builtins open numeric comparisons in FILTER directly
+    assert(Sparql.run(e, nodes,
+      "SELECT ?d WHERE { ?d <urn:price> ?p FILTER(FLOOR(?p) = 2) }")
+      .collect().map(_.getString(0)).toSeq === Seq(d3))
+  }
+
   test("SUBSTR / STRBEFORE / STRAFTER / REPLACE string builtins") {
     val RLS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
     val chatEn = Bgp.litId("Chat Room", lang = Some("en"))

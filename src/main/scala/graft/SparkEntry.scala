@@ -108,6 +108,23 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     fanOut(s, s.read.parquet(s"$dir/documents.parquet"))
 
+  /**
+   * Parse -> skolemize -> canonicalize -> materialize for the SPARQL
+   * gates, returning the ID-SPACE (edges, nodes) pair with BOTH
+   * relations checkpointed — not just the term-struct triples. A BGP
+   * scans the edge relation once per pattern and every bindValues join
+   * reads the nodes relation, so checkpointing only the triples made
+   * each of those scans re-derive sha2(concat(CASE...)) node ids for
+   * every row (r5 verdict #1: kg_sparql_bind read 6.36 s where its
+   * sibling read 0.63 s). The intermediate triples checkpoint keeps the
+   * corpus parse single-pass across the two materialization jobs.
+   */
+  private def sparqlGraph(c: Dataset[CorpusRow]): (DataFrame, DataFrame) = {
+    val t = Canonicalize(Skolemize(parsedTriples(c))).localCheckpoint(true)
+    (Materialize.edges(t).localCheckpoint(true),
+      Materialize.nodes(t).localCheckpoint(true))
+  }
+
   private def embs(s: SparkSession, dir: String): DataFrame =
     fanOut(s, s.read.parquet(s"$dir/embeddings.parquet"))
 
@@ -513,11 +530,11 @@ object SparkEntry {
       val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
       val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
         ("o_custkey", col("o_custkey"), s"${XSD}long")))
-      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
+      val (e, nd) = sparqlGraph(corpus)
       val bound = Bgp.bindValues(
-        Bgp.matchPatterns(Materialize.edges(t), Seq(
+        Bgp.matchPatterns(e, Seq(
           Bgp.TriplePattern(Bgp.V("o"), Bgp.C("urn:col:orders:o_custkey"), Bgp.V("c")))),
-        Materialize.nodes(t), Seq("c"))
+        nd, Seq("c"))
       bound.filter(TypedLiterals.asLong(col("c_term")) % 100 === 0)
         .select(col("o"), TypedLiterals.asLong(col("c_term")).as("cust"))
     }),
@@ -1445,8 +1462,8 @@ object SparkEntry {
       val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
         ("o_custkey", col("o_custkey"), s"${XSD}long"),
         ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
-      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
-      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
         """SELECT ?o ?c WHERE {
           |  ?o <urn:col:orders:o_custkey> ?c .
           |  ?o <urn:col:orders:o_totalprice> ?p .
@@ -1480,8 +1497,8 @@ object SparkEntry {
     "kg_sparql_strfilter" -> ((s, dir) => {
       val corpus = Corpus.fromTableTagged(docs(s, dir), "documents", "doc_id",
         Seq(("caption", col("source"), col("lang"))))
-      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
-      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
         """SELECT ?d ?c WHERE {
           |  ?d <urn:col:documents:caption> ?c .
           |  FILTER (ISLITERAL(?c) && LANG(?c) != "en")
@@ -1501,8 +1518,8 @@ object SparkEntry {
       val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
         ("o_custkey", col("o_custkey"), s"${XSD}long"),
         ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
-      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
-      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
         """SELECT ?c (SUM(?p) AS ?total) (AVG(?p) AS ?mean) (COUNT(?p) AS ?n)
           |WHERE { ?o <urn:col:orders:o_custkey> ?c .
           |        ?o <urn:col:orders:o_totalprice> ?p }
@@ -1531,8 +1548,8 @@ object SparkEntry {
       val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
         ("o_custkey", col("o_custkey"), s"${XSD}long"),
         ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
-      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
-      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
         """SELECT ?o ?c ?net WHERE {
           |  ?o <urn:col:orders:o_custkey> ?c .
           |  ?o <urn:col:orders:o_totalprice> ?p .
@@ -1547,8 +1564,8 @@ object SparkEntry {
     "kg_sparql_bind_str" -> ((s, dir) => {
       val corpus = Corpus.fromTableTagged(docs(s, dir), "documents", "doc_id",
         Seq(("caption", col("source"), col("lang"))))
-      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
-      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
         """SELECT ?d ?tag WHERE {
           |  ?d <urn:col:documents:caption> ?c .
           |  BIND(CONCAT(UCASE(LANG(?c)), ":", LCASE(STR(?c))) AS ?tag)
@@ -1561,8 +1578,8 @@ object SparkEntry {
     "kg_sparql_bind_group" -> ((s, dir) => {
       val corpus = Corpus.fromTableTagged(docs(s, dir), "documents", "doc_id",
         Seq(("caption", col("source"), col("lang"))))
-      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
-      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
         """SELECT ?u (COUNT(*) AS ?n) (MIN(?d) AS ?mn) WHERE {
           |  ?d <urn:col:documents:caption> ?c .
           |  BIND(UCASE(LANG(?c)) AS ?u)
@@ -1592,8 +1609,8 @@ object SparkEntry {
       val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
       val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
         ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
-      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
-      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
         """SELECT ?band (COUNT(*) AS ?n) WHERE {
           |  ?o <urn:col:orders:o_totalprice> ?p .
           |  BIND(FLOOR(?p / 50000) AS ?band)
@@ -1606,8 +1623,8 @@ object SparkEntry {
     "kg_sparql_strfns" -> ((s, dir) => {
       val corpus = Corpus.fromTableTagged(docs(s, dir), "documents", "doc_id",
         Seq(("caption", col("source"), col("lang"))))
-      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
-      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
         """SELECT ?d ?head ?tail WHERE {
           |  ?d <urn:col:documents:caption> ?c .
           |  BIND(SUBSTR(STR(?c), 1, 3) AS ?head)
@@ -1634,12 +1651,11 @@ object SparkEntry {
     // forms — the human-readable exit from the hashed-id plane; one
     // broadcast-able left join per column, unmatched ids pass through
     "kg_sparql_labels" -> ((s, dir) => {
-      val t = Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir))))
-        .localCheckpoint(true)
-      val res = Sparql.run(Materialize.edges(t),
+      val (e, nd) = sparqlGraph(documentsCorpus(s, dir))
+      val res = Sparql.run(e,
         """PREFIX col: <urn:col:documents:>
           |SELECT ?d ?s WHERE { ?d col:lang "de" . ?d col:source ?s }""".stripMargin)
-      Sparql.resolveTerms(res, Materialize.nodes(t), Seq("d", "s"))
+      Sparql.resolveTerms(res, nd, Seq("d", "s"))
     }),
 
     // SPARQL PREFIX: prefixed names expand to full IRIs BEFORE the body
@@ -1664,8 +1680,8 @@ object SparkEntry {
       val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
         ("o_custkey", col("o_custkey"), s"${XSD}long"),
         ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
-      val t = Canonicalize(Skolemize(parsedTriples(corpus))).localCheckpoint(true)
-      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
         """SELECT ?c (COUNT(*) AS ?n) WHERE {
           |  ?o <urn:col:orders:o_custkey> ?c .
           |  ?o <urn:col:orders:o_totalprice> ?p .
@@ -1677,9 +1693,9 @@ object SparkEntry {
     // back onto the docs on the anchored ?l, the COUNT alias read
     // directly by the outer FILTER (a computed value — no nodes join)
     "kg_sparql_subquery" -> ((s, dir) => {
-      val t = Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir))))
-        .localCheckpoint(true)
-      Sparql.run(Materialize.edges(t),
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(
+          documentsCorpus(s, dir))))).localCheckpoint(true)
+      Sparql.run(e,
         """SELECT ?d ?l ?n WHERE {
           |  ?d <urn:col:documents:lang> ?l .
           |  { SELECT ?l (COUNT(*) AS ?n)
@@ -1692,9 +1708,8 @@ object SparkEntry {
     // one inline flag both engines' regex dialects spell identically
     // ((?i)); anchored classes keep the two RE dialects aligned
     "kg_sparql_regex" -> ((s, dir) => {
-      val t = Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir))))
-        .localCheckpoint(true)
-      Sparql.run(Materialize.edges(t), Materialize.nodes(t),
+      val (e, nd) = sparqlGraph(documentsCorpus(s, dir))
+      Sparql.run(e, nd,
         """SELECT ?d ?s WHERE {
           |  ?d <urn:col:documents:source> ?s .
           |  ?d <urn:col:documents:lang> ?l .

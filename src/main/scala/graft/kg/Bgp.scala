@@ -427,6 +427,14 @@ object Bgp {
    * the projected nodes side is dimension-sized); LEFT join + NULL-for-
    * non-literal accessors reproduce SPARQL's error-means-exclude FILTER
    * semantics for IRIs/bnodes in value position.
+   *
+   * The nodes side is projected ONCE, and the per-variable renames
+   * happen ABOVE the join: every join's build side is then the
+   * canonically-identical subplan, so Spark's exchange reuse
+   * (ReusedExchange / ReusedSubquery under AQE) materializes the nodes
+   * aggregation a single time however many variables read the value
+   * space — a per-variable rename INSIDE the projection would make the
+   * subtrees distinct and rebuild the nodes dedup once per variable.
    */
   def bindValues(bindings: DataFrame, nodes: DataFrame,
                  vars: Seq[String]): DataFrame = {
@@ -434,12 +442,12 @@ object Bgp {
     val missing = vars.filterNot(bindings.columns.contains)
     require(missing.isEmpty,
       s"bindValues variable(s) ${missing.mkString(", ")} are not bound")
+    val proj = nodes.select(col("id").as("__term_id"),
+      struct(col("kind"), col("value"), col("lang"), col("dt")).as("__term"))
     vars.foldLeft(bindings) { (df, v) =>
-      df.join(
-        nodes.select(col("id").as(v),
-          struct(col("kind"), col("value"), col("lang"), col("dt"))
-            .as(s"${v}_term")),
-        Seq(v), "left")
+      df.join(proj, df(v) === proj("__term_id"), "left")
+        .drop("__term_id")
+        .withColumnRenamed("__term", s"${v}_term")
     }
   }
 

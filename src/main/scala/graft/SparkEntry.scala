@@ -1715,6 +1715,24 @@ object SparkEntry {
           |  ?d <urn:col:documents:lang> ?l .
           |  FILTER(REGEX(?s, "^src[24]$") && REGEX(?l, "^(EN|DE)$", "i"))
           |}""".stripMargin)
+    }),
+
+    // PREDICATE-position variables bind RAW predicate IRIs (the edges
+    // convention), a different value space from hashed node ids: IRI
+    // constants in FILTER compile RAW against them (never through
+    // Bgp.iriId) and STR(?p) reads the column directly with no
+    // nodes-table join — both pure pushed/narrow column predicates;
+    // every cross-space use (literals, VALUES, node-position reuse) is
+    // a parse error instead of a silently-constant comparison
+    "kg_sparql_predvar" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(
+          documentsCorpus(s, dir))))).localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?d ?col ?o WHERE {
+          |  ?d ?p ?o .
+          |  FILTER(?p != <urn:col:documents:text>)
+          |  BIND(STRAFTER(STR(?p), "urn:col:documents:") AS ?col)
+          |}""".stripMargin)
     })
   )
 
@@ -3071,6 +3089,19 @@ object SparkEntry {
          |FROM documents
          |WHERE regexp_matches(source, '^src[24]$$')
          |  AND regexp_matches(lang, '(?i)^(EN|DE)$$')""".stripMargin,
+
+    // predicate-variable mirror: the raw-IRI FILTER and the STR(?p)
+    // read reduce to the two non-text predicates, spelled literally
+    "kg_sparql_predvar" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       'lang' AS col,
+         |       sha256('"' || lang || '"^^<$XSD_STR>') AS o
+         |FROM documents
+         |UNION ALL
+         |SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>'),
+         |       'source',
+         |       sha256('"' || source || '"^^<$XSD_STR>')
+         |FROM documents""".stripMargin,
 
     // value-space FILTER mirror: the bindValues+TypedLiterals pipeline
     // reduces to plain numeric predicates over the source columns

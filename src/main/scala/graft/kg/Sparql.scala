@@ -309,7 +309,11 @@ object Sparql {
 
   private[kg] sealed trait FTerm
   private final case class FTVar(name: String) extends FTerm
-  private final case class FTConst(id: String) extends FTerm
+  /** A constant comparison side: `id` is the hashed node id (the form
+    * node-position bindings carry); `raw` keeps the IRI's raw string for
+    * comparisons against PREDICATE-position variables, which bind raw
+    * predicate IRIs in the edges convention (not hashed ids). */
+  private final case class FTConst(id: String, raw: Option[String] = None) extends FTerm
 
   private[kg] sealed trait FExpr
   private final case class FBound(v: String) extends FExpr
@@ -447,8 +451,45 @@ object Sparql {
     private[Sparql] def subqueryOutputs: Seq[String] =
       subqueries.flatMap(sq =>
         sq.select ++ sq.projection.collect { case PAgg(_, a) => a })
+    /** Variables bound in PREDICATE position by any pattern of the
+      * group: these bind RAW predicate IRIs (the edges convention), not
+      * hashed node ids — a different value space from every other
+      * binding. Includes subquery-projected variables that are
+      * predicate-position in the subquery, plus BIND copies/COALESCEs
+      * whose sources all live in this space. */
+    private[Sparql] lazy val predSpaceVars: Set[String] = {
+      val pats = required ++ optionals.flatten ++ unions.flatten ++
+        minuses.flatten ++ exists.flatten ++ notExists.flatten ++ template
+      val own = pats.flatMap(p => p.pred match {
+        case V(n) => Seq(n)
+        case _    => Nil
+      }).toSet
+      val sub = subqueries.flatMap(sq => sq.select.filter(sq.predSpaceVars)).toSet
+      binds.foldLeft(own ++ sub) { case (acc, (n, b)) =>
+        b match {
+          case BCopy(src) if acc(src)         => acc + n
+          case BCoalesce(vs) if vs.forall(acc) => acc + n
+          case _                               => acc
+        }
+      }
+    }
+    /** Variables bound in SUBJECT/OBJECT position (hashed node ids),
+      * plus DESCRIBE subjects and subquery-projected node-space
+      * variables — the complement space to [[predSpaceVars]]. */
+    private[Sparql] lazy val nodeSpaceVars: Set[String] = {
+      val pats = required ++ optionals.flatten ++ unions.flatten ++
+        minuses.flatten ++ exists.flatten ++ notExists.flatten ++ template
+      pats.flatMap(p => Seq(p.subj, p.obj).collect { case V(n) => n }).toSet ++
+        subqueries.flatMap(sq => sq.select.filter(sq.nodeSpaceVars)) ++
+        describeVars
+    }
+    /** Value kinds seen by the expression compiler: BIND/subquery value
+      * columns plus predicate-position variables tagged 'p' (raw-IRI
+      * reads — STR(?p) is the column itself, never a nodes-table join). */
+    private[Sparql] lazy val compileKinds: Map[String, Char] =
+      valueKinds ++ predSpaceVars.iterator.map(_ -> 'p')
     /** Compiled FILTER predicates over the binding columns. */
-    def filters: Seq[Column] = filterAst.map(compileF(_, valueKinds))
+    def filters: Seq[Column] = filterAst.map(compileF(_, compileKinds))
     /** Plain variables of the projection (empty for `SELECT *`). */
     def select: Seq[String] = projection.collect { case PVar(n) => n }
     /** Variables whose FILTERs read the VALUE space (numeric comparison,
@@ -492,9 +533,12 @@ object Sparql {
         projection.exists(_.isInstanceOf[PAgg])
   }
 
-  private def compileT(t: FTerm): Column = t match {
-    case FTVar(n)   => col(n)
-    case FTConst(v) => lit(v)
+  /** A comparison side; `predSide` = the OTHER side is a predicate-
+    * position variable, so an IRI constant must compile to its RAW
+    * string (the form the pred column carries), not the hashed id. */
+  private def compileT(t: FTerm, predSide: Boolean): Column = t match {
+    case FTVar(n)         => col(n)
+    case FTConst(id, raw) => lit(if (predSide) raw.getOrElse(id) else id)
   }
 
   /** Variables a numeric expression reads (through either space). */
@@ -578,6 +622,12 @@ object Sparql {
     * through CONCAT/LCASE/UCASE keeps error-means-exclude intact. */
   private def strValue(t: STerm, k: Map[String, Char]): Column = t match {
     case SVar(v, _) if k.get(v).contains('s') => col(v)
+    // a predicate-position variable IS the raw IRI string — STR(?p)
+    // reads the column directly, no nodes-table join (a join on the
+    // hashed-id key would silently never match); bare reads are
+    // rejected at validate (string functions over an IRI are a SPARQL
+    // type error)
+    case SVar(v, true) if k.get(v).contains('p') => col(v)
     case SVar(v, true) =>
       val term = col(s"${v}_term")
       when(term("kind") === RdfTerm.IRI || term("kind") === RdfTerm.LITERAL,
@@ -618,8 +668,13 @@ object Sparql {
     case FNot(x)           => !compileF(x, k)
     case FAnd(a, b)        => compileF(a, k) && compileF(b, k)
     case FOr(a, b)         => compileF(a, k) || compileF(b, k)
-    case FCmp(l, "=", r)   => compileT(l) === compileT(r)
-    case FCmp(l, _, r)     => compileT(l) =!= compileT(r)
+    case FCmp(l, op, r)    =>
+      def isPred(t: FTerm): Boolean = t match {
+        case FTVar(n) => k.get(n).contains('p')
+        case _        => false
+      }
+      val (lc, rc) = (compileT(l, isPred(r)), compileT(r, isPred(l)))
+      if (op == "=") lc === rc else lc =!= rc
     case FNumCmp(l, op, r) =>
       val (a, b) = (numValue(l, k), numValue(r, k))
       op match {
@@ -1045,7 +1100,7 @@ object Sparql {
         } else {
           def ft(o: FOperand): FTerm = o match {
             case FOVar(n)           => FTVar(n)
-            case FOIri(iri)         => FTConst(Bgp.iriId(iri))
+            case FOIri(iri)         => FTConst(Bgp.iriId(iri), Some(iri))
             case FOLit(v, lang, dt) =>
               FTConst(Bgp.litId(v, dt.getOrElse(RdfTerm.XsdString), lang))
             case _ => fail("unreachable: numeric/string operand in id comparison")
@@ -1560,7 +1615,10 @@ object Sparql {
       case NFn(_, a)       => readsN(a)
     }
     def readsS(t: STerm): Seq[(String, Char)] = t match {
-      case SVar(n, _)  => Seq((n, 's'))
+      // 'S' = a STR(?v) read (defined on IRIs too), 's' = a bare
+      // string-literal read — the distinction matters for predicate-
+      // position variables, whose raw IRI STR() reads directly
+      case SVar(n, viaStr) => Seq((n, if (viaStr) 'S' else 's'))
       case SLang(n)    => Seq((n, 't'))
       case SDt(n)      => Seq((n, 't'))
       case SConst(_)   => Nil
@@ -1583,8 +1641,9 @@ object Sparql {
       case FStrCmp(l, _, r) => readsS(l) ++ readsS(r)
       case FKindTest(_, v)  => Seq((v, 't'))
     }
-    def checkRead(v: String, how: Char, ctx: String): Unit =
+    def checkRead(v: String, how0: Char, ctx: String): Unit =
       kinds.get(v).foreach { k =>
+        val how = if (how0 == 'S') 's' else how0
         how match {
           case 't' => fail(s"$ctx: ?$v is a BIND value, not an RDF term — " +
             "LANG/DATATYPE/ISIRI-family tests cannot apply to it")
@@ -1598,6 +1657,79 @@ object Sparql {
           case _ => ()
         }
       }
+    // ---- predicate-position space checks. The edges convention stores
+    // RAW predicate IRIs in the pred column and hashed node ids
+    // everywhere else, so a variable bound in predicate position lives
+    // in a different value space from every other binding: joining or
+    // comparing across the two spaces is silently constant (a raw IRI
+    // never equals a sha256 hash). Everything cross-space is rejected
+    // here; the compiler handles the sound cases (IRI constants compile
+    // raw against pred variables, STR(?p) reads the column directly).
+    val predSpace = qy.predSpaceVars
+    val mixedSpace = (predSpace & qy.nodeSpaceVars).toSeq.sorted
+    if (mixedSpace.nonEmpty)
+      fail(s"variable(s) ${mixedSpace.map("?" + _).mkString(", ")} are bound " +
+        "in predicate position (raw IRIs) but also used where hashed node " +
+        "ids live (subject/object position, DESCRIBE, CONSTRUCT node slots) " +
+        "— the two spaces never compare equal; rename one of the uses")
+    def checkPredRead(v: String, how: Char, ctx: String): Unit =
+      if (predSpace(v)) how match {
+        case 'n' => fail(s"$ctx reads ?$v numerically, but ?$v binds " +
+          "predicate IRIs")
+        case 's' => fail(s"$ctx reads ?$v as a string literal, but ?$v " +
+          s"binds predicate IRIs — wrap it: STR(?$v)")
+        case 't' => fail(s"$ctx applies an RDF-term test to ?$v, which " +
+          "binds predicate IRIs directly (ISIRI would be vacuously true; " +
+          "LANG/DATATYPE are type errors on IRIs)")
+        case _ => () // 'S' (STR) reads the raw IRI; 'c' via checkPredCmp
+      }
+    def checkPredCmp(e: FExpr, pv: Set[String], ctx: String): Unit = e match {
+      case FCmp(l, _, r) =>
+        def isPred(t: FTerm): Boolean = t match {
+          case FTVar(n) => pv(n)
+          case _        => false
+        }
+        (l, r) match {
+          case _ if !isPred(l) && !isPred(r) => ()
+          case (FTVar(a), FTVar(b)) =>
+            if (isPred(l) != isPred(r))
+              fail(s"$ctx compares ?$a with ?$b across value spaces — one " +
+                "binds raw predicate IRIs, the other hashed node ids, so " +
+                "the comparison is silently constant")
+          case (FTVar(n), FTConst(_, None)) =>
+            fail(s"$ctx compares predicate variable ?$n with a literal — " +
+              "predicates are IRIs; compare against an <iri>")
+          case (FTConst(_, None), FTVar(n)) =>
+            fail(s"$ctx compares predicate variable ?$n with a literal — " +
+              "predicates are IRIs; compare against an <iri>")
+          case _ => () // pred variable vs IRI constant: compiled raw
+        }
+      case FNot(x)    => checkPredCmp(x, pv, ctx)
+      case FAnd(a, b) => checkPredCmp(a, pv, ctx); checkPredCmp(b, pv, ctx)
+      case FOr(a, b)  => checkPredCmp(a, pv, ctx); checkPredCmp(b, pv, ctx)
+      case _          => ()
+    }
+    qy.filterAst.foreach(checkPredCmp(_, predSpace, "FILTER"))
+    qy.optionalFilters.zip(qy.optionals).foreach { case (fs, group) =>
+      val gp = group.flatMap(p => p.pred match {
+        case V(n) => Seq(n); case _ => Nil
+      }).toSet
+      fs.foreach(checkPredCmp(_, gp, "a FILTER inside OPTIONAL"))
+    }
+    qy.values.foreach { case (vs, _) =>
+      val pv = vs.filter(predSpace)
+      if (pv.nonEmpty)
+        fail(s"VALUES over predicate-position variable(s) " +
+          s"${pv.map("?" + _).mkString(", ")} — inline rows hash to node " +
+          "ids, which never match raw predicate IRIs; use a predicate " +
+          "alternative (<a>|<b>) or FILTER(?p = <a> || ?p = <b>)")
+    }
+    (qy.projection.collect { case PAgg(call, _) => call } ++
+      qy.havingAst.flatMap(havingCalls)).foreach {
+      case AggCall(f @ ("SUM" | "AVG"), _, Some(v), _) if predSpace(v) =>
+        fail(s"$f(?$v) aggregates numeric values, but ?$v binds predicate IRIs")
+      case _ => ()
+    }
     val bindNames = qy.binds.map(_._1)
     val dupBind = bindNames.diff(bindNames.distinct)
     if (dupBind.nonEmpty)
@@ -1621,6 +1753,11 @@ object Sparql {
           if (notPattern.nonEmpty)
             fail(s"COALESCE takes PATTERN variables — ${notPattern.map("?" + _).mkString(", ")} " +
               "are not pattern bindings (coalescing ids with computed values mixes spaces)")
+          val ps = vs.filter(predSpace)
+          if (ps.nonEmpty && ps.size != vs.size)
+            fail(s"COALESCE in BIND ?$name mixes predicate-position (raw " +
+              "IRI) and node-position (hashed id) variables — the two " +
+              "spaces cannot share a column")
           Nil
         case BNum(e) => readsN(e)
         case BStr(t) => readsS(t)
@@ -1631,11 +1768,28 @@ object Sparql {
           fail(s"BIND ?$name reads ?$v, which is bound neither by the " +
             "patterns, a subquery, nor an earlier BIND")
         checkRead(v, how, s"BIND ?$name")
+        checkPredRead(v, how, s"BIND ?$name")
       }
     }
     qy.filterAst.flatMap(readsF).foreach { case (v, how) =>
       checkRead(v, how, "FILTER")
+      checkPredRead(v, how, "FILTER")
     }
+    // every variable a FILTER reads must be bound by the patterns, a
+    // BIND or a subquery — a typo'd FILTER variable would otherwise
+    // surface as an opaque unresolved-column AnalysisException at run
+    // time instead of a parse error (the same check BIND gets above)
+    def fReadVars(e: FExpr): Seq[String] = e match {
+      case FBound(v) => Seq(v)
+      case FNot(x)   => fReadVars(x)
+      case FAnd(a, b) => fReadVars(a) ++ fReadVars(b)
+      case FOr(a, b)  => fReadVars(a) ++ fReadVars(b)
+      case other      => readsF(other).map(_._1)
+    }
+    val filterBound = patternVarsAll ++ bindNames ++ qy.subqueryOutputs
+    qy.filterAst.flatMap(fReadVars).distinct.filterNot(filterBound.contains)
+      .foreach(v => fail(s"FILTER reads ?$v, which is bound neither by " +
+        "the patterns, a BIND, nor a subquery"))
     // ---- subquery checks: result-name hygiene and join anchoring.
     // Every subquery-projected PLAIN variable must be bound by the
     // subquery's own REQUIRED pattern and the join must share at least
@@ -1724,6 +1878,34 @@ object Sparql {
     if (probeClash.nonEmpty)
       fail(s"FILTER EXISTS patterns cannot reference computed variable(s) " +
         s"${probeClash.mkString(", ")} — the probes join on node-id columns")
+    // EXISTS / NOT EXISTS / MINUS compile to equi-semi/anti-joins on the
+    // shared variables, and a NULL key (a shared variable bound only by
+    // an OPTIONAL, or by only SOME union branches) never matches — where
+    // SPARQL's substitution/compatibility semantics leave the variable
+    // FREE: EXISTS would drop rows SPARQL keeps, NOT EXISTS keep rows
+    // SPARQL removes. Require every shared variable to be never-NULL:
+    // required-pattern-bound, bound by EVERY union branch, or a subquery
+    // plain output (validated never-NULL). Exception: a MINUS group whose
+    // ONLY shared variable may be NULL is exactly SPARQL's
+    // disjoint-domain rule (the row survives), so single-shared-variable
+    // MINUS stays accepted.
+    val neverNull: Set[String] =
+      (if (qy.unions.nonEmpty) qy.unions.map(varsOf).reduce(_ & _)
+       else reqVars) ++ qy.subqueries.flatMap(_.select)
+    def checkProbeAnchors(groups: Seq[Seq[TriplePattern]], what: String,
+                          minShared: Int): Unit =
+      groups.foreach { g =>
+        val shared = (varsOf(g) & (patternVarsAll ++ qy.subqueryOutputs)).toSeq.sorted
+        val nullable = shared.filterNot(neverNull)
+        if (shared.size >= minShared && nullable.nonEmpty)
+          fail(s"$what shares variable(s) ${nullable.map("?" + _).mkString(", ")} " +
+            "that may be unbound (OPTIONAL-only or partial-union binding) — " +
+            "a NULL join key silently diverges from SPARQL's semantics; " +
+            "anchor the variable in the required pattern")
+      }
+    checkProbeAnchors(qy.exists, "FILTER EXISTS", minShared = 1)
+    checkProbeAnchors(qy.notExists, "FILTER NOT EXISTS", minShared = 1)
+    checkProbeAnchors(qy.minuses, "MINUS", minShared = 2)
     (qy.projection.collect { case PAgg(call, _) => call } ++
       qy.havingAst.flatMap(havingCalls)).foreach {
       case AggCall(f @ ("SUM" | "AVG"), _, Some(v), _) if kinds.contains(v) =>
@@ -2025,13 +2207,22 @@ object Sparql {
         joinSubs(subDfs.head, subDfs.tail) // subquery-only group
       else joinSubs(Bgp.applyMinus(edges,
         Bgp.matchWithOptional(edges, q.required, q.optionals, Nil,
-          q.optionalFilters.map(_.map(compileF(_, Map.empty)))), q.minuses),
+          q.optionalFilters.zip(q.optionals).map { case (fs, group) =>
+            // an OPTIONAL group's own predicate-position variables bind
+            // raw IRIs — their constants must compile raw, like any
+            // pred-space comparison
+            val gk = group.flatMap(p => p.pred match {
+              case V(n) => Seq(n -> 'p'); case _ => Nil
+            }).toMap
+            fs.map(compileF(_, gk))
+          }), q.minuses),
         subDfs)
     val probed = Bgp.applyExists(edges,
       Bgp.applyExists(edges, grouped, q.exists), q.notExists, negate = true)
-    val kinds = q.valueKinds
-    // BIND columns are plain values — only PATTERN variables read in a
-    // value space need the nodes-table term join
+    val kinds = q.compileKinds
+    // BIND columns are plain values, and predicate-position variables
+    // carry their raw IRI directly — only NODE-position pattern
+    // variables read in a value space need the nodes-table term join
     val filterVars = q.filterTermVars.filterNot(kinds.contains)
     val bindInVars = q.bindTermVars.filterNot(kinds.contains)
     val aggVars = q.numericAggVars

@@ -1022,6 +1022,106 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(r.length === 1 && r(0).isNullAt(1))
   }
 
+  test("predicate-position variables: raw-IRI FILTER compiles, STR reads direct") {
+    // ?p binds RAW predicate IRIs — an IRI constant must compare raw
+    // (hashing it would make the inequality vacuously true)
+    val r1 = Sparql.run(corpus,
+      "SELECT ?d ?p WHERE { ?d ?p ?o FILTER(?p != <urn:lang>) }")
+    assert(r1.columns.toSeq === Seq("d", "p"))
+    val got = r1.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set((d1, "urn:src"), (d2, "urn:src")))
+    // equality keeps only the named predicate
+    assert(Sparql.run(corpus,
+      "SELECT ?d WHERE { ?d ?p ?o FILTER(?p = <urn:src>) }").count() === 2)
+    // pred-pred comparison is consistent (both raw)
+    assert(Sparql.run(corpus,
+      "SELECT ?d WHERE { ?d ?p ?o . ?d ?q ?o2 FILTER(?p != ?q) }")
+      .count() === 4) // d1/d2 each: (lang,src) and (src,lang)
+    // STR(?p) reads the raw IRI column directly — no nodes join, works
+    // on the edges-only overload
+    assert(Sparql.run(corpus,
+      """SELECT ?d WHERE { ?d ?p ?o FILTER(STRENDS(STR(?p), "src")) }""")
+      .count() === 2)
+    // GROUP BY / COUNT over a predicate variable: raw-IRI keys
+    val byPred = Sparql.run(corpus,
+      "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byPred === Map("urn:lang" -> 3L, "urn:src" -> 2L))
+  }
+
+  test("predicate-position variables: cross-space uses are rejected") {
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"$q -> ${ex.getMessage}")
+    }
+    // literal comparison: predicates are IRIs
+    bad("""SELECT ?d WHERE { ?d ?p ?o FILTER(?p != "en") }""", "literal")
+    // cross-space variable comparison
+    bad("SELECT ?d WHERE { ?d ?p ?o FILTER(?p = ?o) }", "across value spaces")
+    // both-position binding: raw IRI joined against hashed ids
+    bad("SELECT ?d WHERE { ?d ?x ?o . ?x <urn:lang> ?l }",
+      "predicate position")
+    // VALUES rows hash to node ids — they can never match raw pred IRIs
+    bad("SELECT ?d WHERE { ?d ?p ?o VALUES ?p { <urn:lang> } }",
+      "VALUES over predicate-position")
+    // value-space reads: numeric, bare string, term tests, SUM
+    bad("SELECT ?d WHERE { ?d ?p ?o FILTER(?p > 3) }", "numerically")
+    bad("""SELECT ?d WHERE { ?d ?p ?o FILTER(CONTAINS(?p, "x")) }""",
+      "STR(?p)")
+    bad("SELECT ?d WHERE { ?d ?p ?o FILTER(ISIRI(?p)) }", "vacuously")
+    bad("SELECT ?d (SUM(?p) AS ?t) WHERE { ?d ?p ?o } GROUP BY ?d",
+      "binds predicate IRIs")
+    // DESCRIBE and CONSTRUCT node slots live in the hashed-id space
+    bad("DESCRIBE ?p WHERE { ?d ?p ?o }", "predicate position")
+    bad("CONSTRUCT { ?p <urn:x> ?d } WHERE { ?d ?p ?o }",
+      "predicate position")
+    // a BIND copy of a pred var inherits the space
+    bad("""SELECT ?d WHERE { ?d ?p ?o BIND(?p AS ?q) FILTER(?q = "en") }""",
+      "literal")
+  }
+
+  test("FILTER over an unbound (typo'd) variable is a parse error") {
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?d WHERE { ?d <urn:src> ?source FILTER(?sorce != "x") }"""))
+    assert(ex.getMessage.contains("?sorce"))
+    assert(ex.getMessage.contains("bound neither"))
+    // BOUND too
+    val ex2 = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?d WHERE { ?d <urn:src> ?s FILTER(BOUND(?t)) }"))
+    assert(ex2.getMessage.contains("?t"))
+  }
+
+  test("EXISTS/NOT EXISTS/MINUS shared variables must be never-NULL") {
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"$q -> ${ex.getMessage}")
+    }
+    // EXISTS sharing an OPTIONAL-only variable: a NULL key fails the
+    // semi-join where SPARQL substitution leaves the variable free
+    bad("""SELECT ?d WHERE {
+          |  ?d <urn:lang> ?l . OPTIONAL { ?d <urn:src> ?s }
+          |  FILTER EXISTS { ?x <urn:src> ?s }
+          |}""".stripMargin, "may be unbound")
+    bad("""SELECT ?d WHERE {
+          |  ?d <urn:lang> ?l . OPTIONAL { ?d <urn:src> ?s }
+          |  FILTER NOT EXISTS { ?x <urn:src> ?s }
+          |}""".stripMargin, "may be unbound")
+    // multi-shared-variable MINUS with one nullable key would keep rows
+    // SPARQL removes
+    bad("""SELECT ?d WHERE {
+          |  ?d <urn:lang> ?l . OPTIONAL { ?d <urn:src> ?s }
+          |  MINUS { ?d <urn:src> ?s }
+          |}""".stripMargin, "may be unbound")
+    // single-shared-variable MINUS on an OPTIONAL binding is exactly
+    // SPARQL's disjoint-domain rule — stays accepted, NULL rows survive
+    val r = Sparql.run(corpus,
+      """SELECT ?d ?s WHERE {
+        |  ?d <urn:lang> "en" . OPTIONAL { ?d <urn:src> ?s }
+        |  MINUS { ?s <urn:nope> ?z }
+        |}""".stripMargin)
+    assert(r.count() === 2)
+  }
+
   test("malformed queries fail loudly, not wrongly") {
     def bad(q: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](Sparql.parse(q))

@@ -1733,6 +1733,46 @@ object SparkEntry {
           |  FILTER(?p != <urn:col:documents:text>)
           |  BIND(STRAFTER(STR(?p), "urn:col:documents:") AS ?col)
           |}""".stripMargin)
+    }),
+
+    // SPARQL MIN/MAX by VALUE ORDERING: with the nodes table attached,
+    // the pick follows SPARQL value ordering (numeric literals by value,
+    // other terms before them by id) via min_by/max_by over a NULL-free
+    // (rank, value, id) key — same single hash-agg shuffle, and the
+    // result is the winning TERM ID, so all-IRI groups keep the id pick
+    // bit-for-bit
+    "kg_sparql_minmax" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_custkey", col("o_custkey"), s"${XSD}long"),
+        ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
+        """SELECT ?c (MIN(?p) AS ?lo) (MAX(?p) AS ?hi) (COUNT(*) AS ?n)
+          |WHERE { ?o <urn:col:orders:o_custkey> ?c .
+          |        ?o <urn:col:orders:o_totalprice> ?p }
+          |GROUP BY ?c""".stripMargin)
+    }),
+
+    // ORDER BY a numeric pattern variable: the sort key is the same
+    // (rank, value, id) term-ordering struct — price DESC by VALUE (a
+    // lexical sort would put "9..." above "10...") with the order-IRI id
+    // as total-order tiebreak, planned as TakeOrderedAndProject under
+    // the LIMIT (per-partition top-k, never a global sort)
+    "kg_sparql_order_value" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_custkey", col("o_custkey"), s"${XSD}long"),
+        ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
+        """SELECT ?o ?p WHERE {
+          |  ?o <urn:col:orders:o_custkey> ?c .
+          |  ?o <urn:col:orders:o_totalprice> ?p .
+          |  FILTER(?c < 20)
+          |} ORDER BY DESC(?p) ?o LIMIT 15""".stripMargin)
     })
   )
 
@@ -3102,6 +3142,30 @@ object SparkEntry {
          |       'source',
          |       sha256('"' || source || '"^^<$XSD_STR>')
          |FROM documents""".stripMargin,
+
+    // MIN/MAX-by-value mirror: the winning term is the numerically
+    // min/max price, whose id is the hash of its lexical form (both
+    // engines render doubles shortest-roundtrip, the same parity
+    // kg_sparql_sum_avg relies on)
+    "kg_sparql_minmax" ->
+      """SELECT sha256('"' || CAST(o_custkey AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#long>') AS c,
+        |       sha256('"' || CAST(MIN(o_totalprice) AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#double>') AS lo,
+        |       sha256('"' || CAST(MAX(o_totalprice) AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#double>') AS hi,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    // ORDER BY value mirror: price DESC then the order-IRI hash ASC is a
+    // total order (equal prices share one term id, so the id leg of the
+    // engine's sort key cannot reorder them before the ?o tiebreak)
+    "kg_sparql_order_value" ->
+      """SELECT sha256('<urn:g:orders:' || CAST(o_orderkey AS VARCHAR) || '>') AS o,
+        |       sha256('"' || CAST(o_totalprice AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#double>') AS p
+        |FROM orders WHERE o_custkey < 20
+        |ORDER BY o_totalprice DESC, o ASC LIMIT 15""".stripMargin,
 
     // value-space FILTER mirror: the bindValues+TypedLiterals pipeline
     // reduces to plain numeric predicates over the source columns

@@ -85,7 +85,16 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  * }}}
  *
  * Aggregation is SPARQL 1.1 GROUP BY semantics over the hashed-id
- * fragment: COUNT / COUNT DISTINCT / MIN / MAX are id-decidable;
+ * fragment: COUNT / COUNT DISTINCT are id-decidable; MIN / MAX over a
+ * node-position variable follow SPARQL VALUE ORDERING when the nodes
+ * table is attached — numeric literals compare by value, every other
+ * term sorts before them by id, and the pick returns the winning
+ * term's ID (render it with [[resolveTerms]]) — and fall back to the
+ * documented deterministic id pick on the edges-only overload (the two
+ * coincide whenever the group holds no numeric literal). ORDER BY over
+ * a node-space variable upgrades the same way (one broadcast-able term
+ * join per ordered column); aliases and BIND values always sort by
+ * their plain column.
  * SAMPLE compiles to `min` (a deterministic pick where the spec allows
  * any) and GROUP_CONCAT concatenates in sorted order (the spec leaves
  * order undefined) so results are engine-independent; SUM/AVG read the
@@ -527,6 +536,14 @@ object Sparql {
       (projection.collect { case PAgg(call, _) => call } ++
         havingAst.flatMap(havingCalls)).collect {
         case AggCall("SUM" | "AVG", _, Some(v), _) => v
+      }.distinct
+    /** Node-space variables picked by MIN/MAX: with the nodes overload
+      * these need their `_term` struct alive at aggregation time so the
+      * pick can follow SPARQL value ordering ([[termOrderKey]]). */
+    private[Sparql] def minmaxAggVars: Seq[String] =
+      projection.collect {
+        case PAgg(AggCall("MIN" | "MAX", _, Some(v), _), _)
+          if nodeSpaceVars(v) => v
       }.distinct
     private[Sparql] def isAggregate: Boolean =
       groupBy.nonEmpty || havingAst.nonEmpty ||
@@ -1985,6 +2002,23 @@ object Sparql {
       TypedLiterals.asDecimal(term, 28, 10))
   }
 
+  /** SPARQL value-ordering key over a bound `${v}_term` struct: rank 0
+    * = non-numeric terms (IRIs/bnodes/other literals — the kinds W3C
+    * ordering puts BEFORE numeric literals), ordered among themselves
+    * by id (deterministic where the spec leaves sub-ordering open);
+    * rank 1 = numeric literals, ordered BY VALUE. MIN over an
+    * all-numeric group is the numerically smallest term, MAX the
+    * largest; all-IRI groups keep the id-pick exactly. The key is
+    * NULL-free (rank disambiguates before the coalesced value), so
+    * struct comparison is total. */
+  private def termOrderKey(v: String): Column = {
+    val term = col(s"${v}_term")
+    val num = coalesce(TypedLiterals.asLong(term).cast("double"),
+      TypedLiterals.asDouble(term))
+    struct(when(num.isNotNull, 1).otherwise(0).as("r"),
+      coalesce(num, lit(0.0)).as("n"), col(v).as("i"))
+  }
+
   /** Aggregate compilation. COUNT family is codegen'd partial-agg
     * (map-side combine before the one group-key shuffle); GROUP_CONCAT
     * is collect_list/set — per-group state is O(group payload), so at
@@ -1992,6 +2026,15 @@ object Sparql {
     * string_agg. SAMPLE compiles to `min` and GROUP_CONCAT sorts — both
     * deliberate determinism choices where SPARQL leaves the result
     * engine-defined.
+    *
+    * MIN/MAX over a node-position pattern variable compile per the
+    * overload: with the nodes table attached (`hybrid` contains the
+    * variable), they pick by SPARQL VALUE ORDERING ([[termOrderKey]] —
+    * numeric literals by value, everything else before them by id) and
+    * return the winning term's ID (resolveTerms renders it); without
+    * it, the documented id-space pick. The two coincide on any group
+    * with no numeric literals, so attaching the nodes table never
+    * changes a non-numeric result.
     *
     * SUM/AVG aggregate the NUMERIC VALUE SPACE via the bindValues
     * `_term` struct ([[numDecValue]]): exact decimal(28,10)
@@ -2001,12 +2044,19 @@ object Sparql {
     * or non-numeric value yields NULL (unbound) for the whole
     * aggregate — the `count(num) = count(*)` guard — and the empty
     * global group sums to 0 (Sum({}) = 0, Avg({}) = 0). */
-  private def compileAgg(a: AggCall): Column = a match {
+  private def compileAgg(a: AggCall, hybrid: Set[String] = Set.empty): Column = a match {
     case AggCall("COUNT", false, None, _)    => count(lit(1))
     case AggCall("COUNT", false, Some(v), _) => count(col(v))
     case AggCall("COUNT", true, Some(v), _)  => countDistinct(col(v))
-    case AggCall("MIN", _, Some(v), _)       => min(col(v))
-    case AggCall("MAX", _, Some(v), _)       => max(col(v))
+    // a NULL binding (unmatched OPTIONAL) gets a NULL ordering key,
+    // which min_by/max_by skip — the same NULL-ignoring contract as the
+    // plain min/max picks
+    case AggCall("MIN", _, Some(v), _) =>
+      if (hybrid(v)) min_by(col(v), when(col(v).isNotNull, termOrderKey(v)))
+      else min(col(v))
+    case AggCall("MAX", _, Some(v), _) =>
+      if (hybrid(v)) max_by(col(v), when(col(v).isNotNull, termOrderKey(v)))
+      else max(col(v))
     case AggCall("SAMPLE", _, Some(v), _)    => min(col(v))
     case AggCall("GROUP_CONCAT", false, Some(v), sep) =>
       array_join(sort_array(collect_list(col(v))), sep)
@@ -2055,7 +2105,8 @@ object Sparql {
     * group); HAVING aggregates not already projected are computed in
     * the same pass under internal aliases and dropped after the
     * filter. */
-  private def aggregate(matched: DataFrame, q: Query): DataFrame = {
+  private def aggregate(matched: DataFrame, q: Query,
+                        hybrid: Set[String] = Set.empty): DataFrame = {
     val projAggs = q.projection.collect { case PAgg(call, alias) => (call, alias) }
     val extra = q.havingAst.flatMap(havingCalls).distinct
       .filterNot(projAggs.map(_._1).contains)
@@ -2067,7 +2118,7 @@ object Sparql {
         // alone, i.e. the distinct group keys
         matched.select(q.groupBy.map(col): _*).distinct()
       else {
-        val aggCols = all.map { case (call, alias) => compileAgg(call).as(alias) }
+        val aggCols = all.map { case (call, alias) => compileAgg(call, hybrid).as(alias) }
         val grouped =
           if (q.groupBy.nonEmpty) matched.groupBy(q.groupBy.map(col): _*)
           else matched.groupBy()
@@ -2225,7 +2276,10 @@ object Sparql {
     // variables read in a value space need the nodes-table term join
     val filterVars = q.filterTermVars.filterNot(kinds.contains)
     val bindInVars = q.bindTermVars.filterNot(kinds.contains)
-    val aggVars = q.numericAggVars
+    // MIN/MAX picks upgrade to SPARQL value ordering when the nodes
+    // table is attached — their term structs must reach the aggregation
+    val hybridVars = if (nodes.isDefined) q.minmaxAggVars else Nil
+    val aggVars = (q.numericAggVars ++ hybridVars).distinct
     val termVars = (filterVars ++ bindInVars ++ aggVars).distinct
     val bound =
       if (termVars.isEmpty) probed
@@ -2254,14 +2308,32 @@ object Sparql {
     if (q.form == "CONSTRUCT") return construct(matched, q.template)
     if (q.form == "DESCRIBE") return describeEdges(edges, Some(matched), q)
     val projected =
-      if (q.isAggregate) aggregate(matched, q)
+      if (q.isAggregate) aggregate(matched, q, hybridVars.toSet)
       else if (q.projection.isEmpty) matched
       else matched.select(q.select.distinct.map(col): _*)
     val dist = if (q.distinct) projected.distinct() else projected
+    // ORDER BY over a node-space variable with the nodes table attached
+    // sorts by SPARQL value ordering (termOrderKey: numeric literals by
+    // value, other terms before them by id) — one broadcast-able term
+    // join per such column, dropped after the sort; everything else
+    // (aliases, computed values, pred-space raw IRIs) sorts as-is
     val ordered =
       if (q.orderBy.isEmpty) dist
-      else dist.orderBy(q.orderBy.map { case (v, asc) =>
-        if (asc) col(v).asc else col(v).desc }: _*)
+      else {
+        val hybridOrd = nodes match {
+          case Some(_) => q.orderBy.map(_._1)
+            .filter(v => q.nodeSpaceVars(v) && dist.columns.contains(v)).distinct
+          case None => Nil
+        }
+        val base =
+          if (hybridOrd.isEmpty) dist
+          else Bgp.bindValues(dist, nodes.get, hybridOrd)
+        val keys = q.orderBy.map { case (v, asc) =>
+          val k = if (hybridOrd.contains(v)) termOrderKey(v) else col(v)
+          if (asc) k.asc else k.desc
+        }
+        hybridOrd.foldLeft(base.orderBy(keys: _*))((df, v) => df.drop(s"${v}_term"))
+      }
     val off = q.offset.fold(ordered)(o => ordered.offset(o.toInt))
     q.limit.fold(off)(l => off.limit(l.toInt))
   }

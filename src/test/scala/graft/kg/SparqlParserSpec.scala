@@ -1122,6 +1122,63 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(r.count() === 2)
   }
 
+  test("MIN/MAX follow SPARQL value ordering with the nodes overload") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val p2 = Bgp.litId("2", XSD + "long")
+    val p9 = Bgp.litId("9", XSD + "long")
+    val p10 = Bgp.litId("10", XSD + "long")
+    val iri = Bgp.iriId("urn:not-a-number")
+    val e = edges(
+      (d1, "urn:price", p9), (d1, "urn:price", p10), (d1, "urn:price", p2),
+      (d2, "urn:price", p10), (d2, "urn:price", iri))
+    val nodes = Seq(
+      (p2, RdfTerm.LITERAL, "2", null, XSD + "long"),
+      (p9, RdfTerm.LITERAL, "9", null, XSD + "long"),
+      (p10, RdfTerm.LITERAL, "10", null, XSD + "long"),
+      (iri, RdfTerm.IRI, "urn:not-a-number", null, null))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val q = """SELECT ?d (MIN(?p) AS ?lo) (MAX(?p) AS ?hi)
+              |WHERE { ?d <urn:price> ?p } GROUP BY ?d""".stripMargin
+    val byId = Sparql.run(e, q).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    // edges-only: the documented id pick (lexical over sha256 ids)
+    assert(byId(d1) === (Seq(p2, p9, p10).min, Seq(p2, p9, p10).max))
+    val byVal = Sparql.run(e, nodes, q).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    // value ordering: numerically smallest/largest term id — a lexical
+    // pick would order "10" < "2" < "9"
+    assert(byVal(d1) === ((p2, p10)))
+    // mixed group: non-numeric terms sort BEFORE numeric literals (W3C
+    // ordering ranks IRIs before literals): MIN = the IRI, MAX = 10
+    assert(byVal(d2) === ((iri, p10)))
+  }
+
+  test("ORDER BY a numeric variable sorts by value with the nodes overload") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val p2 = Bgp.litId("2", XSD + "long")
+    val p9 = Bgp.litId("9", XSD + "long")
+    val p10 = Bgp.litId("10", XSD + "long")
+    val e = edges(
+      (d1, "urn:price", p9), (d2, "urn:price", p10), (d3, "urn:price", p2))
+    val nodes = Seq(
+      (p2, RdfTerm.LITERAL, "2", null, XSD + "long"),
+      (p9, RdfTerm.LITERAL, "9", null, XSD + "long"),
+      (p10, RdfTerm.LITERAL, "10", null, XSD + "long"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    val q = "SELECT ?d ?p WHERE { ?d <urn:price> ?p } ORDER BY ?p LIMIT 2"
+    // value order: 2 < 9 < 10 — LIMIT 2 keeps {2, 9}; the lexical/id
+    // order would keep a different set unless the hashes align, so pin
+    // the VALUES, not the order
+    val got = Sparql.run(e, nodes, q).collect().map(_.getString(1)).toSeq
+    assert(got === Seq(p2, p9))
+    val desc = Sparql.run(e, nodes,
+      "SELECT ?d ?p WHERE { ?d <urn:price> ?p } ORDER BY DESC(?p) LIMIT 2")
+      .collect().map(_.getString(1)).toSeq
+    assert(desc === Seq(p10, p9))
+    // term columns are dropped again after the sort
+    assert(Sparql.run(e, nodes, q).columns.toSeq === Seq("d", "p"))
+  }
+
   test("malformed queries fail loudly, not wrongly") {
     def bad(q: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](Sparql.parse(q))

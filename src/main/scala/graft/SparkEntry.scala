@@ -1735,6 +1735,23 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // UNION as a GROUP MEMBER — SPARQL's `{ A { B } UNION { C } }` shape:
+    // the union relation (NULL-padded bag of branch matches) inner-joins
+    // the required bindings on its every-branch-bound shared variable,
+    // the same join-order machinery as any other group relation; the
+    // group FILTER applies after, seeing both branches' bindings
+    "kg_sparql_union_mixed" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(
+          documentsCorpus(s, dir))))).localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?d ?l ?v WHERE {
+          |  ?d <urn:col:documents:lang> ?l .
+          |  { ?d <urn:col:documents:source> ?v }
+          |  UNION { ?d <urn:col:documents:lang> ?v }
+          |  FILTER(?l = "de" || ?l = "zh")
+          |}""".stripMargin)
+    }),
+
     // SPARQL MIN/MAX by VALUE ORDERING: with the nodes table attached,
     // the pick follows SPARQL value ordering (numeric literals by value,
     // other terms before them by id) via min_by/max_by over a NULL-free
@@ -3142,6 +3159,20 @@ object SparkEntry {
          |       'source',
          |       sha256('"' || source || '"^^<$XSD_STR>')
          |FROM documents""".stripMargin,
+
+    // mixed-union mirror: one source-branch row and one lang-branch row
+    // per de/zh doc, joined back on the doc — plain UNION ALL over the
+    // filtered docs
+    "kg_sparql_union_mixed" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       sha256('"' || lang || '"^^<$XSD_STR>') AS l,
+         |       sha256('"' || source || '"^^<$XSD_STR>') AS v
+         |FROM documents WHERE lang IN ('de', 'zh')
+         |UNION ALL
+         |SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>'),
+         |       sha256('"' || lang || '"^^<$XSD_STR>'),
+         |       sha256('"' || lang || '"^^<$XSD_STR>')
+         |FROM documents WHERE lang IN ('de', 'zh')""".stripMargin,
 
     // MIN/MAX-by-value mirror: the winning term is the numerically
     // min/max price, whose id is the hash of its lexical form (both

@@ -30,9 +30,11 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *              | MINUS { triples }
  *              | FILTER ( expr ) | FILTER NOT? EXISTS { triples }
  *              | BIND ( bexpr AS ?var ) | VALUES valuesClause
- *              | { select } )*                 (subquery — see below)
- *            | { triples } UNION { triples } (UNION { triples })*
- *              (FILTER ( expr ) | FILTER NOT? EXISTS { triples })*
+ *              | { select }                    (subquery — see below)
+ *              | { triples } UNION { triples } (UNION { triples })* )*
+ *              (a UNION member alone is the classic pure union; next to
+ *               required triples it joins the group on its shared
+ *               variables, which must be bound in EVERY branch)
  *   bexpr   := nexpr | sexpr | ?var | "lit" | COALESCE(?var, ?var+)
  *              (?var alone copies the binding, COALESCE is the id-space
  *               OPTIONAL-fallback chain over pattern variables; numeric
@@ -419,7 +421,13 @@ object Sparql {
                          required: Seq[TriplePattern],
                          optionals: Seq[Seq[TriplePattern]],
                          minuses: Seq[Seq[TriplePattern]],
-                         unions: Seq[Seq[TriplePattern]],
+                         /** UNION groups: each element is ONE group's
+                           * branches. A group alone in the WHERE clause
+                           * is the classic pure union; groups alongside
+                           * required triples join the group result on
+                           * their (every-branch-bound) shared
+                           * variables. */
+                         unions: Seq[Seq[Seq[TriplePattern]]],
                          private[Sparql] val filterAst: Seq[FExpr],
                          groupBy: Seq[String] = Nil,
                          private[Sparql] val havingAst: Seq[HExpr] = Nil,
@@ -467,7 +475,7 @@ object Sparql {
       * predicate-position in the subquery, plus BIND copies/COALESCEs
       * whose sources all live in this space. */
     private[Sparql] lazy val predSpaceVars: Set[String] = {
-      val pats = required ++ optionals.flatten ++ unions.flatten ++
+      val pats = required ++ optionals.flatten ++ unions.flatten.flatten ++
         minuses.flatten ++ exists.flatten ++ notExists.flatten ++ template
       val own = pats.flatMap(p => p.pred match {
         case V(n) => Seq(n)
@@ -486,7 +494,7 @@ object Sparql {
       * plus DESCRIBE subjects and subquery-projected node-space
       * variables — the complement space to [[predSpaceVars]]. */
     private[Sparql] lazy val nodeSpaceVars: Set[String] = {
-      val pats = required ++ optionals.flatten ++ unions.flatten ++
+      val pats = required ++ optionals.flatten ++ unions.flatten.flatten ++
         minuses.flatten ++ exists.flatten ++ notExists.flatten ++ template
       pats.flatMap(p => Seq(p.subj, p.obj).collect { case V(n) => n }).toSet ++
         subqueries.flatMap(sq => sq.select.filter(sq.nodeSpaceVars)) ++
@@ -1262,7 +1270,7 @@ object Sparql {
   private final case class GroupAst(required: Seq[TriplePattern],
                                     optionals: Seq[Seq[TriplePattern]],
                                     minuses: Seq[Seq[TriplePattern]],
-                                    unions: Seq[Seq[TriplePattern]],
+                                    unions: Seq[Seq[Seq[TriplePattern]]],
                                     filters: Seq[FExpr],
                                     values: Seq[(Seq[String], Seq[Seq[String]])],
                                     exists: Seq[Seq[TriplePattern]],
@@ -1276,7 +1284,7 @@ object Sparql {
     val required = Seq.newBuilder[TriplePattern]
     val optionals = Seq.newBuilder[Seq[TriplePattern]]
     val minuses = Seq.newBuilder[Seq[TriplePattern]]
-    val unions = Seq.newBuilder[Seq[TriplePattern]]
+    val unions = Seq.newBuilder[Seq[Seq[TriplePattern]]]
     val filters = Seq.newBuilder[FExpr]
     val values = Seq.newBuilder[(Seq[String], Seq[Seq[String]])]
     val exists = Seq.newBuilder[Seq[TriplePattern]]
@@ -1335,21 +1343,11 @@ object Sparql {
         c.takeSym(")")
       }
     }
-    if (c.atSym("{") && !c.peek2.contains(TSym("SELECT"))) {
-      // union group: { triples } UNION { triples } [UNION ...] [FILTER...]
-      c.takeSym("{")
-      unions += triplesBlock(c)
-      c.takeSym("UNION")
-      c.takeSym("{")
-      unions += triplesBlock(c)
-      while (c.atSym("UNION")) {
-        c.takeSym("UNION"); c.takeSym("{")
-        unions += triplesBlock(c)
-      }
-      while (c.atSym("FILTER")) filterClause()
-      c.takeSym("}")
-    } else {
+    locally {
       while (!c.atSym("}")) c.peekOrFail match {
+        case TSym("UNION") =>
+          fail("UNION branches must be plain { triples } blocks — start " +
+            "the group with '{ triples } UNION { triples }'")
         case TSym("OPTIONAL") =>
           // OPTIONAL { triples (FILTER(expr))* } — the filters CONDITION
           // the match (SPARQL LeftJoin's third argument), restricted to
@@ -1380,14 +1378,27 @@ object Sparql {
           c.takeSym("VALUES")
           values += valuesClause(c)
         case TSym("{") =>
-          // nested group: a SPARQL 1.1 subquery — evaluated bottom-up,
-          // then joined into the group on its shared variables
+          // nested group: a SPARQL 1.1 subquery ({ SELECT ... }) or a
+          // UNION group ({ triples } UNION { triples } ...) — both are
+          // group members joining the rest of the group on their shared
+          // variables (a union member's join variables must be bound in
+          // EVERY branch; validated)
           c.takeSym("{")
-          if (!c.atSym("SELECT"))
-            fail("a nested { } group must be a subquery ({ SELECT ... }) " +
-              "in this fragment")
-          c.takeSym("SELECT")
-          subqueries += parseSelect(c, nested = true)
+          if (c.atSym("SELECT")) {
+            c.takeSym("SELECT")
+            subqueries += parseSelect(c, nested = true)
+          } else {
+            val branches = Seq.newBuilder[Seq[TriplePattern]]
+            branches += triplesBlock(c)
+            c.takeSym("UNION")
+            c.takeSym("{")
+            branches += triplesBlock(c)
+            while (c.atSym("UNION")) {
+              c.takeSym("UNION"); c.takeSym("{")
+              branches += triplesBlock(c)
+            }
+            unions += branches.result()
+          }
         case _ => required += triple(c)
       }
       c.takeSym("}")
@@ -1593,24 +1604,60 @@ object Sparql {
   /** Parse-time semantic checks — every rejection here is a query that
     * would otherwise run with silently-surprising semantics. */
   private def validate(qy: Query): Unit = {
-    if (qy.unions.nonEmpty && (qy.required.nonEmpty || qy.optionals.nonEmpty ||
-        qy.minuses.nonEmpty || qy.values.nonEmpty || qy.subqueries.nonEmpty))
-      fail("a UNION group cannot be mixed with top-level triples/OPTIONAL/" +
-        "MINUS/VALUES/subqueries in this fragment — nest the common pattern " +
-        "into every branch")
     if (qy.unions.isEmpty && qy.required.isEmpty && qy.subqueries.isEmpty &&
         !(qy.form == "DESCRIBE" && qy.describeVars.isEmpty))
       fail("WHERE group has no required triple patterns or subqueries")
-    if (qy.required.isEmpty && qy.subqueries.nonEmpty &&
+    if (qy.required.isEmpty &&
         (qy.optionals.nonEmpty || qy.minuses.nonEmpty))
       fail("OPTIONAL/MINUS need required triple patterns to anchor on — a " +
-        "subquery-only group supports FILTER/BIND/VALUES only")
+        "union- or subquery-only group supports FILTER/BIND/VALUES only")
     def varsOf(ps: Seq[TriplePattern]): Set[String] =
       ps.flatMap(p => Seq(p.subj, p.pred, p.obj).collect { case V(n) => n }).toSet
+    val reqVars = varsOf(qy.required)
+    // ---- UNION group checks. A lone UNION group IS the group (the
+    // classic pure union); alongside required triples each group joins
+    // the group result on its shared variables, and that equi-join is
+    // sound only when every join variable is bound in EVERY branch (a
+    // partial-branch binding is NULL in the other branches' rows, and a
+    // NULL key silently drops them where SPARQL's join compatibility
+    // keeps them). Cross-group / OPTIONAL-fresh overlap reintroduces
+    // the non-well-designed cases and is rejected like the two-OPTIONAL
+    // overlap rule.
+    if (qy.unions.nonEmpty && qy.required.isEmpty && qy.unions.sizeIs > 1)
+      fail("several UNION groups need a required pattern to anchor their join")
+    if (qy.unions.nonEmpty && qy.required.nonEmpty) {
+      val optFresh = qy.optionals.flatMap(varsOf).toSet -- reqVars
+      val unionVarSets = qy.unions.map(_.flatMap(varsOf).toSet)
+      qy.unions.zipWithIndex.foreach { case (branches, i) =>
+        val allVars = unionVarSets(i)
+        val everyBranch = branches.map(varsOf).reduce(_ & _)
+        val sharedReq = allVars & reqVars
+        if (sharedReq.isEmpty)
+          fail(s"UNION group ${i + 1} shares no variable with the required " +
+            "pattern — an unjoined union would be a cartesian product")
+        val partial = (sharedReq -- everyBranch).toSeq.sorted
+        if (partial.nonEmpty)
+          fail(s"variable(s) ${partial.map("?" + _).mkString(", ")} join the " +
+            "UNION group to the required pattern but are bound in only some " +
+            "branches — a branch row's NULL key would silently drop it; " +
+            "bind them in every branch")
+        val optClash = (allVars & optFresh).toSeq.sorted
+        if (optClash.nonEmpty)
+          fail(s"variable(s) ${optClash.map("?" + _).mkString(", ")} are " +
+            "bound both by an OPTIONAL group and a UNION group — only " +
+            "well-designed patterns are supported")
+        unionVarSets.drop(i + 1).zipWithIndex.foreach { case (other, j) =>
+          val clash = ((allVars & other) -- reqVars).toSeq.sorted
+          if (clash.nonEmpty)
+            fail(s"variable(s) ${clash.map("?" + _).mkString(", ")} are " +
+              s"bound by UNION groups ${i + 1} and ${i + j + 2} but not by " +
+              "the required pattern — join them through a required binding")
+        }
+      }
+    }
     // VALUES variables must be anchored in the REQUIRED pattern: a NULL
     // binding (unmatched OPTIONAL) never equals an inline value, which
     // would silently diverge from SPARQL's unbound-is-compatible rule
-    val reqVars = varsOf(qy.required)
     qy.values.foreach { case (vs, _) =>
       val unanchored = vs.filterNot(reqVars.contains)
       if (unanchored.nonEmpty)
@@ -1752,7 +1799,7 @@ object Sparql {
     if (dupBind.nonEmpty)
       fail(s"duplicate BIND variable(s): ${dupBind.distinct.mkString(", ")}")
     val patternVarsAll = varsOf(qy.required) ++ qy.optionals.flatMap(varsOf) ++
-      qy.unions.flatMap(varsOf)
+      qy.unions.flatten.flatMap(varsOf)
     qy.binds.zipWithIndex.foreach { case ((name, b), i) =>
       if (patternVarsAll.contains(name))
         fail(s"BIND variable ?$name is already bound by the pattern group")
@@ -1848,6 +1895,16 @@ object Sparql {
             "only by an outer OPTIONAL — an unmatched row's NULL key would " +
             "silently drop it from the join; anchor the variable in the " +
             "required pattern or rename the subquery projection")
+        // same NULL-key hazard against a partial-branch UNION binding
+        val unionPartial = sq.select.filter(v =>
+          !reqVars.contains(v) && qy.unions.exists(g =>
+            g.flatMap(varsOf).toSet.contains(v) &&
+              !g.map(varsOf).reduce(_ & _).contains(v)))
+        if (unionPartial.nonEmpty)
+          fail(s"subquery variable(s) ${unionPartial.mkString(", ")} are " +
+            "bound in only some UNION branches — a branch row's NULL key " +
+            "would silently drop it from the join; bind them in every " +
+            "branch or rename the subquery projection")
         if (qy.required.nonEmpty || i > 0) {
           val prior = qy.subqueries.take(i).flatMap(_.select).toSet
           val shared = sq.select.filter(v => reqVars.contains(v) || prior.contains(v))
@@ -1907,8 +1964,8 @@ object Sparql {
     // disjoint-domain rule (the row survives), so single-shared-variable
     // MINUS stays accepted.
     val neverNull: Set[String] =
-      (if (qy.unions.nonEmpty) qy.unions.map(varsOf).reduce(_ & _)
-       else reqVars) ++ qy.subqueries.flatMap(_.select)
+      reqVars ++ qy.subqueries.flatMap(_.select) ++
+        qy.unions.flatMap(g => g.map(varsOf).reduce(_ & _))
     def checkProbeAnchors(groups: Seq[Seq[TriplePattern]], what: String,
                           minShared: Int): Unit =
       groups.foreach { g =>
@@ -1935,7 +1992,7 @@ object Sparql {
     }
     if (qy.form == "DESCRIBE") {
       val groupVars = varsOf(qy.required) ++ qy.optionals.flatMap(varsOf) ++
-        qy.unions.flatMap(varsOf) ++ qy.subqueries.flatMap(_.select)
+        qy.unions.flatten.flatMap(varsOf) ++ qy.subqueries.flatMap(_.select)
       val unbound = qy.describeVars.filterNot(groupVars.contains)
       if (unbound.nonEmpty)
         fail(s"DESCRIBE variable(s) ${unbound.mkString(", ")} are not bound " +
@@ -1948,7 +2005,7 @@ object Sparql {
           s"template (it names OUTPUT edges, not matches): $other")
       })
       val groupVars = varsOf(qy.required) ++ qy.optionals.flatMap(varsOf) ++
-        qy.unions.flatMap(varsOf) ++ qy.subqueries.flatMap(_.select)
+        qy.unions.flatten.flatMap(varsOf) ++ qy.subqueries.flatMap(_.select)
       val unbound = varsOf(qy.template) -- groupVars
       if (unbound.nonEmpty)
         fail(s"CONSTRUCT template variable(s) ${unbound.mkString(", ")} are " +
@@ -1974,7 +2031,7 @@ object Sparql {
     val outNames: Set[String] =
       if (qy.projection.isEmpty)
         varsOf(qy.required) ++ qy.optionals.flatMap(varsOf) ++
-          qy.unions.flatMap(varsOf) ++ bindNames ++ qy.subqueryOutputs
+          qy.unions.flatten.flatMap(varsOf) ++ bindNames ++ qy.subqueryOutputs
       else qy.select.toSet ++ aliases
     qy.orderBy.foreach { case (v, _) =>
       if (!outNames.contains(v))
@@ -2252,12 +2309,24 @@ object Sparql {
         val shared = sdf.columns.filter(df.columns.contains).toSeq
         df.join(sdf, shared, "inner")
       }
+    // a UNION group joins the required bindings on its shared variables
+    // (validated every-branch-bound, so the equi-join keys are never
+    // NULL); in the well-designed fragment the join commutes with the
+    // OPTIONAL left-joins (each multiplies rows by a factor of the
+    // required-side variables only), so it composes after them
+    def joinUnions(base: DataFrame): DataFrame =
+      q.unions.foldLeft(base) { (df, branches) =>
+        val r = Bgp.matchUnion(edges, branches)
+        val shared = r.columns.filter(df.columns.contains).toSeq
+        df.join(r, shared, "inner")
+      }
     val grouped =
-      if (q.unions.nonEmpty) Bgp.matchUnion(edges, q.unions)
+      if (q.required.isEmpty && q.unions.nonEmpty)
+        Bgp.matchUnion(edges, q.unions.head) // pure union group
       else if (q.required.isEmpty && q.subqueries.nonEmpty)
         joinSubs(subDfs.head, subDfs.tail) // subquery-only group
       else joinSubs(Bgp.applyMinus(edges,
-        Bgp.matchWithOptional(edges, q.required, q.optionals, Nil,
+        joinUnions(Bgp.matchWithOptional(edges, q.required, q.optionals, Nil,
           q.optionalFilters.zip(q.optionals).map { case (fs, group) =>
             // an OPTIONAL group's own predicate-position variables bind
             // raw IRIs — their constants must compile raw, like any
@@ -2266,7 +2335,7 @@ object Sparql {
               case V(n) => Seq(n -> 'p'); case _ => Nil
             }).toMap
             fs.map(compileF(_, gk))
-          }), q.minuses),
+          })), q.minuses),
         subDfs)
     val probed = Bgp.applyExists(edges,
       Bgp.applyExists(edges, grouped, q.exists), q.notExists, negate = true)

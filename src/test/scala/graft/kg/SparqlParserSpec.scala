@@ -1179,13 +1179,70 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(Sparql.run(e, nodes, q).columns.toSeq === Seq("d", "p"))
   }
 
+  test("UNION as a group member joins the required pattern") {
+    val parsed = Sparql.run(corpus,
+      """SELECT * WHERE {
+        |  ?d <urn:lang> "en" .
+        |  { ?d <urn:src> ?s } UNION { ?d <urn:lang> ?l }
+        |}""".stripMargin)
+    val prog = Bgp.matchPatterns(corpus, Seq(
+      TriplePattern(V("d"), C("urn:lang"), C(en))))
+      .join(Bgp.matchUnion(corpus, Seq(
+        Seq(TriplePattern(V("d"), C("urn:src"), V("s"))),
+        Seq(TriplePattern(V("d"), C("urn:lang"), V("l"))))), Seq("d"), "inner")
+    assertSame(parsed, prog)
+    // d1 (en, has src): one branch-1 row + one branch-2 row; d3 (en, no
+    // src): branch-2 only
+    assert(parsed.count() === 3)
+    // FILTER over a union-bound variable sees the whole group (NULLs
+    // for the other branch's rows drop under the comparison)
+    assert(Sparql.run(corpus,
+      """SELECT * WHERE {
+        |  ?d <urn:lang> "en" .
+        |  { ?d <urn:src> ?s } UNION { ?d <urn:lang> ?l }
+        |  FILTER(?s = "web")
+        |}""".stripMargin).count() === 1)
+  }
+
+  test("mixed-UNION hazards are rejected at parse") {
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"$q -> ${ex.getMessage}")
+    }
+    // join variable bound in only one branch
+    bad("""SELECT * WHERE { ?d <urn:lang> ?l .
+          |  { ?d <urn:src> ?s } UNION { ?x <urn:src> ?s } }""".stripMargin,
+      "only some branches")
+    // no shared variable at all
+    bad("""SELECT * WHERE { ?d <urn:lang> ?l .
+          |  { ?x <urn:src> ?s } UNION { ?x <urn:lang> ?s } }""".stripMargin,
+      "shares no variable")
+    // overlap with an OPTIONAL-fresh variable
+    bad("""SELECT * WHERE { ?d <urn:lang> ?l . OPTIONAL { ?d <urn:src> ?s }
+          |  { ?d <urn:src> ?s } UNION { ?d <urn:lang> ?s } }""".stripMargin,
+      "OPTIONAL group and a UNION group")
+    // two unions sharing a non-required variable
+    bad("""SELECT * WHERE { ?d <urn:lang> ?l .
+          |  { ?d <urn:src> ?s } UNION { ?d <urn:lang> ?s }
+          |  { ?d <urn:src> ?s } UNION { ?d <urn:lang> ?s } }""".stripMargin,
+      "UNION groups")
+    // several unions with no required pattern to anchor the join
+    bad("""SELECT * WHERE {
+          |  { ?d <urn:src> ?s } UNION { ?d <urn:lang> ?s }
+          |  { ?d <urn:src> ?t } UNION { ?d <urn:lang> ?t } }""".stripMargin,
+      "anchor their join")
+  }
+
   test("malformed queries fail loudly, not wrongly") {
     def bad(q: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](Sparql.parse(q))
       assert(ex.getMessage.contains(needle), s"$q -> ${ex.getMessage}")
     }
     bad("SELECT * WHERE { ?a foaf:knows ?b }", "undeclared prefix")
-    bad("SELECT * WHERE { { ?a <p> ?b } UNION { ?c <p> ?d } ?x <p> ?y }", "expected")
+    // triples next to a UNION group now parse as a MIXED group — still
+    // rejected here because nothing joins the union to ?x <p> ?y
+    bad("SELECT * WHERE { { ?a <p> ?b } UNION { ?c <p> ?d } ?x <p> ?y }",
+      "shares no variable")
     bad("SELECT * WHERE { }", "no required triple")
     bad("SELECT * WHERE { ?a <p> ?b } ?c", "trailing")
     bad("SELECT WHERE { ?a <p> ?b }", "SELECT needs")

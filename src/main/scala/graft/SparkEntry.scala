@@ -1735,6 +1735,23 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // NESTED property path (<up>/<up>)+ — the closure of a COMPOSED hop:
+    // the two-step sequence relation (one equi-join of two pushed scans)
+    // feeds the same O(log diameter) iterative doubling as <p>+, so the
+    // pattern matches pairs at even up-distance; the peer ring proves
+    // the group is predicate-scoped
+    "kg_bgp_path_nested" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val nk = col("n_nationkey").cast("long")
+      val up = n.filter(nk >= 1).select(
+        nk.cast("string").as("subj_id"), lit("up").as("pred"),
+        (nk / 2).cast("long").cast("string").as("obj_id"))
+      val peer = n.select(
+        nk.cast("string").as("subj_id"), lit("peer").as("pred"),
+        ((nk + 1) % 25).cast("string").as("obj_id"))
+      Sparql.run(up.union(peer), "SELECT ?x ?y WHERE { ?x (<up>/<up>)+ ?y }")
+    }),
+
     // UNION as a GROUP MEMBER — SPARQL's `{ A { B } UNION { C } }` shape:
     // the union relation (NULL-padded bag of branch matches) inner-joins
     // the required bindings on its every-branch-bound shared variable,
@@ -3159,6 +3176,18 @@ object SparkEntry {
          |       'source',
          |       sha256('"' || source || '"^^<$XSD_STR>')
          |FROM documents""".stripMargin,
+
+    // nested-path mirror: the recursive closure of the COMPOSED two-step
+    // hop (i -> i DIV 4, for nodes whose intermediate i DIV 2 >= 1) —
+    // same recursive-CTE shape as kg_bgp_path_plus, over h2 instead of e
+    "kg_bgp_path_nested" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) s, CAST(n_nationkey // 2 AS VARCHAR) o
+        |  FROM nation WHERE n_nationkey >= 1),
+        |h2 AS (SELECT a.s, b.o FROM e a JOIN e b ON a.o = b.s),
+        |reach(s, o) AS (SELECT s, o FROM h2
+        |                UNION SELECT r.s, h.o FROM reach r JOIN h2 h ON h.s = r.o)
+        |SELECT s AS x, o AS y FROM reach""".stripMargin,
 
     // mixed-union mirror: one source-branch row and one lang-branch row
     // per de/zh doc, joined back on the doc — plain UNION ALL over the

@@ -113,6 +113,15 @@ object Bgp {
     * the scan; forward members only — inverse members `^p` inside a
     * negated set are rejected at the front end). */
   final case class NegSet(preds: Seq[String]) extends TermPat
+  /** A parenthesized path group with a closure operator applied —
+    * SPARQL `(p1/p2)+`, `(a|b)*`, `(^p/q)?`: `inner` is the grouped
+    * path (SeqPath / AltPath / InvPath / a plain C), and `op` is '+'
+    * (transitive closure of the group's relation), '*' (closure union
+    * the zero-length path) or '?' (the relation union the zero-length
+    * path). The closure runs the same O(log diameter) iterative
+    * doubling as `<p>+`, over the COMPOSED hop relation — size caveats
+    * of [[PlusPath]]/[[StarPath]] apply unchanged. */
+  final case class GroupPath(inner: TermPat, op: Char) extends TermPat
 
   final case class TriplePattern(subj: TermPat, pred: TermPat, obj: TermPat)
 
@@ -152,6 +161,7 @@ object Bgp {
     Seq(p.subj, p.pred, p.obj).count {
       case V(_)                     => false
       case StarPath(_) | OptPath(_) => false
+      case GroupPath(_, op)         => op == '+'
       case _                        => true
     }
 
@@ -160,53 +170,69 @@ object Bgp {
     * becomes an equality filter and binds once); a PlusPath predicate
     * swaps the base edge relation for that predicate's closure; an
     * AltPath predicate is a pushed IN-filter. */
+  /** The (subj_id, obj_id) relation of ONE traversal of a path form —
+    * the building block [[patternRel]] scans and [[GroupPath]] closures
+    * compose. Constants/alternatives/negated sets are pushed scan
+    * filters; inverse swaps the id columns; a sequence composes one
+    * pushed scan per step via equi-joins on the intermediate ids. */
+  private def pathHop(base: DataFrame, pat: TermPat): DataFrame = pat match {
+    case C(pr) =>
+      base.filter(col("pred") === lit(pr)).select("subj_id", "obj_id")
+    case AltPath(ps) =>
+      require(ps.nonEmpty, "empty predicate alternative list")
+      base.filter(col("pred").isin(ps: _*)).select("subj_id", "obj_id")
+    case InvPath(pr) =>
+      base.filter(col("pred") === lit(pr))
+        .select(col("obj_id").as("subj_id"), col("subj_id").as("obj_id"))
+    case NegSet(ps) =>
+      require(ps.nonEmpty, "empty negated property set")
+      base.filter(!col("pred").isin(ps: _*)).select("subj_id", "obj_id")
+    case SeqPath(steps) =>
+      require(steps.sizeIs >= 2, s"a sequence path needs >= 2 steps: $pat")
+      // hop i carries (n{i}, n{i+1}); the fold joins on the shared
+      // intermediate name, so no payload but two id columns ever
+      // crosses a join
+      val hops = steps.zipWithIndex.map { case (PathStep(pr, inv), i) =>
+        val h = base.filter(col("pred") === lit(pr))
+        val (a, b) = if (inv) ("obj_id", "subj_id") else ("subj_id", "obj_id")
+        h.select(col(a).as(s"n$i"), col(b).as(s"n${i + 1}"))
+      }
+      val joined = hops.tail.zipWithIndex.foldLeft(hops.head) {
+        case (acc, (h, i)) =>
+          acc.join(h, Seq(s"n${i + 1}")).select(col("n0"), col(s"n${i + 2}"))
+      }
+      joined.select(col("n0").as("subj_id"), col(s"n${steps.size}").as("obj_id"))
+    case other =>
+      throw new IllegalArgumentException(s"not a composable path form: $other")
+  }
+
   private[kg] def patternRel(base: DataFrame, p: TriplePattern): DataFrame = {
     Seq(p.subj, p.obj).foreach(t =>
       require(t.isInstanceOf[V] || t.isInstanceOf[C],
         s"path operators are only valid in predicate position: $p"))
+    val pairPos = Seq("subj_id" -> p.subj, "obj_id" -> p.obj)
     val (rel, pos) = p.pred match {
       case PlusPath(pr) =>
-        val hop = base.filter(col("pred") === lit(pr)).select("subj_id", "obj_id")
-        (GraphOps.transitiveClosure(hop, "subj_id", "obj_id"),
-          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
-      case AltPath(ps) =>
-        require(ps.nonEmpty, s"empty predicate alternative list: $p")
-        (base.filter(col("pred").isin(ps: _*)).select("subj_id", "obj_id"),
-          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
-      case InvPath(pr) =>
-        (base.filter(col("pred") === lit(pr))
-           .select(col("obj_id").as("subj_id"), col("subj_id").as("obj_id")),
-          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
+        (GraphOps.transitiveClosure(pathHop(base, C(pr)), "subj_id", "obj_id"),
+          pairPos)
       case StarPath(pr) =>
-        val hop = base.filter(col("pred") === lit(pr)).select("subj_id", "obj_id")
-        (GraphOps.transitiveClosure(hop, "subj_id", "obj_id")
-           .union(graphIdentity(base)).distinct(),
-          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
+        (GraphOps.transitiveClosure(pathHop(base, C(pr)), "subj_id", "obj_id")
+           .union(graphIdentity(base)).distinct(), pairPos)
       case OptPath(pr) =>
-        (base.filter(col("pred") === lit(pr)).select("subj_id", "obj_id")
-           .union(graphIdentity(base)).distinct(),
-          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
-      case NegSet(ps) =>
-        require(ps.nonEmpty, s"empty negated property set: $p")
-        (base.filter(!col("pred").isin(ps: _*)).select("subj_id", "obj_id"),
-          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
-      case SeqPath(steps) =>
-        require(steps.sizeIs >= 2, s"a sequence path needs >= 2 steps: $p")
-        // hop i carries (n{i}, n{i+1}); the fold joins on the shared
-        // intermediate name, so no payload but two id columns ever
-        // crosses a join
-        val hops = steps.zipWithIndex.map { case (PathStep(pr, inv), i) =>
-          val h = base.filter(col("pred") === lit(pr))
-          val (a, b) = if (inv) ("obj_id", "subj_id") else ("subj_id", "obj_id")
-          h.select(col(a).as(s"n$i"), col(b).as(s"n${i + 1}"))
+        (pathHop(base, C(pr)).union(graphIdentity(base)).distinct(), pairPos)
+      case GroupPath(inner, op) =>
+        val hop = pathHop(base, inner)
+        val r = op match {
+          case '+' => GraphOps.transitiveClosure(hop, "subj_id", "obj_id")
+          case '*' => GraphOps.transitiveClosure(hop, "subj_id", "obj_id")
+            .union(graphIdentity(base)).distinct()
+          case '?' => hop.union(graphIdentity(base)).distinct()
+          case other => throw new IllegalArgumentException(
+            s"unknown path group operator '$other'")
         }
-        val joined = hops.tail.zipWithIndex.foldLeft(hops.head) {
-          case (acc, (h, i)) =>
-            acc.join(h, Seq(s"n${i + 1}")).select(col("n0"), col(s"n${i + 2}"))
-        }
-        (joined.select(col("n0").as("subj_id"),
-           col(s"n${steps.size}").as("obj_id")),
-          Seq("subj_id" -> p.subj, "obj_id" -> p.obj))
+        (r, pairPos)
+      case AltPath(_) | InvPath(_) | NegSet(_) | SeqPath(_) =>
+        (pathHop(base, p.pred), pairPos)
       case _ =>
         (base, Seq("subj_id" -> p.subj, "pred" -> p.pred, "obj_id" -> p.obj))
     }

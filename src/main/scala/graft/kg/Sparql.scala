@@ -58,11 +58,15 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *   pred    := ?var | <iri> | <iri>+ | <iri>* | <iri>? | ^<iri>
  *            | <iri> ('|' <iri>)+ | step ('/' step)+ | a
  *            | !<iri> | !( <iri> ('|' <iri>)* )
+ *            | '(' (step ('/' step)+ | <iri> ('|' <iri>)+ | step) ')'
+ *              ('+' | '*' | '?')?
  *              where step := '^'? <iri>
  *              (a = rdf:type; + = transitive closure; * / ? add the
  *               zero-length path = identity over every graph node;
  *               | = alternatives; ^ = inverse; / = sequence;
- *               ! = negated property set — the operators do not nest)
+ *               ! = negated property set; ONE closure operator may
+ *               apply to ONE parenthesized group — (p1/p2)+, (a|b)* —
+ *               deeper nesting stays out of fragment)
  *   expr    := BOUND(?v) | !expr | expr && expr | expr || expr
  *            | term (= | !=) term | ( expr )
  *            | nterm (< | <= | > | >= | = | !=) nterm
@@ -775,12 +779,58 @@ object Sparql {
 
   /** Predicate-position term; `<iri>+` is a PlusPath, `<i1>|<i2>` an
     * AltPath, `^<iri>` an InvPath, `<i1>/<i2>/...` (steps optionally
-    * `^`-inverted) a SeqPath, `a` is rdf:type. The path operators do
-    * not nest/combine in this fragment — a parse error beats silently
-    * approximated path algebra. */
+    * `^`-inverted) a SeqPath, `a` is rdf:type. A PARENTHESIZED group —
+    * a sequence, an alternative or a single (possibly inverted) step —
+    * may take ONE closure operator: `(p1/p2)+`, `(a|b)*`, `(^p/q)?`.
+    * Deeper nesting and operator chaining stay out of fragment — a
+    * parse error beats silently approximated path algebra. */
   private def predTerm(c: Cursor): Bgp.TermPat = c.peekOrFail match {
     case TVar(n)   => c.next(); V(n)
     case TSym("a") => c.next(); C(RdfType)
+    case TSym("(") =>
+      c.takeSym("(")
+      val first = pathStep(c)
+      val inner: Bgp.TermPat =
+        if (c.atSym("/")) {
+          val steps = Seq.newBuilder[PathStep]
+          steps += first
+          while (c.atSym("/")) { c.takeSym("/"); steps += pathStep(c) }
+          SeqPath(steps.result())
+        } else if (c.atSym("|")) {
+          if (first.inverse)
+            fail("inverse members (^<p>) are not supported inside a path " +
+              "alternative group in this fragment")
+          val alts = Seq.newBuilder[String]
+          alts += first.pred
+          while (c.atSym("|")) {
+            c.takeSym("|")
+            c.next() match {
+              case TIri(i2)  => alts += i2
+              case TSym("^") => fail("inverse members (^<p>) are not " +
+                "supported inside a path alternative group in this fragment")
+              case t => fail(s"path alternative must be an <iri>, found $t")
+            }
+          }
+          AltPath(alts.result())
+        } else if (first.inverse) InvPath(first.pred)
+        else C(first.pred)
+      c.takeSym(")")
+      val op: Option[Char] =
+        if (c.atSym("+")) { c.takeSym("+"); Some('+') }
+        else if (c.atSym("*")) { c.takeSym("*"); Some('*') }
+        else if (c.atSym("?")) { c.takeSym("?"); Some('?') }
+        else None
+      if (c.atSym("/") || c.atSym("|") || c.atSym("+") || c.atSym("*") ||
+          c.atSym("?") || c.atSym("^"))
+        fail("a closed path group cannot combine further — nest at most " +
+          "one operator over one parenthesized group in this fragment")
+      (inner, op) match {
+        case (_, None)          => inner
+        case (C(pr), Some('+')) => Bgp.PlusPath(pr)
+        case (C(pr), Some('*')) => Bgp.StarPath(pr)
+        case (C(pr), Some('?')) => Bgp.OptPath(pr)
+        case (_, Some(o))       => Bgp.GroupPath(inner, o)
+      }
     case TSym("!") =>
       // negated property set: !<p> or !(<p1>|<p2>|...); forward members
       // only (a ^-member changes the match DIRECTION per branch, which

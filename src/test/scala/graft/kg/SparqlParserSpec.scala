@@ -1233,6 +1233,41 @@ class SparqlParserSpec extends AnyFunSuite {
       "anchor their join")
   }
 
+  test("nested property paths: (p1/p2)+, (a|b)+, (^p)?, group twins") {
+    import Bgp.{GroupPath, InvPath, SeqPath, PathStep}
+    // chain 1 -up-> 2 -up-> 3 -up-> 4 -up-> 5, plus a 'peer' distractor
+    val chain = (1 to 4).map(i => (i.toString, "up", (i + 1).toString)) :+
+      (("1", "peer", "5"))
+    val e = chain.toDF("subj_id", "pred", "obj_id")
+    val twoHopPlus = Sparql.run(e, "SELECT ?x ?y WHERE { ?x (<up>/<up>)+ ?y }")
+    val prog = Bgp.matchPatterns(e, Seq(TriplePattern(V("x"),
+      GroupPath(SeqPath(Seq(PathStep("up"), PathStep("up"))), '+'), V("y"))))
+    assertSame(twoHopPlus, prog)
+    // even distances only: (1,3),(1,5),(2,4),(3,5)
+    assert(twoHopPlus.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      === Set(("1", "3"), ("1", "5"), ("2", "4"), ("3", "5")))
+    // alternative closure reaches through BOTH predicates: the up-chain
+    // pairs (i < j) plus nothing new from peer (1->5 already reachable)
+    val altPlus = Sparql.run(e, "SELECT ?x ?y WHERE { ?x (<up>|<peer>)+ ?y }")
+    val progAlt = Bgp.matchPatterns(e, Seq(TriplePattern(V("x"),
+      GroupPath(Bgp.AltPath(Seq("up", "peer")), '+'), V("y"))))
+    assertSame(altPlus, progAlt)
+    assert(altPlus.count() === 10)
+    // (^up)? = inverse edges union the zero-length identity
+    val invOpt = Sparql.run(e, "SELECT ?x ?y WHERE { ?x (^<up>)? ?y }")
+    val progInv = Bgp.matchPatterns(e, Seq(TriplePattern(V("x"),
+      GroupPath(InvPath("up"), '?'), V("y"))))
+    assertSame(invOpt, progInv)
+    // a parenthesized single step with an operator canonicalizes to the
+    // unparenthesized form
+    assertSame(Sparql.run(e, "SELECT ?x ?y WHERE { ?x (<up>)+ ?y }"),
+      Sparql.run(e, "SELECT ?x ?y WHERE { ?x <up>+ ?y }"))
+    // chaining after a closed group stays rejected
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT * WHERE { ?x (<up>/<up>)+/<up> ?y }"))
+    assert(ex.getMessage.contains("cannot combine further"))
+  }
+
   test("malformed queries fail loudly, not wrongly") {
     def bad(q: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](Sparql.parse(q))

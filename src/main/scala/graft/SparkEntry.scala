@@ -1735,6 +1735,22 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // SPARQL GRAPH over lineage: the quad view derives a RAW graph IRI
+    // (urn:graph:<repo>) from the repo lineage column — GRAPH ?g binds
+    // it (the same raw-IRI space as predicate variables), a constant
+    // GRAPH is a pushed string-equality on the scan (PlanAuditSpec
+    // asserts the parquet pushdown); here a two-corpus union is grouped
+    // by (graph, predicate), both raw columns, one hash-agg shuffle
+    "kg_sparql_graph" -> ((s, dir) => {
+      val corpus = documentsCorpus(s, dir).union(nationCorpus(s, dir))
+      val e = Materialize.quads(Materialize.edges(Canonicalize(Skolemize(
+          parsedTriples(corpus))))).localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?g ?p (COUNT(*) AS ?n) WHERE {
+          |  GRAPH ?g { ?s ?p ?o }
+          |} GROUP BY ?g ?p""".stripMargin)
+    }),
+
     // NESTED property path (<up>/<up>)+ — the closure of a COMPOSED hop:
     // the two-step sequence relation (one equi-join of two pushed scans)
     // feeds the same O(log diameter) iterative doubling as <p>+, so the
@@ -3176,6 +3192,24 @@ object SparkEntry {
          |       'source',
          |       sha256('"' || source || '"^^<$XSD_STR>')
          |FROM documents""".stripMargin,
+
+    // GRAPH mirror: per-(graph, predicate) triple counts — one literal
+    // arm per corpus column, the graph IRI spelled from the repo lineage
+    "kg_sparql_graph" ->
+      """SELECT 'urn:graph:synthetic/documents' AS g, 'urn:col:documents:text' AS p,
+        |       CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |UNION ALL
+        |SELECT 'urn:graph:synthetic/documents', 'urn:col:documents:lang',
+        |       CAST(COUNT(*) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'urn:graph:synthetic/documents', 'urn:col:documents:source',
+        |       CAST(COUNT(*) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'urn:graph:synthetic/nation', 'urn:col:nation:n_name',
+        |       CAST(COUNT(*) AS BIGINT) FROM nation
+        |UNION ALL
+        |SELECT 'urn:graph:synthetic/nation', 'urn:col:nation:n_regionkey',
+        |       CAST(COUNT(*) AS BIGINT) FROM nation""".stripMargin,
 
     // nested-path mirror: the recursive closure of the COMPOSED two-step
     // hop (i -> i DIV 4, for nodes whose intermediate i DIV 2 >= 1) —

@@ -123,7 +123,16 @@ object Bgp {
     * of [[PlusPath]]/[[StarPath]] apply unchanged. */
   final case class GroupPath(inner: TermPat, op: Char) extends TermPat
 
-  final case class TriplePattern(subj: TermPat, pred: TermPat, obj: TermPat)
+  /** A triple pattern, optionally scoped to a NAMED GRAPH (SPARQL
+    * `GRAPH g { ... }`): `graph` constrains/binds the edges frame's
+    * `graph` column — a RAW graph IRI derived from lineage (see
+    * [[Materialize.quads]]), the same raw-IRI space as the pred column.
+    * A constant graph is a pushed scan filter; a variable binds the
+    * column. Path-form predicates accept a CONSTANT graph (the filter
+    * applies before the closure/composition) but not a variable one —
+    * a per-graph closure would need a plan this fragment doesn't build. */
+  final case class TriplePattern(subj: TermPat, pred: TermPat, obj: TermPat,
+                                 graph: Option[TermPat] = None)
 
   private def sha256Hex(s: String): String =
     MessageDigest.getInstance("SHA-256")
@@ -147,9 +156,10 @@ object Bgp {
     sha256Hex("\"" + value + "\"" + lang.map("@" + _).getOrElse("") + "^^<" + dtEff + ">")
   }
 
-  /** Variables of a pattern (subject/object and a variable predicate). */
+  /** Variables of a pattern (subject/object, a variable predicate and a
+    * variable graph). */
   private def patVars(p: TriplePattern): Set[String] =
-    Seq(p.subj, p.pred, p.obj).collect { case V(n) => n }.toSet
+    (Seq(p.subj, p.pred, p.obj) ++ p.graph).collect { case V(n) => n }.toSet
 
   /** Constant positions of a pattern; most path forms count as a
     * constant predicate (they pin the relation to a fixed predicate
@@ -158,7 +168,7 @@ object Bgp {
     * node (>= \|V\| rows, the WEAKEST relation in the query): counting
     * them selective would put them at the head of the join tree. */
   private def patConsts(p: TriplePattern): Int =
-    Seq(p.subj, p.pred, p.obj).count {
+    (Seq(p.subj, p.pred, p.obj) ++ p.graph).count {
       case V(_)                     => false
       case StarPath(_) | OptPath(_) => false
       case GroupPath(_, op)         => op == '+'
@@ -210,31 +220,53 @@ object Bgp {
     Seq(p.subj, p.obj).foreach(t =>
       require(t.isInstanceOf[V] || t.isInstanceOf[C],
         s"path operators are only valid in predicate position: $p"))
+    p.graph.foreach(g => require(g.isInstanceOf[V] || g.isInstanceOf[C],
+      s"a GRAPH term must be a variable or an IRI constant: $p"))
+    val isPlainPred = p.pred match {
+      case V(_) | C(_) => true
+      case _           => false
+    }
+    // a constant graph scopes the scan BEFORE any path composition (a
+    // pushed equality on the raw graph column); a variable graph binds
+    // the column and is only decidable for plain predicates — a
+    // per-graph closure needs a plan this fragment doesn't build
+    val gbase = p.graph match {
+      case Some(C(g)) => base.filter(col("graph") === lit(g))
+      case Some(V(_)) =>
+        require(isPlainPred,
+          s"a variable GRAPH cannot scope a path-form predicate: $p")
+        base
+      case None => base
+    }
     val pairPos = Seq("subj_id" -> p.subj, "obj_id" -> p.obj)
     val (rel, pos) = p.pred match {
       case PlusPath(pr) =>
-        (GraphOps.transitiveClosure(pathHop(base, C(pr)), "subj_id", "obj_id"),
+        (GraphOps.transitiveClosure(pathHop(gbase, C(pr)), "subj_id", "obj_id"),
           pairPos)
       case StarPath(pr) =>
-        (GraphOps.transitiveClosure(pathHop(base, C(pr)), "subj_id", "obj_id")
-           .union(graphIdentity(base)).distinct(), pairPos)
+        (GraphOps.transitiveClosure(pathHop(gbase, C(pr)), "subj_id", "obj_id")
+           .union(graphIdentity(gbase)).distinct(), pairPos)
       case OptPath(pr) =>
-        (pathHop(base, C(pr)).union(graphIdentity(base)).distinct(), pairPos)
+        (pathHop(gbase, C(pr)).union(graphIdentity(gbase)).distinct(), pairPos)
       case GroupPath(inner, op) =>
-        val hop = pathHop(base, inner)
+        val hop = pathHop(gbase, inner)
         val r = op match {
           case '+' => GraphOps.transitiveClosure(hop, "subj_id", "obj_id")
           case '*' => GraphOps.transitiveClosure(hop, "subj_id", "obj_id")
-            .union(graphIdentity(base)).distinct()
-          case '?' => hop.union(graphIdentity(base)).distinct()
+            .union(graphIdentity(gbase)).distinct()
+          case '?' => hop.union(graphIdentity(gbase)).distinct()
           case other => throw new IllegalArgumentException(
             s"unknown path group operator '$other'")
         }
         (r, pairPos)
       case AltPath(_) | InvPath(_) | NegSet(_) | SeqPath(_) =>
-        (pathHop(base, p.pred), pairPos)
+        (pathHop(gbase, p.pred), pairPos)
       case _ =>
-        (base, Seq("subj_id" -> p.subj, "pred" -> p.pred, "obj_id" -> p.obj))
+        val trip = Seq("subj_id" -> p.subj, "pred" -> p.pred, "obj_id" -> p.obj)
+        (gbase, p.graph match {
+          case Some(g @ V(_)) => trip :+ ("graph" -> (g: TermPat))
+          case _              => trip
+        })
     }
     require(pos.exists(_._2.isInstanceOf[V]),
       s"triple pattern $p has no variable — ASK-style existence checks " +
@@ -293,7 +325,15 @@ object Bgp {
    */
   def matchPatterns(edges: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
     require(patterns.nonEmpty, "empty basic graph pattern")
-    val base = edges.select("subj_id", "pred", "obj_id")
+    val base =
+      if (!patterns.exists(_.graph.isDefined))
+        edges.select("subj_id", "pred", "obj_id")
+      else {
+        require(edges.columns.contains("graph"),
+          "GRAPH patterns need a 'graph' column on the edges frame — " +
+            "derive one from lineage with Materialize.quads(edges)")
+        edges.select("subj_id", "pred", "obj_id", "graph")
+      }
     val rels: Seq[DataFrame] = patterns.map(p => patternRel(base, p))
     val joined = joinOrder(patterns).map(rels).reduceLeft { (acc, r) =>
       val shared = r.columns.toSeq.intersect(acc.columns.toSeq)

@@ -88,6 +88,15 @@ object Materialize {
       Canonicalize.nodeId(col("obj")).as("obj_id"),
       col("repo"), col("path"), col("commit"), col("line"))
 
+  /** Quad view: [[edges]] plus a `graph` column — a RAW graph IRI
+    * (`urn:graph:<repo>`) derived from the repo lineage, the column the
+    * SPARQL `GRAPH` surface constrains/binds. Raw like the pred column
+    * (the same IRI value space), never hashed, so a constant graph is a
+    * pushed string-equality on the scan and `GRAPH ?g` bindings join/
+    * compare consistently with predicate bindings. Narrow transform. */
+  def quads(edgesDf: DataFrame): DataFrame =
+    edgesDf.withColumn("graph", concat(lit("urn:graph:"), col("repo")))
+
   /**
    * Property-table pivot: the edges (subj_id, pred, obj_id) long format
    * -> ONE WIDE ROW PER SUBJECT with a column per requested predicate —

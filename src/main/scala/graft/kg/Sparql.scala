@@ -191,7 +191,7 @@ object Sparql {
     * the body parser runs. */
   private final case class TPname(prefix: String, local: String) extends Tok
 
-  private val Keywords = Set("PREFIX",
+  private val Keywords = Set("PREFIX", "GRAPH",
     "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "DISTINCT", "WHERE",
     "OPTIONAL", "MINUS", "FILTER", "UNION", "BOUND", "AS", "GROUP", "BY",
     "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET", "VALUES", "UNDEF",
@@ -481,9 +481,8 @@ object Sparql {
     private[Sparql] lazy val predSpaceVars: Set[String] = {
       val pats = required ++ optionals.flatten ++ unions.flatten.flatten ++
         minuses.flatten ++ exists.flatten ++ notExists.flatten ++ template
-      val own = pats.flatMap(p => p.pred match {
-        case V(n) => Seq(n)
-        case _    => Nil
+      val own = pats.flatMap(p => (Seq(p.pred) ++ p.graph).collect {
+        case V(n) => n
       }).toSet
       val sub = subqueries.flatMap(sq => sq.select.filter(sq.predSpaceVars)).toSet
       binds.foldLeft(own ++ sub) { case (acc, (n, b)) =>
@@ -1417,6 +1416,21 @@ object Sparql {
           if (ps.isEmpty) fail("empty OPTIONAL group")
           optionals += ps
           optionalFilters += ofs.result()
+        case TSym("GRAPH") =>
+          // GRAPH (?g | <iri>) { triples } — scopes/binds the quad
+          // view's raw graph column; the scoped triples are ordinary
+          // required patterns for the join-order machinery
+          c.takeSym("GRAPH")
+          val g: Bgp.TermPat = c.next() match {
+            case TVar(n)   => V(n)
+            case TIri(iri) => C(iri) // RAW graph IRI, like the pred column
+            case t => fail(s"GRAPH takes a ?variable or an <iri>, found $t")
+          }
+          c.takeSym("{")
+          required ++= triplesBlock(c).map { t =>
+            if (t.graph.isDefined) fail("nested GRAPH scopes are not supported")
+            t.copy(graph = Some(g))
+          }
         case TSym("MINUS") =>
           c.takeSym("MINUS"); c.takeSym("{")
           minuses += triplesBlock(c)
@@ -1662,7 +1676,8 @@ object Sparql {
       fail("OPTIONAL/MINUS need required triple patterns to anchor on — a " +
         "union- or subquery-only group supports FILTER/BIND/VALUES only")
     def varsOf(ps: Seq[TriplePattern]): Set[String] =
-      ps.flatMap(p => Seq(p.subj, p.pred, p.obj).collect { case V(n) => n }).toSet
+      ps.flatMap(p => (Seq(p.subj, p.pred, p.obj) ++ p.graph)
+        .collect { case V(n) => n }).toSet
     val reqVars = varsOf(qy.required)
     // ---- UNION group checks. A lone UNION group IS the group (the
     // classic pure union); alongside required triples each group joins
@@ -1783,13 +1798,13 @@ object Sparql {
     val mixedSpace = (predSpace & qy.nodeSpaceVars).toSeq.sorted
     if (mixedSpace.nonEmpty)
       fail(s"variable(s) ${mixedSpace.map("?" + _).mkString(", ")} are bound " +
-        "in predicate position (raw IRIs) but also used where hashed node " +
+        "in predicate/GRAPH position (raw IRIs) but also used where hashed node " +
         "ids live (subject/object position, DESCRIBE, CONSTRUCT node slots) " +
         "— the two spaces never compare equal; rename one of the uses")
     def checkPredRead(v: String, how: Char, ctx: String): Unit =
       if (predSpace(v)) how match {
         case 'n' => fail(s"$ctx reads ?$v numerically, but ?$v binds " +
-          "predicate IRIs")
+          "raw predicate/graph IRIs")
         case 's' => fail(s"$ctx reads ?$v as a string literal, but ?$v " +
           s"binds predicate IRIs — wrap it: STR(?$v)")
         case 't' => fail(s"$ctx applies an RDF-term test to ?$v, which " +

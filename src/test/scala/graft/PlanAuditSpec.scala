@@ -102,6 +102,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sessionize unpruned scan: $sSchemas")
   }
 
+  test("constant GRAPH scope pushes to the quads parquet scan") {
+    import org.apache.spark.sql.functions._
+    import graft.kg.{Bgp, Sparql}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_quads").toString
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    n.select(concat(lit("n:"), col("n_nationkey")).as("subj_id"),
+        lit("urn:p").as("pred"),
+        concat(lit("r:"), col("n_regionkey")).as("obj_id"),
+        concat(lit("urn:graph:"), col("n_regionkey") % 2).as("graph"))
+      .write.mode("overwrite").parquet(s"$tmp/quads")
+    val q = Sparql.run(spark.read.parquet(s"$tmp/quads"),
+      "SELECT ?s ?o WHERE { GRAPH <urn:graph:0> { ?s <urn:p> ?o } }")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(graph,urn:graph:0)"),
+      s"graph equality not pushed to the scan:\n$plan")
+    assert(q.count() === 15) // regions 0,2,4 -> 3 of 5 region keys x 5 nations
+    // variable graph binds the raw column
+    val g = Sparql.run(spark.read.parquet(s"$tmp/quads"),
+      "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s <urn:p> ?o } } GROUP BY ?g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g === Map("urn:graph:0" -> 15L, "urn:graph:1" -> 10L))
+  }
+
   test("bucketed edges: subject self-join plans with NO Exchange") {
     // saveBucketedEdges claims write-time clustering converts repeated
     // subject-traversal shuffles into none; prove it on the physical plan.

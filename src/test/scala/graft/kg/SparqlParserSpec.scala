@@ -1060,7 +1060,7 @@ class SparqlParserSpec extends AnyFunSuite {
     bad("SELECT ?d WHERE { ?d ?p ?o FILTER(?p = ?o) }", "across value spaces")
     // both-position binding: raw IRI joined against hashed ids
     bad("SELECT ?d WHERE { ?d ?x ?o . ?x <urn:lang> ?l }",
-      "predicate position")
+      "predicate/GRAPH position")
     // VALUES rows hash to node ids — they can never match raw pred IRIs
     bad("SELECT ?d WHERE { ?d ?p ?o VALUES ?p { <urn:lang> } }",
       "VALUES over predicate-position")
@@ -1072,9 +1072,9 @@ class SparqlParserSpec extends AnyFunSuite {
     bad("SELECT ?d (SUM(?p) AS ?t) WHERE { ?d ?p ?o } GROUP BY ?d",
       "binds predicate IRIs")
     // DESCRIBE and CONSTRUCT node slots live in the hashed-id space
-    bad("DESCRIBE ?p WHERE { ?d ?p ?o }", "predicate position")
+    bad("DESCRIBE ?p WHERE { ?d ?p ?o }", "predicate/GRAPH position")
     bad("CONSTRUCT { ?p <urn:x> ?d } WHERE { ?d ?p ?o }",
-      "predicate position")
+      "predicate/GRAPH position")
     // a BIND copy of a pred var inherits the space
     bad("""SELECT ?d WHERE { ?d ?p ?o BIND(?p AS ?q) FILTER(?q = "en") }""",
       "literal")
@@ -1266,6 +1266,45 @@ class SparqlParserSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](Sparql.parse(
       "SELECT * WHERE { ?x (<up>/<up>)+/<up> ?y }"))
     assert(ex.getMessage.contains("cannot combine further"))
+  }
+
+  test("GRAPH: constant scopes the scan, variable binds the raw IRI") {
+    val quads = Seq(
+      (d1, "urn:lang", en, "urn:graph:a"),
+      (d2, "urn:lang", fr, "urn:graph:b"),
+      (d1, "urn:src", web, "urn:graph:a"))
+      .toDF("subj_id", "pred", "obj_id", "graph")
+    val byVar = Sparql.run(quads,
+      "SELECT ?d ?g WHERE { GRAPH ?g { ?d <urn:lang> ?l } }")
+    assert(byVar.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      === Set((d1, "urn:graph:a"), (d2, "urn:graph:b")))
+    assert(Sparql.run(quads,
+      "SELECT ?d WHERE { GRAPH <urn:graph:b> { ?d <urn:lang> ?l } }")
+      .collect().map(_.getString(0)).toSeq === Seq(d2))
+    // graph variables live in the raw-IRI space: constants compile raw,
+    // STR reads the column directly
+    assert(Sparql.run(quads,
+      """SELECT ?d WHERE { GRAPH ?g { ?d <urn:lang> ?l }
+        |FILTER(?g != <urn:graph:b>) }""".stripMargin).count() === 1)
+    assert(Sparql.run(quads,
+      """SELECT ?d WHERE { GRAPH ?g { ?d <urn:lang> ?l }
+        |FILTER(STRENDS(STR(?g), ":a")) }""".stripMargin).count() === 1)
+    // graph var joined against a node position: cross-space, rejected
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?g WHERE { GRAPH ?g { ?s <urn:p> ?o } ?g <urn:p> ?z }"))
+    assert(ex.getMessage.contains("predicate/GRAPH position"))
+    // a variable graph cannot scope a path-form predicate
+    val ex2 = intercept[IllegalArgumentException](Sparql.run(quads,
+      "SELECT ?g WHERE { GRAPH ?g { ?s <urn:lang>+ ?o } }"))
+    assert(ex2.getMessage.contains("path-form"))
+    // a constant graph CAN: the filter applies before the closure
+    assert(Sparql.run(quads,
+      "SELECT ?s ?o WHERE { GRAPH <urn:graph:a> { ?s <urn:lang>+ ?o } }")
+      .count() === 1)
+    // edges without a graph column fail loudly
+    val ex3 = intercept[IllegalArgumentException](Sparql.run(corpus,
+      "SELECT ?g WHERE { GRAPH ?g { ?s <urn:lang> ?o } }"))
+    assert(ex3.getMessage.contains("graph' column"))
   }
 
   test("malformed queries fail loudly, not wrongly") {

@@ -1735,6 +1735,26 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // TEMPORAL value-space FILTER: an xsd:date typed-literal constant
+    // selects the date space — both sides read TypedLiterals.asDate
+    // (try_cast, codegen'd) and compare BY VALUE; non-date terms read
+    // NULL and drop (SPARQL error-means-exclude), and the comparison is
+    // DuckDB-portable because only the boolean outcome crosses engines
+    "kg_sparql_datefilter" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_orderdate", col("o_orderdate").cast("date"), s"${XSD}date"),
+        ("o_custkey", col("o_custkey"), s"${XSD}long")))
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
+        """SELECT ?o ?d WHERE {
+          |  ?o <urn:col:orders:o_orderdate> ?d .
+          |  FILTER(?d >= "1996-01-01"^^<http://www.w3.org/2001/XMLSchema#date> &&
+          |         ?d < "1996-03-01"^^<http://www.w3.org/2001/XMLSchema#date>)
+          |}""".stripMargin)
+    }),
+
     // SPARQL GRAPH over lineage: the quad view derives a RAW graph IRI
     // (urn:graph:<repo>) from the repo lineage column — GRAPH ?g binds
     // it (the same raw-IRI space as predicate variables), a constant
@@ -3192,6 +3212,17 @@ object SparkEntry {
          |       'source',
          |       sha256('"' || source || '"^^<$XSD_STR>')
          |FROM documents""".stripMargin,
+
+    // date-filter mirror: both engines read the timestamp column as a
+    // calendar DATE (UTC sessions on both sides) and compare by value;
+    // the term id hashes the yyyy-MM-dd lexical form
+    "kg_sparql_datefilter" ->
+      """SELECT sha256('<urn:g:orders:' || CAST(o_orderkey AS VARCHAR) || '>') AS o,
+        |       sha256('"' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#date>') AS d
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'""".stripMargin,
 
     // GRAPH mirror: per-(graph, predicate) triple counts — one literal
     // arm per corpus column, the graph IRI spelled from the repo lineage

@@ -76,6 +76,11 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *            | nexpr (cmp) nexpr — arithmetic on either side selects
  *              the numeric value space (a parenthesized LEFT side is
  *              read as boolean grouping — start with the bare term)
+ *            | term (cmp) "lit"^^xsd:date | "lit"^^xsd:dateTime — an
+ *              xsd:date/dateTime TYPED constant selects the TEMPORAL
+ *              value space (asDate/asTimestamp on both sides, compare
+ *              by value; cross-type comparison rejected; nodes table
+ *              required)
  *            | (STRSTARTS | STRENDS | CONTAINS) ( sarg , sarg )
  *            | REGEX ( sarg , "pattern" (, "i")? )
  *            | sexpr (= | !=) (sexpr | "lit" | <iri> | ?var)
@@ -383,6 +388,20 @@ object Sparql {
   private final case class FStrCmp(l: STerm, eq: Boolean, r: STerm) extends FExpr
   /** ISIRI / ISLITERAL / ISBLANK term-kind test (needs the `_term` struct). */
   private final case class FKindTest(func: String, v: String) extends FExpr
+  /** TEMPORAL value-space comparison side: a variable read through its
+    * `_term` struct ([[TypedLiterals.asDate]]/[[TypedLiterals.asTimestamp]])
+    * or a typed constant's lexical form. */
+  private[kg] sealed trait TTerm
+  private final case class TTVar(name: String) extends TTerm
+  private final case class TTConst(v: String) extends TTerm
+  /** Temporal comparison, selected by an `xsd:date` / `xsd:dateTime`
+    * TYPED-LITERAL constant on either side: both sides read that one
+    * type's value space (SPARQL makes cross-type temporal comparison an
+    * error — a variable holding the other type reads NULL and the row
+    * drops, error-means-exclude). All six operators compare BY VALUE,
+    * so lexical variants of one instant compare equal. */
+  private final case class FTimeCmp(l: TTerm, op: String, r: TTerm,
+                                    dateTime: Boolean) extends FExpr
 
   /** A BIND(expr AS ?v) right-hand side: a numeric value expression, a
     * string value expression, or a plain id-space copy of another
@@ -520,6 +539,8 @@ object Sparql {
     private[Sparql] def filterTermVars: Seq[String] = {
       def walk(e: FExpr): Seq[String] = e match {
         case FNumCmp(l, _, r) => nvars(l) ++ nvars(r)
+        case FTimeCmp(l, _, r, _) =>
+          Seq(l, r).collect { case TTVar(n) => n }
         case FStrFn(_, a, b)  => svars(a) ++ svars(b)
         case FRegex(a, _, _)  => svars(a)
         case FStrCmp(l, _, r) => svars(l) ++ svars(r)
@@ -725,6 +746,23 @@ object Sparql {
     case FStrCmp(l, eq, r) =>
       if (eq) strValue(l, k) === strValue(r, k)
       else strValue(l, k) =!= strValue(r, k)
+    case FTimeCmp(l, op, r, isDt) =>
+      def side(t: TTerm): Column = t match {
+        case TTVar(n) =>
+          val term = col(s"${n}_term")
+          if (isDt) TypedLiterals.asTimestamp(term) else TypedLiterals.asDate(term)
+        case TTConst(v) =>
+          if (isDt) lit(v).try_cast("timestamp") else lit(v).try_cast("date")
+      }
+      val (a, b) = (side(l), side(r))
+      op match {
+        case "="  => a === b
+        case "!=" => a =!= b
+        case "<"  => a < b
+        case "<=" => a <= b
+        case ">"  => a > b
+        case ">=" => a >= b
+      }
     case FKindTest(func, v) =>
       val kind = col(s"${v}_term")("kind")
       func match {
@@ -1059,6 +1097,13 @@ object Sparql {
       case TSym(s) if Set("=", "!=", "<", "<=", ">", ">=")(s) => s
       case t => fail(s"expected a comparison (= != < <= > >=) in FILTER, found $t")
     }
+    // a typed temporal literal selects the TEMPORAL value space:
+    // Some(false) = xsd:date, Some(true) = xsd:dateTime
+    def temporalDt(o: FOperand): Option[Boolean] = o match {
+      case FOLit(_, None, Some(TypedLiterals.dateType))     => Some(false)
+      case FOLit(_, None, Some(TypedLiterals.dateTimeType)) => Some(true)
+      case _                                                => None
+    }
     // an operand pulled into arithmetic must be a numeric leaf
     def toN(o: FOperand): NExpr = o match {
       case FOVar(n) => NVar(n)
@@ -1147,6 +1192,20 @@ object Sparql {
         // an ordering operator or a bare-number side selects the NUMERIC
         // value space; = / != between vars/IRIs/literals stays node-id
         // (in)equality (decidable without the nodes table)
+        else if (temporalDt(l).isDefined || temporalDt(r).isDefined) {
+          val kinds = (temporalDt(l) ++ temporalDt(r)).toSeq
+          if (kinds.distinct.sizeIs > 1)
+            fail("xsd:date and xsd:dateTime do not compare in SPARQL — " +
+              "use one type on both sides")
+          val isDt = kinds.head
+          def tt(o: FOperand): TTerm = o match {
+            case FOVar(n) => TTVar(n)
+            case FOLit(v, None, Some(_)) => TTConst(v)
+            case _ => fail("temporal comparisons take ?vars and " +
+              "xsd:date/xsd:dateTime typed literals")
+          }
+          FTimeCmp(tt(l), op, tt(r), isDt)
+        }
         else if (l.isInstanceOf[FOStrFn] || r.isInstanceOf[FOStrFn]) {
           if (Set("<", "<=", ">", ">=")(op))
             fail("string value-space comparisons support = / != only — " +
@@ -1769,6 +1828,8 @@ object Sparql {
       case FRegex(a, _, _)  => readsS(a)
       case FStrCmp(l, _, r) => readsS(l) ++ readsS(r)
       case FKindTest(_, v)  => Seq((v, 't'))
+      case FTimeCmp(l, _, r, _) =>
+        Seq(l, r).collect { case TTVar(n) => (n, 'd') }
     }
     def checkRead(v: String, how0: Char, ctx: String): Unit =
       kinds.get(v).foreach { k =>
@@ -1781,6 +1842,8 @@ object Sparql {
             "\"...\" for strings), not by node id")
           case 'n' if k != 'n' =>
             fail(s"$ctx: ?$v is not a numeric BIND value")
+          case 'd' => fail(s"$ctx: ?$v is a computed value, not an RDF " +
+            "term — temporal comparisons read xsd:date/xsd:dateTime literals")
           case 's' if k != 's' =>
             fail(s"$ctx: ?$v is not a string BIND value")
           case _ => ()
@@ -1810,6 +1873,8 @@ object Sparql {
         case 't' => fail(s"$ctx applies an RDF-term test to ?$v, which " +
           "binds predicate IRIs directly (ISIRI would be vacuously true; " +
           "LANG/DATATYPE are type errors on IRIs)")
+        case 'd' => fail(s"$ctx compares ?$v temporally, but ?$v binds " +
+          "raw predicate/graph IRIs")
         case _ => () // 'S' (STR) reads the raw IRI; 'c' via checkPredCmp
       }
     def checkPredCmp(e: FExpr, pv: Set[String], ctx: String): Unit = e match {

@@ -1307,6 +1307,55 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("graph' column"))
   }
 
+  test("temporal FILTER: xsd:date / xsd:dateTime constants compare by value") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    def dlit(v: String) = Bgp.litId(v, XSD + "date")
+    def tlit(v: String) = Bgp.litId(v, XSD + "dateTime")
+    val jan = dlit("2020-01-15")
+    val mar = dlit("2020-03-01")
+    val ts1 = tlit("2020-01-15T10:30:00")
+    val ts2 = tlit("2020-01-15T22:00:00")
+    val e = edges(
+      (d1, "urn:when", jan), (d2, "urn:when", mar),
+      (d1, "urn:at", ts1), (d2, "urn:at", ts2),
+      (d3, "urn:when", en)) // a non-date literal in value position
+    val nodes = Seq(
+      (jan, RdfTerm.LITERAL, "2020-01-15", null, XSD + "date"),
+      (mar, RdfTerm.LITERAL, "2020-03-01", null, XSD + "date"),
+      (ts1, RdfTerm.LITERAL, "2020-01-15T10:30:00", null, XSD + "dateTime"),
+      (ts2, RdfTerm.LITERAL, "2020-01-15T22:00:00", null, XSD + "dateTime"),
+      (en, RdfTerm.LITERAL, "en", null, XSD + "string"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    // range filter: only jan qualifies; the plain-string literal reads
+    // NULL and drops (error-means-exclude)
+    val got = Sparql.run(e, nodes,
+      s"""SELECT ?d WHERE { ?d <urn:when> ?w
+         |FILTER(?w >= "2020-01-01"^^<${XSD}date> &&
+         |       ?w < "2020-02-01"^^<${XSD}date>) }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq(d1))
+    // dateTime ordering by value
+    assert(Sparql.run(e, nodes,
+      s"""SELECT ?d WHERE { ?d <urn:at> ?t
+         |FILTER(?t > "2020-01-15T12:00:00"^^<${XSD}dateTime>) }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq === Seq(d2))
+    // value equality (not id equality)
+    assert(Sparql.run(e, nodes,
+      s"""SELECT ?d WHERE { ?d <urn:when> ?w
+         |FILTER(?w = "2020-03-01"^^<${XSD}date>) }""".stripMargin)
+      .count() === 1)
+    // cross-type comparison is a SPARQL error — rejected at parse
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      s"""SELECT ?d WHERE { ?d <urn:when> ?w
+         |FILTER("2020-01-01"^^<${XSD}date> < "2020-01-01T00:00:00"^^<${XSD}dateTime>) }""".stripMargin))
+    assert(ex.getMessage.contains("do not compare"))
+    // a BIND value is not an RDF term for temporal reads
+    val ex2 = intercept[IllegalArgumentException](Sparql.parse(
+      s"""SELECT ?d WHERE { ?d <urn:when> ?w BIND(1 + 1 AS ?x)
+         |FILTER(?x < "2020-01-01"^^<${XSD}date>) }""".stripMargin))
+    assert(ex2.getMessage.contains("computed value"))
+  }
+
   test("malformed queries fail loudly, not wrongly") {
     def bad(q: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](Sparql.parse(q))

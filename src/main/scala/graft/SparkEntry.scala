@@ -1735,6 +1735,23 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // LANGMATCHES + BIND IF + IN in one query: RFC 4647 basic filtering
+    // over the ONE ?c term join, a when/otherwise classification whose
+    // condition is a full filter expression, and a string-value IN
+    // selection over the computed column — all narrow, zero extra joins
+    "kg_sparql_if_in_lang" -> ((s, dir) => {
+      val corpus = Corpus.fromTableTagged(docs(s, dir), "documents", "doc_id",
+        Seq(("caption", col("source"), col("lang"))))
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
+        """SELECT ?d ?cls WHERE {
+          |  ?d <urn:col:documents:caption> ?c .
+          |  FILTER(LANGMATCHES(LANG(?c), "de") || LANGMATCHES(LANG(?c), "zh"))
+          |  BIND(IF(CONTAINS(STR(?c), "1"), "one", "other") AS ?cls)
+          |  FILTER(?cls IN ("one", "other"))
+          |}""".stripMargin)
+    }),
+
     // TEMPORAL value-space FILTER: an xsd:date typed-literal constant
     // selects the date space — both sides read TypedLiterals.asDate
     // (try_cast, codegen'd) and compare BY VALUE; non-date terms read
@@ -3212,6 +3229,13 @@ object SparkEntry {
          |       'source',
          |       sha256('"' || source || '"^^<$XSD_STR>')
          |FROM documents""".stripMargin,
+
+    // langMatches/IF/IN mirror: exact-tag languages reduce the RFC 4647
+    // prefix rule to IN, the IF to CASE, the final IN is vacuously true
+    "kg_sparql_if_in_lang" ->
+      s"""SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+         |       CASE WHEN contains(source, '1') THEN 'one' ELSE 'other' END AS cls
+         |FROM documents WHERE lang IN ('de', 'zh')""".stripMargin,
 
     // date-filter mirror: both engines read the timestamp column as a
     // calendar DATE (UTC sessions on both sides) and compare by value;

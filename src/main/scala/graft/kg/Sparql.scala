@@ -36,6 +36,8 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *               required triples it joins the group on its shared
  *               variables, which must be bound in EVERY branch)
  *   bexpr   := nexpr | sexpr | ?var | "lit" | COALESCE(?var, ?var+)
+ *            | IF ( expr , bexpr , bexpr )   (same-kind branches; a NULL
+ *              condition takes the ELSE branch)
  *              (?var alone copies the binding, COALESCE is the id-space
  *               OPTIONAL-fallback chain over pattern variables; numeric
  *               and string expressions produce PLAIN VALUE columns)
@@ -85,6 +87,11 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *            | REGEX ( sarg , "pattern" (, "i")? )
  *            | sexpr (= | !=) (sexpr | "lit" | <iri> | ?var)
  *            | (ISIRI | ISLITERAL | ISBLANK) ( ?var )
+ *            | LANGMATCHES ( sarg , "range" )   (RFC 4647 basic: "*" =
+ *              any non-empty tag, else tag or tag-prefix, case-blind)
+ *            | ?var NOT? IN ( const (, const)* ) — all-number lists read
+ *              the numeric value space, term lists the variable's own
+ *              space (ids / raw IRIs / string BIND values)
  *              where sarg := sexpr | ?var | "lit" — all STRING-VALUE-
  *              SPACE forms, needing the nodes table like nexpr; a bare
  *              ?var arg reads string-family literals only (SPARQL type
@@ -204,7 +211,8 @@ object Sparql {
     "AVG", "EXISTS", "NOT", "STR", "LANG", "DATATYPE", "STRSTARTS",
     "STRENDS", "CONTAINS", "ISIRI", "ISLITERAL", "ISBLANK", "BIND",
     "CONCAT", "LCASE", "UCASE", "STRLEN", "REGEX", "COALESCE", "SUBSTR",
-    "STRBEFORE", "STRAFTER", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND")
+    "STRBEFORE", "STRAFTER", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND",
+    "LANGMATCHES", "IF", "IN")
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -402,6 +410,18 @@ object Sparql {
     * so lexical variants of one instant compare equal. */
   private final case class FTimeCmp(l: TTerm, op: String, r: TTerm,
                                     dateTime: Boolean) extends FExpr
+  /** LANGMATCHES(sarg, "range"): RFC 4647 basic filtering — "*" matches
+    * any non-empty tag, otherwise a case-insensitive tag or tag-prefix
+    * ("en" matches "en" and "en-GB"). */
+  private final case class FLangMatches(arg: STerm, range: String) extends FExpr
+  /** `?v (NOT)? IN (const, ...)`: a pushed IN-filter. All-number lists
+    * read the numeric value space; RDF-term lists compare in the
+    * variable's own space (hashed ids for node variables and copies,
+    * raw IRIs for predicate/graph variables, raw strings for string
+    * BIND values). An unbound/other-space ?v reads NULL, so both IN and
+    * NOT IN exclude the row — SPARQL error propagation. */
+  private final case class FIn(v: String, items: Seq[FOperand],
+                               negated: Boolean) extends FExpr
 
   /** A BIND(expr AS ?v) right-hand side: a numeric value expression, a
     * string value expression, or a plain id-space copy of another
@@ -413,6 +433,11 @@ object Sparql {
   /** COALESCE(?a, ?b, ...) over PATTERN variables — the id-space
     * OPTIONAL-fallback chain (first bound binding wins). */
   private final case class BCoalesce(vars: Seq[String]) extends BExpr
+  /** IF(cond, then, else) — the branches must live in ONE value kind
+    * (both numeric, both string, or both id-space copies/coalesces); a
+    * NULL condition (unbound read) yields the ELSE branch, matching
+    * when/otherwise. */
+  private final case class BIf(cond: FExpr, thenB: BExpr, elseB: BExpr) extends BExpr
 
   /** An aggregate invocation; `arg = None` is `COUNT(*)`. SAMPLE is
     * compiled as `min` (SPARQL leaves the pick arbitrary — a
@@ -468,14 +493,15 @@ object Sparql {
                          private[Sparql] val subqueries: Seq[Query] = Nil,
                          private[Sparql] val optionalFilters: Seq[Seq[FExpr]] = Nil) {
     /** BIND variable -> value kind: 'n'umeric, 's'tring, 'c'opy. */
-    private[Sparql] lazy val bindKinds: Map[String, Char] =
-      binds.map { case (n, b) =>
-        n -> (b match {
-          case BNum(_) => 'n'
-          case BStr(_) => 's'
-          case BCopy(_) | BCoalesce(_) => 'c'
-        })
-      }.toMap
+    private[Sparql] lazy val bindKinds: Map[String, Char] = {
+      def kindOf(b: BExpr): Char = b match {
+        case BNum(_) => 'n'
+        case BStr(_) => 's'
+        case BCopy(_) | BCoalesce(_) => 'c'
+        case BIf(_, t, _) => kindOf(t) // same-kind branches (validated)
+      }
+      binds.map { case (n, b) => n -> kindOf(b) }.toMap
+    }
     /** All computed-value columns and their kinds: BIND variables plus
       * subquery aggregate aliases (COUNT/SUM/AVG are numeric values,
       * GROUP_CONCAT strings, MIN/MAX/SAMPLE id picks -> id-space 'c'). */
@@ -536,31 +562,12 @@ object Sparql {
       * [[Bgp.bindValues]] join before the FILTERs apply (BIND-produced
       * variables are plain value columns and are excluded by the
       * caller). */
-    private[Sparql] def filterTermVars: Seq[String] = {
-      def walk(e: FExpr): Seq[String] = e match {
-        case FNumCmp(l, _, r) => nvars(l) ++ nvars(r)
-        case FTimeCmp(l, _, r, _) =>
-          Seq(l, r).collect { case TTVar(n) => n }
-        case FStrFn(_, a, b)  => svars(a) ++ svars(b)
-        case FRegex(a, _, _)  => svars(a)
-        case FStrCmp(l, _, r) => svars(l) ++ svars(r)
-        case FKindTest(_, v)  => Seq(v)
-        case FNot(x)    => walk(x)
-        case FAnd(a, b) => walk(a) ++ walk(b)
-        case FOr(a, b)  => walk(a) ++ walk(b)
-        case _          => Nil
-      }
-      filterAst.flatMap(walk).distinct
-    }
+    private[Sparql] def filterTermVars: Seq[String] =
+      filterAst.flatMap(fTermVars).distinct
     /** Variables BIND expressions read in the VALUE space — joined like
       * [[filterTermVars]]; spent once the bind columns are computed. */
     private[Sparql] def bindTermVars: Seq[String] =
-      binds.flatMap {
-        case (_, BNum(e))      => nvars(e)
-        case (_, BStr(t))      => svars(t)
-        case (_, BCopy(_))     => Nil
-        case (_, BCoalesce(_)) => Nil // id reads, no term join
-      }.distinct
+      binds.flatMap(b => bTermVars(b._2)).distinct
     /** Variables aggregated in the NUMERIC value space (SUM/AVG args,
       * projected OR in HAVING) — these need [[Bgp.bindValues]] joins
       * that must SURVIVE until the aggregation step. */
@@ -580,6 +587,35 @@ object Sparql {
     private[Sparql] def isAggregate: Boolean =
       groupBy.nonEmpty || havingAst.nonEmpty ||
         projection.exists(_.isInstanceOf[PAgg])
+  }
+
+  /** Variables a FILTER expression reads through the nodes-table term
+    * join (numeric/string/temporal value spaces, kind tests, numeric IN
+    * lists) — BIND values and predicate-space variables are excluded by
+    * the caller via the kinds map. */
+  private def fTermVars(e: FExpr): Seq[String] = e match {
+    case FNumCmp(l, _, r) => nvars(l) ++ nvars(r)
+    case FTimeCmp(l, _, r, _) => Seq(l, r).collect { case TTVar(n) => n }
+    case FStrFn(_, a, b)  => svars(a) ++ svars(b)
+    case FRegex(a, _, _)  => svars(a)
+    case FStrCmp(l, _, r) => svars(l) ++ svars(r)
+    case FKindTest(_, v)  => Seq(v)
+    case FLangMatches(a, _) => svars(a)
+    case FIn(v, items, _) if items.forall(_.isInstanceOf[FONum]) => Seq(v)
+    case FNot(x)    => fTermVars(x)
+    case FAnd(a, b) => fTermVars(a) ++ fTermVars(b)
+    case FOr(a, b)  => fTermVars(a) ++ fTermVars(b)
+    case _          => Nil
+  }
+
+  /** Term-join variables a BIND body reads (IF conditions read like
+    * FILTERs; branches recurse). */
+  private def bTermVars(b: BExpr): Seq[String] = b match {
+    case BNum(e)           => nvars(e)
+    case BStr(t)           => svars(t)
+    case BCopy(_)          => Nil
+    case BCoalesce(_)      => Nil // id reads, no term join
+    case BIf(cond, t, e2)  => fTermVars(cond) ++ bTermVars(t) ++ bTermVars(e2)
   }
 
   /** A comparison side; `predSide` = the OTHER side is a predicate-
@@ -763,6 +799,34 @@ object Sparql {
         case ">"  => a > b
         case ">=" => a >= b
       }
+    case FLangMatches(a, range) =>
+      val tag = strValue(a, k)
+      if (range == "*") tag.isNotNull && tag =!= ""
+      else {
+        val lt = lower(tag)
+        val r = range.toLowerCase
+        lt === r || lt.startsWith(r + "-")
+      }
+    case FIn(v, items, neg) =>
+      val base =
+        if (items.forall(_.isInstanceOf[FONum]))
+          numValue(NVar(v), k).isin(items.collect { case FONum(d) => d }: _*)
+        else if (k.get(v).contains('s'))
+          col(v).isin(items.map {
+            case FOLit(s2, None, None) => s2
+            case other => fail(s"a string BIND IN-list takes plain string " +
+              s"literals, found $other")
+          }: _*)
+        else if (k.get(v).contains('p'))
+          col(v).isin(items.collect { case FOIri(iri) => iri }: _*)
+        else
+          col(v).isin(items.map {
+            case FOIri(iri)          => Bgp.iriId(iri)
+            case FOLit(lv, lang, dt) =>
+              Bgp.litId(lv, dt.getOrElse(RdfTerm.XsdString), lang)
+            case other => fail(s"unexpected IN item $other")
+          }: _*)
+      if (neg) !base else base
     case FKindTest(func, v) =>
       val kind = col(s"${v}_term")("kind")
       func match {
@@ -778,6 +842,8 @@ object Sparql {
     case BStr(t)        => strValue(t, k)
     case BCopy(v)       => col(v)
     case BCoalesce(vs)  => coalesce(vs.map(col): _*)
+    case BIf(cond, t, e) =>
+      when(compileF(cond, k), compileB(t, k)).otherwise(compileB(e, k))
   }
 
   // ---------- parser -------------------------------------------------------
@@ -1153,6 +1219,16 @@ object Sparql {
         val v = varName(c)
         c.takeSym(")")
         FKindTest(f, v)
+      case TSym("LANGMATCHES") =>
+        c.next(); c.takeSym("(")
+        val a = strArg(c)
+        c.takeSym(",")
+        val r = c.next() match {
+          case TLit(v, None, None) => v
+          case t => fail(s"LANGMATCHES takes a plain string literal range, found $t")
+        }
+        c.takeSym(")")
+        FLangMatches(a, r)
       // an unambiguous numeric-expression opener: the whole comparison
       // lives in the numeric value space
       case TSym("STRLEN") | TSym("-") | TSym("ABS") | TSym("CEIL") |
@@ -1161,7 +1237,30 @@ object Sparql {
         FNumCmp(l, cmpOp(), nexpr(c))
       case _ =>
         val l = filterOperand(c)
-        if (isArithSym(c)) {
+        if (c.atSym("IN") || (c.atSym("NOT") && c.peek2.contains(TSym("IN")))) {
+          val neg = c.atSym("NOT")
+          if (neg) c.takeSym("NOT")
+          c.takeSym("IN")
+          val v = l match {
+            case FOVar(n) => n
+            case other    => fail(s"IN takes a ?variable on the left, found $other")
+          }
+          c.takeSym("(")
+          val items = Seq.newBuilder[FOperand]
+          def item(): Unit = filterOperand(c) match {
+            case FOVar(_) | FOStrFn(_) =>
+              fail("IN lists take constants (IRIs, literals, numbers)")
+            case o => items += o
+          }
+          item()
+          while (c.atSym(",")) { c.takeSym(","); item() }
+          c.takeSym(")")
+          val its = items.result()
+          val numCount = its.count(_.isInstanceOf[FONum])
+          if (numCount != 0 && numCount != its.size)
+            fail("an IN list mixes numbers with RDF terms — use one value space")
+          FIn(v, its, neg)
+        } else if (isArithSym(c)) {
           // left side continues arithmetically -> numeric value space
           val lfull = nexprFrom(c, toN(l))
           FNumCmp(lfull, cmpOp(), nexpr(c))
@@ -1404,33 +1503,46 @@ object Sparql {
     // token: a string function opens the string space, STRLEN/number/
     // paren/unary-minus the numeric space, a bare ?var (no arithmetic
     // following) is an id-space copy, a plain "lit" a string constant
+    def bindBody(): BExpr = strFnOperand(c) match {
+      case Some(st) => BStr(st)
+      case None => c.peekOrFail match {
+        case TSym("IF") =>
+          // IF(cond, then, else): the condition is a full FILTER
+          // expression; the branches recurse through this same body
+          // grammar and must share one value kind (validated)
+          c.next(); c.takeSym("(")
+          val cond = filterExpr(c)
+          c.takeSym(",")
+          val t = bindBody()
+          c.takeSym(",")
+          val e = bindBody()
+          c.takeSym(")")
+          BIf(cond, t, e)
+        case TSym("COALESCE") =>
+          c.next(); c.takeSym("(")
+          val vs = Seq.newBuilder[String]
+          vs += varName(c)
+          while (c.atSym(",")) { c.takeSym(","); vs += varName(c) }
+          c.takeSym(")")
+          val r = vs.result()
+          if (r.sizeIs < 2) fail("COALESCE takes at least two ?variables")
+          BCoalesce(r)
+        case TVar(n) =>
+          c.next()
+          if (isArithSym(c)) BNum(nexprFrom(c, NVar(n))) else BCopy(n)
+        case TLit(v, None, None) => c.next(); BStr(SConst(v))
+        case TLit(_, _, _) =>
+          fail("BIND string constants must be plain (no @lang / ^^dt)")
+        case TNum(_) | TDbl(_) | TSym("(") | TSym("-") | TSym("STRLEN") |
+             TSym("ABS") | TSym("CEIL") | TSym("FLOOR") | TSym("ROUND") =>
+          BNum(nexpr(c))
+        case t => fail(s"expected a numeric/string expression, IF(...), " +
+          s"COALESCE(...), ?var or a plain string literal in BIND, found $t")
+      }
+    }
     def bindClause(): Unit = {
       c.takeSym("BIND"); c.takeSym("(")
-      val b: BExpr = strFnOperand(c) match {
-        case Some(st) => BStr(st)
-        case None => c.peekOrFail match {
-          case TSym("COALESCE") =>
-            c.next(); c.takeSym("(")
-            val vs = Seq.newBuilder[String]
-            vs += varName(c)
-            while (c.atSym(",")) { c.takeSym(","); vs += varName(c) }
-            c.takeSym(")")
-            val r = vs.result()
-            if (r.sizeIs < 2) fail("COALESCE takes at least two ?variables")
-            BCoalesce(r)
-          case TVar(n) =>
-            c.next()
-            if (isArithSym(c)) BNum(nexprFrom(c, NVar(n))) else BCopy(n)
-          case TLit(v, None, None) => c.next(); BStr(SConst(v))
-          case TLit(_, _, _) =>
-            fail("BIND string constants must be plain (no @lang / ^^dt)")
-          case TNum(_) | TDbl(_) | TSym("(") | TSym("-") | TSym("STRLEN") |
-               TSym("ABS") | TSym("CEIL") | TSym("FLOOR") | TSym("ROUND") =>
-            BNum(nexpr(c))
-          case t => fail(s"expected a numeric/string expression, ?var or " +
-            s"a plain string literal in BIND, found $t")
-        }
-      }
+      val b = bindBody()
       c.takeSym("AS")
       val v = varName(c)
       c.takeSym(")")
@@ -1830,6 +1942,9 @@ object Sparql {
       case FKindTest(_, v)  => Seq((v, 't'))
       case FTimeCmp(l, _, r, _) =>
         Seq(l, r).collect { case TTVar(n) => (n, 'd') }
+      case FLangMatches(a, _) => readsS(a)
+      case FIn(v, items, _) =>
+        Seq((v, if (items.forall(_.isInstanceOf[FONum])) 'n' else 'i'))
     }
     def checkRead(v: String, how0: Char, ctx: String): Unit =
       kinds.get(v).foreach { k =>
@@ -1844,6 +1959,8 @@ object Sparql {
             fail(s"$ctx: ?$v is not a numeric BIND value")
           case 'd' => fail(s"$ctx: ?$v is a computed value, not an RDF " +
             "term — temporal comparisons read xsd:date/xsd:dateTime literals")
+          case 'i' if k == 'n' => fail(s"$ctx: ?$v is a numeric BIND " +
+            "value — an RDF-term IN list cannot match it; use numbers")
           case 's' if k != 's' =>
             fail(s"$ctx: ?$v is not a string BIND value")
           case _ => ()
@@ -1898,6 +2015,10 @@ object Sparql {
               "predicates are IRIs; compare against an <iri>")
           case _ => () // pred variable vs IRI constant: compiled raw
         }
+      case FIn(v, items, _) if pv(v) =>
+        if (!items.forall(_.isInstanceOf[FOIri]))
+          fail(s"$ctx: ?$v binds raw predicate/graph IRIs — its IN list " +
+            "must contain <iri>s only")
       case FNot(x)    => checkPredCmp(x, pv, ctx)
       case FAnd(a, b) => checkPredCmp(a, pv, ctx); checkPredCmp(b, pv, ctx)
       case FOr(a, b)  => checkPredCmp(a, pv, ctx); checkPredCmp(b, pv, ctx)
@@ -1934,7 +2055,7 @@ object Sparql {
       if (patternVarsAll.contains(name))
         fail(s"BIND variable ?$name is already bound by the pattern group")
       val earlier = bindNames.take(i).toSet
-      val reads = b match {
+      def readsB(bx: BExpr): Seq[(String, Char)] = bx match {
         case BCopy(src) =>
           if (!patternVarsAll.contains(src))
             fail(s"BIND(?$src AS ?$name): a bare-?var BIND copies a PATTERN " +
@@ -1955,8 +2076,25 @@ object Sparql {
           Nil
         case BNum(e) => readsN(e)
         case BStr(t) => readsS(t)
+        case BIf(cond, t, e2) =>
+          checkPredCmp(cond, predSpace, s"BIND ?$name")
+          readsF(cond) ++ readsB(t) ++ readsB(e2)
       }
-      reads.foreach { case (v, how) =>
+      // IF branches must live in ONE value kind — mixing a numeric and
+      // a string (or id) branch would give the column no coherent space
+      def kindOfB(bx: BExpr): Char = bx match {
+        case BNum(_)                 => 'n'
+        case BStr(_)                 => 's'
+        case BCopy(_) | BCoalesce(_) => 'c'
+        case BIf(_, t, e2) =>
+          val (kt, ke) = (kindOfB(t), kindOfB(e2))
+          if (kt != ke)
+            fail(s"IF branches in BIND ?$name mix value kinds — both must " +
+              "be numeric, both string, or both id-space bindings")
+          kt
+      }
+      kindOfB(b): Unit
+      readsB(b).foreach { case (v, how) =>
         if (!patternVarsAll.contains(v) && !earlier.contains(v) &&
             !qy.subqueryOutputs.contains(v))
           fail(s"BIND ?$name reads ?$v, which is bound neither by the " +

@@ -1356,6 +1356,71 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("computed value"))
   }
 
+  test("LANGMATCHES, IN lists and BIND IF") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val hEn = Bgp.litId("hello", lang = Some("en"))
+    val hGb = Bgp.litId("hallo", lang = Some("en-GB"))
+    val hDe = Bgp.litId("servus", lang = Some("de"))
+    val p3 = Bgp.litId("3", XSD + "long")
+    val p7 = Bgp.litId("7", XSD + "long")
+    val e = edges(
+      (d1, "urn:cap", hEn), (d2, "urn:cap", hGb), (d3, "urn:cap", hDe),
+      (d1, "urn:n", p3), (d2, "urn:n", p7))
+    val LS = RdfTerm.RdfLangString
+    val nodes = Seq(
+      (hEn, RdfTerm.LITERAL, "hello", "en", LS),
+      (hGb, RdfTerm.LITERAL, "hallo", "en-GB", LS),
+      (hDe, RdfTerm.LITERAL, "servus", "de", LS),
+      (p3, RdfTerm.LITERAL, "3", null, XSD + "long"),
+      (p7, RdfTerm.LITERAL, "7", null, XSD + "long"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    // RFC 4647 basic filtering: "en" matches en AND en-GB, case-blind
+    assert(Sparql.run(e, nodes,
+      """SELECT ?d WHERE { ?d <urn:cap> ?c
+        |FILTER(LANGMATCHES(LANG(?c), "EN")) }""".stripMargin)
+      .collect().map(_.getString(0)).toSet === Set(d1, d2))
+    // "*" matches any non-empty tag
+    assert(Sparql.run(e, nodes,
+      """SELECT ?d WHERE { ?d <urn:cap> ?c
+        |FILTER(LANGMATCHES(LANG(?c), "*")) }""".stripMargin).count() === 3)
+    // numeric IN reads the value space; NOT IN excludes
+    assert(Sparql.run(e, nodes,
+      "SELECT ?d WHERE { ?d <urn:n> ?n FILTER(?n IN (3, 5)) }")
+      .collect().map(_.getString(0)).toSeq === Seq(d1))
+    assert(Sparql.run(e, nodes,
+      "SELECT ?d WHERE { ?d <urn:n> ?n FILTER(?n NOT IN (3, 5)) }")
+      .collect().map(_.getString(0)).toSeq === Seq(d2))
+    // term IN over a pattern variable compares node ids
+    assert(Sparql.run(e,
+      """SELECT ?d WHERE { ?d <urn:cap> ?c
+        |FILTER(?c IN ("hello"@en, "servus"@de)) }""".stripMargin)
+      .collect().map(_.getString(0)).toSet === Set(d1, d3))
+    // BIND IF: condition is a full filter expression, branches one kind
+    val cls = Sparql.run(e, nodes,
+      """SELECT ?d ?cls WHERE { ?d <urn:n> ?n
+        |BIND(IF(?n > 5, "big", "small") AS ?cls)
+        |FILTER(?cls IN ("big", "small")) }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cls === Map(d1 -> "small", d2 -> "big"))
+    val ifNum = Sparql.run(e, nodes,
+      """SELECT ?d ?y WHERE { ?d <urn:n> ?n
+        |BIND(IF(?n > 5, ?n * 2, ?n + 1) AS ?y) }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(ifNum === Map(d1 -> 4.0, d2 -> 14.0))
+    // rejections: mixed IN list, mismatched IF branch kinds
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"$q -> ${ex.getMessage}")
+    }
+    bad("""SELECT ?d WHERE { ?d <urn:n> ?n FILTER(?n IN (3, "x")) }""",
+      "mixes numbers")
+    bad("""SELECT ?d WHERE { ?d <urn:n> ?n
+          |BIND(IF(?n > 5, "big", 1) AS ?c) }""".stripMargin,
+      "mix value kinds")
+    bad("""SELECT ?d WHERE { ?d <urn:n> ?n FILTER("x" IN ("x")) }""",
+      "takes a ?variable")
+  }
+
   test("malformed queries fail loudly, not wrongly") {
     def bad(q: String, needle: String): Unit = {
       val ex = intercept[IllegalArgumentException](Sparql.parse(q))

@@ -1772,6 +1772,28 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // DATETIME ACCESSORS: YEAR/MONTH/DAY gate the rows and HOURS/
+    // MINUTES/SECONDS compose in BIND arithmetic — all six read the ?t
+    // term's temporal value through the ONE bindValues join the
+    // temporal FILTER machinery already makes, then extract fields as
+    // codegen'd year()/hour()/... expressions; the corpus literal is
+    // second-truncated so both engines see identical instants
+    "kg_sparql_datefns" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val ev = fanOut(s, s.read.parquet(s"$dir/events.parquet"))
+      val corpus = Corpus.fromTableTyped(ev, "events", "event_id", Seq(
+        ("ts", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+          s"${XSD}dateTime")))
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
+        """SELECT ?e ?dom ?secs WHERE {
+          |  ?e <urn:col:events:ts> ?t .
+          |  FILTER(YEAR(?t) = 2024 && MONTH(?t) = 1 && DAY(?t) <= 2)
+          |  BIND(DAY(?t) AS ?dom)
+          |  BIND(HOURS(?t) * 3600 + MINUTES(?t) * 60 + SECONDS(?t) AS ?secs)
+          |}""".stripMargin)
+    }),
+
     // SPARQL GRAPH over lineage: the quad view derives a RAW graph IRI
     // (urn:graph:<repo>) from the repo lineage column — GRAPH ?g binds
     // it (the same raw-IRI space as predicate variables), a constant
@@ -3247,6 +3269,20 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'""".stripMargin,
+
+    // datetime-accessor mirror: both engines extract calendar fields
+    // from the second-truncated instant under UTC sessions; DuckDB's
+    // date_part('second') truncates fractions exactly like the
+    // second-truncated lexical form the Spark side hashes
+    "kg_sparql_datefns" ->
+      """SELECT sha256('<urn:g:events:' || CAST(event_id AS VARCHAR) || '>') AS e,
+        |       CAST(date_part('day', ts) AS DOUBLE) AS dom,
+        |       CAST(date_part('hour', ts) AS DOUBLE) * 3600 +
+        |       CAST(date_part('minute', ts) AS DOUBLE) * 60 +
+        |       CAST(date_part('second', ts) AS DOUBLE) AS secs
+        |FROM events
+        |WHERE date_part('year', ts) = 2024 AND date_part('month', ts) = 1
+        |  AND date_part('day', ts) <= 2""".stripMargin,
 
     // GRAPH mirror: per-(graph, predicate) triple counts — one literal
     // arm per corpus column, the graph IRI spelled from the repo lineage

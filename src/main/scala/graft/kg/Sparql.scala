@@ -83,6 +83,10 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *              value space (asDate/asTimestamp on both sides, compare
  *              by value; cross-type comparison rejected; nodes table
  *              required)
+ *            | (YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS) ( ?v ) — datetime
+ *              accessors into the NUMERIC value space (xsd:dateTime by
+ *              value, xsd:date at midnight, anything else excluded);
+ *              legal anywhere a numeric expression is
  *            | (STRSTARTS | STRENDS | CONTAINS) ( sarg , sarg )
  *            | REGEX ( sarg , "pattern" (, "i")? )
  *            | sexpr (= | !=) (sexpr | "lit" | <iri> | ?var)
@@ -212,7 +216,8 @@ object Sparql {
     "STRENDS", "CONTAINS", "ISIRI", "ISLITERAL", "ISBLANK", "BIND",
     "CONCAT", "LCASE", "UCASE", "STRLEN", "REGEX", "COALESCE", "SUBSTR",
     "STRBEFORE", "STRAFTER", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND",
-    "LANGMATCHES", "IF", "IN")
+    "LANGMATCHES", "IF", "IN", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+    "SECONDS")
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -362,6 +367,16 @@ object Sparql {
     * which IS xsd/SPARQL round-half-toward-+INF (a bare engine round()
     * would be HALF_UP / HALF_EVEN depending on the engine). */
   private final case class NFn(func: String, arg: NExpr) extends NExpr
+  /** YEAR / MONTH / DAY / HOURS / MINUTES / SECONDS — datetime
+    * accessors into the numeric value space. The argument variable
+    * reads the TEMPORAL value space: an xsd:dateTime literal through
+    * [[TypedLiterals.asTimestamp]], an xsd:date through
+    * [[TypedLiterals.asDate]] at midnight (a deliberate widening of the
+    * spec's dateTime-only accessor domain — the common engine
+    * behavior); any other term reads NULL and the row is excluded
+    * (error-means-exclude). UTC sessions on both engines make the
+    * field extraction deterministic. */
+  private final case class NTimeFn(func: String, v: String) extends NExpr
   private final case class FNumCmp(l: NExpr, op: String, r: NExpr) extends FExpr
   /** STRING value-space operand: a variable read through its bindValues
     * `_term` struct (bare = string-family literal lexical form only,
@@ -633,6 +648,7 @@ object Sparql {
     case NStrLen(a)      => svars(a)
     case NArith(l, _, r) => nvars(l) ++ nvars(r)
     case NFn(_, a)       => nvars(a)
+    case NTimeFn(_, v)   => Seq(v)
   }
 
   /** Variables a string expression reads (including the numeric reads
@@ -687,6 +703,18 @@ object Sparql {
         case "FLOOR" => floor(x).cast("double")
         case "ROUND" => floor(x + 0.5).cast("double")
       }
+    case NTimeFn(func, v) =>
+      val term = col(s"${v}_term")
+      val ts = coalesce(TypedLiterals.asTimestamp(term),
+        TypedLiterals.asDate(term).cast("timestamp"))
+      (func match {
+        case "YEAR"    => year(ts)
+        case "MONTH"   => month(ts)
+        case "DAY"     => dayofmonth(ts)
+        case "HOURS"   => hour(ts)
+        case "MINUTES" => minute(ts)
+        case "SECONDS" => second(ts)
+      }).cast("double")
   }
 
   /** A string-space operand's value. Every non-constant case reads the
@@ -1115,6 +1143,12 @@ object Sparql {
       val a = nexpr(c)
       c.takeSym(")")
       NFn(f, a)
+    case TSym(f @ ("YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" |
+                   "SECONDS")) =>
+      c.next(); c.takeSym("(")
+      val v = varName(c)
+      c.takeSym(")")
+      NTimeFn(f, v)
     case TNum(v) => c.next(); NNum(v.toDouble)
     case TDbl(v) => c.next(); NNum(v)
     case TVar(n) => c.next(); NVar(n)
@@ -1232,7 +1266,8 @@ object Sparql {
       // an unambiguous numeric-expression opener: the whole comparison
       // lives in the numeric value space
       case TSym("STRLEN") | TSym("-") | TSym("ABS") | TSym("CEIL") |
-           TSym("FLOOR") | TSym("ROUND") =>
+           TSym("FLOOR") | TSym("ROUND") | TSym("YEAR") | TSym("MONTH") |
+           TSym("DAY") | TSym("HOURS") | TSym("MINUTES") | TSym("SECONDS") =>
         val l = nexpr(c)
         FNumCmp(l, cmpOp(), nexpr(c))
       case _ =>
@@ -1534,7 +1569,9 @@ object Sparql {
         case TLit(_, _, _) =>
           fail("BIND string constants must be plain (no @lang / ^^dt)")
         case TNum(_) | TDbl(_) | TSym("(") | TSym("-") | TSym("STRLEN") |
-             TSym("ABS") | TSym("CEIL") | TSym("FLOOR") | TSym("ROUND") =>
+             TSym("ABS") | TSym("CEIL") | TSym("FLOOR") | TSym("ROUND") |
+             TSym("YEAR") | TSym("MONTH") | TSym("DAY") | TSym("HOURS") |
+             TSym("MINUTES") | TSym("SECONDS") =>
           BNum(nexpr(c))
         case t => fail(s"expected a numeric/string expression, IF(...), " +
           s"COALESCE(...), ?var or a plain string literal in BIND, found $t")
@@ -1913,6 +1950,7 @@ object Sparql {
       case NStrLen(a)      => readsS(a)
       case NArith(l, _, r) => readsN(l) ++ readsN(r)
       case NFn(_, a)       => readsN(a)
+      case NTimeFn(_, v)   => Seq((v, 'd'))
     }
     def readsS(t: STerm): Seq[(String, Char)] = t match {
       // 'S' = a STR(?v) read (defined on IRIs too), 's' = a bare

@@ -1356,6 +1356,43 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("computed value"))
   }
 
+  test("datetime accessors read the temporal value into the numeric space") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val jan = Bgp.litId("2020-01-15", XSD + "date")
+    val ts1 = Bgp.litId("2021-03-05T10:30:45", XSD + "dateTime")
+    val en2 = Bgp.litId("en", XSD + "string")
+    val e = edges(
+      (d1, "urn:at", ts1), (d2, "urn:at", jan), (d3, "urn:at", en2))
+    val nodes = Seq(
+      (jan, RdfTerm.LITERAL, "2020-01-15", null, XSD + "date"),
+      (ts1, RdfTerm.LITERAL, "2021-03-05T10:30:45", null, XSD + "dateTime"),
+      (en2, RdfTerm.LITERAL, "en", null, XSD + "string"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    // each accessor as a BIND; a date reads midnight; a non-temporal
+    // term reads NULL and is excluded by the FILTER
+    val got = Sparql.run(e, nodes,
+      """SELECT ?d ?y ?mo ?dd ?h ?mi ?s WHERE { ?d <urn:at> ?t
+        |BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo) BIND(DAY(?t) AS ?dd)
+        |BIND(HOURS(?t) AS ?h) BIND(MINUTES(?t) AS ?mi)
+        |BIND(SECONDS(?t) AS ?s)
+        |FILTER(YEAR(?t) >= 2000) }""".stripMargin)
+      .collect().map(r => (r.getString(0),
+        (1 to 6).map(i => r.getDouble(i)))).toMap
+    assert(got === Map(
+      d1 -> Seq(2021.0, 3.0, 5.0, 10.0, 30.0, 45.0),
+      d2 -> Seq(2020.0, 1.0, 15.0, 0.0, 0.0, 0.0)))
+    // accessors compose in arithmetic and in FILTER comparisons
+    assert(Sparql.run(e, nodes,
+      """SELECT ?d WHERE { ?d <urn:at> ?t
+        |FILTER(MONTH(?t) * 100 + DAY(?t) > 300) }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq === Seq(d1))
+    // a computed BIND value is not an RDF term for accessor reads
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?d WHERE { ?d <urn:at> ?t BIND(1 + 1 AS ?x)
+        |FILTER(YEAR(?x) = 2020) }""".stripMargin))
+    assert(ex.getMessage.contains("computed value"))
+  }
+
   test("LANGMATCHES, IN lists and BIND IF") {
     val XSD = "http://www.w3.org/2001/XMLSchema#"
     val hEn = Bgp.litId("hello", lang = Some("en"))

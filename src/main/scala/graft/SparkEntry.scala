@@ -1827,6 +1827,24 @@ object SparkEntry {
       Sparql.run(up.union(peer), "SELECT ?x ?y WHERE { ?x (<up>/<up>)+ ?y }")
     }),
 
+    // GENUINELY NESTED property path — a sequence whose second part is
+    // a closure of a sequence: <peer>/(<up>/<up>)+. The full recursive
+    // path algebra composes it as one pushed peer scan equi-joined to
+    // the (up/up)+ closure relation (the same O(log diameter) doubling
+    // as every other closure); bag semantics per SPARQL path evaluation
+    "kg_bgp_path_deep" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val nk = col("n_nationkey").cast("long")
+      val up = n.filter(nk >= 1).select(
+        nk.cast("string").as("subj_id"), lit("up").as("pred"),
+        (nk / 2).cast("long").cast("string").as("obj_id"))
+      val peer = n.select(
+        nk.cast("string").as("subj_id"), lit("peer").as("pred"),
+        ((nk + 1) % 25).cast("string").as("obj_id"))
+      Sparql.run(up.union(peer),
+        "SELECT ?x ?y WHERE { ?x <peer>/(<up>/<up>)+ ?y }")
+    }),
+
     // UNION as a GROUP MEMBER — SPARQL's `{ A { B } UNION { C } }` shape:
     // the union relation (NULL-padded bag of branch matches) inner-joins
     // the required bindings on its every-branch-bound shared variable,
@@ -3313,6 +3331,21 @@ object SparkEntry {
         |reach(s, o) AS (SELECT s, o FROM h2
         |                UNION SELECT r.s, h.o FROM reach r JOIN h2 h ON h.s = r.o)
         |SELECT s AS x, o AS y FROM reach""".stripMargin,
+
+    // deep-nesting mirror: the peer hop joined onto the recursive
+    // closure of the two-up-step composition — SQL's join IS the bag
+    // semantics of the SPARQL sequence
+    "kg_bgp_path_deep" ->
+      """WITH RECURSIVE up AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) s, CAST(n_nationkey // 2 AS VARCHAR) o
+        |  FROM nation WHERE n_nationkey >= 1),
+        |peer AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) s, CAST((n_nationkey + 1) % 25 AS VARCHAR) o
+        |  FROM nation),
+        |h2 AS (SELECT a.s, b.o FROM up a JOIN up b ON a.o = b.s),
+        |reach(s, o) AS (SELECT s, o FROM h2
+        |                UNION SELECT r.s, h.o FROM reach r JOIN h2 h ON h.s = r.o)
+        |SELECT p.s AS x, r.o AS y FROM peer p JOIN reach r ON r.s = p.o""".stripMargin,
 
     // mixed-union mirror: one source-branch row and one lang-branch row
     // per de/zh doc, joined back on the doc — plain UNION ALL over the

@@ -110,8 +110,8 @@ object Bgp {
   final case class OptPath(pred: String) extends TermPat
   /** SPARQL `!(<p1>|...)` — PREDICATE position only: matches an edge
     * whose predicate is NONE of the members (a pushed NOT-IN filter on
-    * the scan; forward members only — inverse members `^p` inside a
-    * negated set are rejected at the front end). */
+    * the scan); forward members only — a set with inverse members `^p`
+    * lowers to [[PNegated]] inside a [[NestedPath]] instead. */
   final case class NegSet(preds: Seq[String]) extends TermPat
   /** A parenthesized path group with a closure operator applied —
     * SPARQL `(p1/p2)+`, `(a|b)*`, `(^p/q)?`: `inner` is the grouped
@@ -122,6 +122,53 @@ object Bgp {
     * doubling as `<p>+`, over the COMPOSED hop relation — size caveats
     * of [[PlusPath]]/[[StarPath]] apply unchanged. */
   final case class GroupPath(inner: TermPat, op: Char) extends TermPat
+
+  /** The full SPARQL 1.1 property-path algebra, recursively composable
+    * — the general form behind the specialized TermPats above. The
+    * front end lowers every simple shape to its specialized twin (a
+    * pushed IN-filter beats a union of scans), so a [[NestedPath]]
+    * carries only the genuinely nested shapes: closures inside
+    * sequences or alternatives (`<a>/<b>+`), inverses of groups
+    * (`^(<a>/<b>)`), alternatives of non-leaves (`<a>+|<b>`), mixed
+    * negated sets (`!(<a>|^<b>)`), and closures over any of those. */
+  sealed trait PathAst
+  /** One predicate's forward edges. */
+  final case class PLeaf(pred: String) extends PathAst
+  /** `^path` — the inverse relation (id columns swapped). */
+  final case class PInverse(inner: PathAst) extends PathAst
+  /** `p1/p2/...` — relation composition, one equi-join per boundary on
+    * the intermediate node ids (uniform sha256, skew-free), nothing but
+    * two id columns ever crossing a join. */
+  final case class PSequence(parts: Seq[PathAst]) extends PathAst
+  /** `p1|p2|...` — bag union of the branch relations (SPARQL path
+    * evaluation: each distinct route yields one row). */
+  final case class PAlternative(parts: Seq[PathAst]) extends PathAst
+  /** `path+` / `path*` / `path?` — closure of the composed relation via
+    * the same O(log diameter) iterative doubling as `<p>+`; `*`/`?`
+    * union the graph-wide zero-length identity (>= \|V\| rows — anchor
+    * with a selective co-pattern). */
+  final case class PClosure(inner: PathAst, op: Char) extends PathAst
+  /** `!(f1|...|^i1|...)` — a negated property set with forward and
+    * inverse members (SPARQL 1.1 9.1): the bag union of a forward
+    * NOT-IN scan over `fwd` and an id-swapped NOT-IN scan over `inv`;
+    * either side may be empty (all-forward lowers to [[NegSet]]). */
+  final case class PNegated(fwd: Seq[String], inv: Seq[String]) extends PathAst
+  /** A genuinely nested property path (see [[PathAst]]) in predicate
+    * position, compiled recursively by the pathRel case of
+    * [[pathHop]]-style composition inside [[patternRel]]. */
+  final case class NestedPath(path: PathAst) extends TermPat
+
+  /** Whether a path's relation CONTAINS the zero-length identity over
+    * every graph node — such relations are >= \|V\| rows, the weakest
+    * in any query, and must never lead the join order. */
+  private def pathHasIdentity(p: PathAst): Boolean = p match {
+    case PClosure(_, '*') | PClosure(_, '?') => true
+    case PClosure(inner, _)  => pathHasIdentity(inner)
+    case PInverse(inner)     => pathHasIdentity(inner)
+    case PSequence(parts)    => parts.forall(pathHasIdentity)
+    case PAlternative(parts) => parts.exists(pathHasIdentity)
+    case PLeaf(_) | PNegated(_, _) => false
+  }
 
   /** A triple pattern, optionally scoped to a NAMED GRAPH (SPARQL
     * `GRAPH g { ... }`): `graph` constrains/binds the edges frame's
@@ -172,6 +219,7 @@ object Bgp {
       case V(_)                     => false
       case StarPath(_) | OptPath(_) => false
       case GroupPath(_, op)         => op == '+'
+      case NestedPath(ast)          => !pathHasIdentity(ast)
       case _                        => true
     }
 
@@ -216,6 +264,55 @@ object Bgp {
       throw new IllegalArgumentException(s"not a composable path form: $other")
   }
 
+  /** The (subj_id, obj_id) relation of a fully general [[PathAst]] —
+    * recursive composition: leaves and negated sets are pushed scan
+    * filters, inverse swaps columns, sequences fold equi-joins on the
+    * intermediate ids, alternatives are bag unions, closures run the
+    * O(log diameter) iterative doubling over the composed inner
+    * relation ('*'/'?' union the zero-length identity of the SCOPED
+    * graph, same semantics as [[StarPath]]/[[OptPath]]). */
+  private def pathRel(base: DataFrame, p: PathAst): DataFrame = p match {
+    case PLeaf(pr) =>
+      base.filter(col("pred") === lit(pr)).select("subj_id", "obj_id")
+    case PInverse(inner) =>
+      pathRel(base, inner)
+        .select(col("obj_id").as("subj_id"), col("subj_id").as("obj_id"))
+    case PNegated(fwd, inv) =>
+      val arms =
+        (if (fwd.nonEmpty)
+          Seq(base.filter(!col("pred").isin(fwd: _*))
+            .select("subj_id", "obj_id"))
+        else Nil) ++
+        (if (inv.nonEmpty)
+          Seq(base.filter(!col("pred").isin(inv: _*))
+            .select(col("obj_id").as("subj_id"), col("subj_id").as("obj_id")))
+        else Nil)
+      require(arms.nonEmpty, "empty negated property set")
+      arms.reduce(_ union _)
+    case PSequence(parts) =>
+      require(parts.sizeIs >= 2, s"a sequence path needs >= 2 parts: $p")
+      val rels = parts.zipWithIndex.map { case (pt, i) =>
+        pathRel(base, pt)
+          .select(col("subj_id").as(s"n$i"), col("obj_id").as(s"n${i + 1}"))
+      }
+      rels.tail.zipWithIndex.foldLeft(rels.head) { case (acc, (r, i)) =>
+        acc.join(r, Seq(s"n${i + 1}")).select(col("n0"), col(s"n${i + 2}"))
+      }.select(col("n0").as("subj_id"), col(s"n${parts.size}").as("obj_id"))
+    case PAlternative(parts) =>
+      require(parts.sizeIs >= 2, s"an alternative path needs >= 2 parts: $p")
+      parts.map(pathRel(base, _)).reduce(_ union _)
+    case PClosure(inner, op) =>
+      val rel = pathRel(base, inner)
+      op match {
+        case '+' => GraphOps.transitiveClosure(rel, "subj_id", "obj_id")
+        case '*' => GraphOps.transitiveClosure(rel, "subj_id", "obj_id")
+          .union(graphIdentity(base)).distinct()
+        case '?' => rel.union(graphIdentity(base)).distinct()
+        case other => throw new IllegalArgumentException(
+          s"unknown path closure operator '$other'")
+      }
+  }
+
   private[kg] def patternRel(base: DataFrame, p: TriplePattern): DataFrame = {
     Seq(p.subj, p.obj).foreach(t =>
       require(t.isInstanceOf[V] || t.isInstanceOf[C],
@@ -236,6 +333,8 @@ object Bgp {
         require(isPlainPred,
           s"a variable GRAPH cannot scope a path-form predicate: $p")
         base
+      case Some(other) => // unreachable: the require above rejects these
+        throw new IllegalArgumentException(s"invalid GRAPH term: $other")
       case None => base
     }
     val pairPos = Seq("subj_id" -> p.subj, "obj_id" -> p.obj)
@@ -259,6 +358,8 @@ object Bgp {
             s"unknown path group operator '$other'")
         }
         (r, pairPos)
+      case NestedPath(ast) =>
+        (pathRel(gbase, ast), pairPos)
       case AltPath(_) | InvPath(_) | NegSet(_) | SeqPath(_) =>
         (pathHop(gbase, p.pred), pairPos)
       case _ =>

@@ -898,81 +898,77 @@ object Sparql {
     case t                 => fail(s"expected a variable, IRI or literal, found $t")
   }
 
-  /** One sequence-path step: `<iri>` or `^<iri>`. */
-  private def pathStep(c: Cursor): PathStep = {
-    val inv = c.atSym("^")
-    if (inv) c.takeSym("^")
-    c.next() match {
-      case TIri(iri) => PathStep(iri, inv)
-      case t => fail(s"a path step must be an <iri> (optionally ^-inverted), found $t")
-    }
+  /** Full SPARQL 1.1 property-path grammar (recursive):
+    *   path    := pathSeq ('|' pathSeq)*          -- alternatives
+    *   pathSeq := pathInv ('/' pathInv)*          -- sequence
+    *   pathInv := '^'? pathElt                    -- inverse
+    *   pathElt := pathPrim ('+'|'*'|'?')?         -- at most ONE mod
+    *   pathPrim:= 'a' | <iri> | '!' negset | '(' path ')'
+    *   negset  := '^'? <iri> | '(' '^'? <iri> ('|' '^'? <iri>)* ')'
+    * Operator CHAINING without parens (`<p>*+`) stays rejected per the
+    * W3C grammar — parenthesize to nest: `(<p>*)+`. The parsed AST is
+    * then LOWERED: every shape the specialized TermPats carry (a plain
+    * predicate, an IN-filter alternative, a step sequence, one closure
+    * over one simple group, an all-forward negated set) compiles to its
+    * optimized twin, so existing plans are byte-identical; only
+    * genuinely nested shapes ride [[Bgp.NestedPath]]'s recursive
+    * composition. */
+  private def pathExpr(c: Cursor): Bgp.PathAst = {
+    val parts = Seq.newBuilder[Bgp.PathAst]
+    parts += pathSeqExpr(c)
+    while (c.atSym("|")) { c.takeSym("|"); parts += pathSeqExpr(c) }
+    val ps = parts.result()
+    if (ps.sizeIs == 1) ps.head else Bgp.PAlternative(ps)
   }
 
-  /** Predicate-position term; `<iri>+` is a PlusPath, `<i1>|<i2>` an
-    * AltPath, `^<iri>` an InvPath, `<i1>/<i2>/...` (steps optionally
-    * `^`-inverted) a SeqPath, `a` is rdf:type. A PARENTHESIZED group —
-    * a sequence, an alternative or a single (possibly inverted) step —
-    * may take ONE closure operator: `(p1/p2)+`, `(a|b)*`, `(^p/q)?`.
-    * Deeper nesting and operator chaining stay out of fragment — a
-    * parse error beats silently approximated path algebra. */
-  private def predTerm(c: Cursor): Bgp.TermPat = c.peekOrFail match {
-    case TVar(n)   => c.next(); V(n)
-    case TSym("a") => c.next(); C(RdfType)
+  private def pathSeqExpr(c: Cursor): Bgp.PathAst = {
+    val parts = Seq.newBuilder[Bgp.PathAst]
+    parts += pathInvExpr(c)
+    while (c.atSym("/")) { c.takeSym("/"); parts += pathInvExpr(c) }
+    val ps = parts.result()
+    if (ps.sizeIs == 1) ps.head else Bgp.PSequence(ps)
+  }
+
+  private def pathInvExpr(c: Cursor): Bgp.PathAst =
+    if (c.atSym("^")) { c.takeSym("^"); Bgp.PInverse(pathEltExpr(c)) }
+    else pathEltExpr(c)
+
+  private def pathEltExpr(c: Cursor): Bgp.PathAst = {
+    val prim = pathPrimExpr(c)
+    val withOp =
+      if (c.atSym("+")) { c.takeSym("+"); Bgp.PClosure(prim, '+') }
+      else if (c.atSym("*")) { c.takeSym("*"); Bgp.PClosure(prim, '*') }
+      else if (c.atSym("?")) { c.takeSym("?"); Bgp.PClosure(prim, '?') }
+      else prim
+    if (c.atSym("+") || c.atSym("*") || c.atSym("?"))
+      fail("path closure operators cannot combine unparenthesized " +
+        "(e.g. <p>*+) — parenthesize to nest: (<p>*)+")
+    withOp
+  }
+
+  private def pathPrimExpr(c: Cursor): Bgp.PathAst = c.peekOrFail match {
+    case TSym("a") => c.next(); Bgp.PLeaf(RdfType)
+    case TIri(iri) => c.next(); Bgp.PLeaf(iri)
     case TSym("(") =>
       c.takeSym("(")
-      val first = pathStep(c)
-      val inner: Bgp.TermPat =
-        if (c.atSym("/")) {
-          val steps = Seq.newBuilder[PathStep]
-          steps += first
-          while (c.atSym("/")) { c.takeSym("/"); steps += pathStep(c) }
-          SeqPath(steps.result())
-        } else if (c.atSym("|")) {
-          if (first.inverse)
-            fail("inverse members (^<p>) are not supported inside a path " +
-              "alternative group in this fragment")
-          val alts = Seq.newBuilder[String]
-          alts += first.pred
-          while (c.atSym("|")) {
-            c.takeSym("|")
-            c.next() match {
-              case TIri(i2)  => alts += i2
-              case TSym("^") => fail("inverse members (^<p>) are not " +
-                "supported inside a path alternative group in this fragment")
-              case t => fail(s"path alternative must be an <iri>, found $t")
-            }
-          }
-          AltPath(alts.result())
-        } else if (first.inverse) InvPath(first.pred)
-        else C(first.pred)
+      val p = pathExpr(c)
       c.takeSym(")")
-      val op: Option[Char] =
-        if (c.atSym("+")) { c.takeSym("+"); Some('+') }
-        else if (c.atSym("*")) { c.takeSym("*"); Some('*') }
-        else if (c.atSym("?")) { c.takeSym("?"); Some('?') }
-        else None
-      if (c.atSym("/") || c.atSym("|") || c.atSym("+") || c.atSym("*") ||
-          c.atSym("?") || c.atSym("^"))
-        fail("a closed path group cannot combine further — nest at most " +
-          "one operator over one parenthesized group in this fragment")
-      (inner, op) match {
-        case (_, None)          => inner
-        case (C(pr), Some('+')) => Bgp.PlusPath(pr)
-        case (C(pr), Some('*')) => Bgp.StarPath(pr)
-        case (C(pr), Some('?')) => Bgp.OptPath(pr)
-        case (_, Some(o))       => Bgp.GroupPath(inner, o)
-      }
+      p
     case TSym("!") =>
-      // negated property set: !<p> or !(<p1>|<p2>|...); forward members
-      // only (a ^-member changes the match DIRECTION per branch, which
-      // needs a union plan this fragment deliberately doesn't build)
+      // negated property set: !<p>, !^<p> or !(^?<p1>|^?<p2>|...) —
+      // forward and inverse members split per SPARQL 1.1 9.1 into a
+      // forward NOT-IN arm and an id-swapped NOT-IN arm
       c.takeSym("!")
-      val members = Seq.newBuilder[String]
-      def member(): Unit = c.next() match {
-        case TIri(iri) => members += iri
-        case TSym("^") => fail("inverse members (^<p>) are not supported " +
-          "inside a negated property set in this fragment")
-        case t => fail(s"negated property set members must be <iri>s, found $t")
+      val fwd = Seq.newBuilder[String]
+      val inv = Seq.newBuilder[String]
+      def member(): Unit = {
+        val isInv = c.atSym("^")
+        if (isInv) c.takeSym("^")
+        c.next() match {
+          case TIri(iri) => if (isInv) inv += iri else fwd += iri
+          case t => fail(s"negated property set members must be <iri>s " +
+            s"(optionally ^-inverted), found $t")
+        }
       }
       if (c.atSym("(")) {
         c.takeSym("(")
@@ -980,43 +976,45 @@ object Sparql {
         while (c.atSym("|")) { c.takeSym("|"); member() }
         c.takeSym(")")
       } else member()
-      NegSet(members.result())
-    case TSym("^") | TIri(_) =>
-      val first = pathStep(c)
-      def banSuffix(what: String): Unit =
-        if (c.atSym("+") || c.atSym("|") || c.atSym("/") ||
-            c.atSym("*") || c.atSym("?"))
-          fail(s"path operators cannot combine with $what in this fragment")
-      if (c.atSym("/")) {
-        val steps = Seq.newBuilder[PathStep]
-        steps += first
-        while (c.atSym("/")) { c.takeSym("/"); steps += pathStep(c) }
-        banSuffix("a / sequence")
-        SeqPath(steps.result())
-      } else if (first.inverse) {
-        banSuffix("^")
-        InvPath(first.pred)
-      } else if (c.atSym("+")) {
-        c.takeSym("+"); banSuffix("+"); PlusPath(first.pred)
-      } else if (c.atSym("*")) {
-        c.takeSym("*"); banSuffix("*"); StarPath(first.pred)
-      } else if (c.atSym("?")) {
-        c.takeSym("?"); banSuffix("?"); OptPath(first.pred)
-      } else if (c.atSym("|")) {
-        val alts = Seq.newBuilder[String]
-        alts += first.pred
-        while (c.atSym("|")) {
-          c.takeSym("|")
-          c.next() match {
-            case TIri(i2) => alts += i2
-            case t        => fail(s"predicate alternative must be an <iri>, found $t")
-          }
-        }
-        banSuffix("|")
-        AltPath(alts.result())
-      } else C(first.pred)
-    case t => fail(s"expected a predicate (variable, <iri>, <iri>+, <iri>*, " +
-      s"<iri>?, <i1>|<i2>, ^<iri>, <i1>/<i2>, !<iri>, !(<i1>|<i2>) or 'a'), found $t")
+      Bgp.PNegated(fwd.result(), inv.result())
+    case t => fail(s"expected a path (<iri>, ^path, path/path, path|path, " +
+      s"path+/*/?, !negset, '(' path ')' or 'a'), found $t")
+  }
+
+  /** A PathAst part that is one sequence STEP: a leaf or its inverse. */
+  private def asStep(p: Bgp.PathAst): Option[PathStep] = p match {
+    case Bgp.PLeaf(pr)                 => Some(PathStep(pr))
+    case Bgp.PInverse(Bgp.PLeaf(pr))   => Some(PathStep(pr, inverse = true))
+    case _                             => None
+  }
+
+  /** Lower a parsed path to the most specialized TermPat that carries
+    * it (see [[pathExpr]]); genuinely nested shapes stay general. */
+  private def lowerPath(p: Bgp.PathAst): Bgp.TermPat = p match {
+    case Bgp.PLeaf(pr)               => C(pr)
+    case Bgp.PInverse(Bgp.PLeaf(pr)) => InvPath(pr)
+    case Bgp.PAlternative(ps) if ps.forall(_.isInstanceOf[Bgp.PLeaf]) =>
+      AltPath(ps.collect { case Bgp.PLeaf(pr) => pr })
+    case Bgp.PSequence(ps) if ps.forall(asStep(_).isDefined) =>
+      SeqPath(ps.flatMap(asStep))
+    case Bgp.PClosure(Bgp.PLeaf(pr), '+') => PlusPath(pr)
+    case Bgp.PClosure(Bgp.PLeaf(pr), '*') => StarPath(pr)
+    case Bgp.PClosure(Bgp.PLeaf(pr), '?') => OptPath(pr)
+    case Bgp.PClosure(inner, op) =>
+      lowerPath(inner) match {
+        case t @ (C(_) | AltPath(_) | InvPath(_) | SeqPath(_)) =>
+          Bgp.GroupPath(t, op)
+        case _ => Bgp.NestedPath(p)
+      }
+    case Bgp.PNegated(fwd, Seq()) if fwd.nonEmpty => NegSet(fwd)
+    case other => Bgp.NestedPath(other)
+  }
+
+  /** Predicate-position term: a ?variable, or a property path lowered
+    * to its most specialized TermPat (see [[pathExpr]]/[[lowerPath]]). */
+  private def predTerm(c: Cursor): Bgp.TermPat = c.peekOrFail match {
+    case TVar(n) => c.next(); V(n)
+    case _       => lowerPath(pathExpr(c))
   }
 
   private def triple(c: Cursor): TriplePattern = {

@@ -116,12 +116,20 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(render(sib) ===
       Seq((a, a), (a, b), (b, a), (b, b), (p, p)).sorted)
 
-    def bad(q: String): Unit =
-      assert(intercept[IllegalArgumentException](Sparql.parse(q))
-        .getMessage.contains("cannot combine"))
-    bad("SELECT * WHERE { ?x <urn:up>/<urn:dn>+ ?y }")
-    bad("SELECT * WHERE { ?x ^<urn:up>+ ?y }")
-    bad("SELECT * WHERE { ?x <urn:up>+|<urn:dn> ?y }")
+    // nested forms (closures inside sequences/alternatives, inverses of
+    // closures) compose recursively — no longer rejections
+    val hop2plus = Sparql.run(up,
+      "SELECT ?x ?y WHERE { ?x <urn:up>/<urn:up>+ ?y }")
+    assert(render(hop2plus) === Seq((a, r), (b, r)).sorted) // distance >= 2
+    val invPlus = Sparql.run(up, "SELECT ?x ?y WHERE { ?x ^<urn:up>+ ?y }")
+    assert(render(invPlus) === // ^(up+): the closure's pairs, swapped
+      Seq((p, a), (p, b), (r, p), (r, a), (r, b)).sorted)
+    // alternative of a closure and a leaf: BAG union per SPARQL path
+    // evaluation — the up edges appear via both branches
+    val altPlus = Sparql.run(up,
+      "SELECT ?x ?y WHERE { ?x <urn:up>+|<urn:up> ?y }")
+    assert(altPlus.count() === 8) // 5 closure pairs + 3 edges
+    assert(altPlus.distinct().count() === 5)
   }
 
   test("zero-length paths <p>*/<p>? and negated property sets parse to the twin") {
@@ -161,7 +169,15 @@ class SparqlParserSpec extends AnyFunSuite {
       assert(intercept[IllegalArgumentException](Sparql.parse(q))
         .getMessage.contains(needle))
     bad("SELECT * WHERE { ?x <urn:up>*+ ?y }", "cannot combine")
-    bad("SELECT * WHERE { ?x !(^<urn:up>) ?y }", "inverse members")
+    // negated sets take INVERSE members now (SPARQL 1.1 9.1): !(^up)
+    // traverses inverse edges whose predicate is outside {up}
+    val negInv = Sparql.run(g, "SELECT ?x ?y WHERE { ?x !(^<urn:up>) ?y }")
+    assert(render(negInv) === Set((b, a))) // peer's inverse only
+    // mixed members: a forward NOT-IN arm union an inverse NOT-IN arm
+    val negMixed = Sparql.run(g,
+      "SELECT ?x ?y WHERE { ?x !(<urn:peer>|^<urn:peer>) ?y }")
+    assert(render(negMixed) ===
+      Set((a, p), (b, p), (p, r), (p, a), (p, b), (r, p)))
   }
 
   test("MINUS, predicate alternatives and SELECT DISTINCT parse to the twin") {
@@ -1262,10 +1278,25 @@ class SparqlParserSpec extends AnyFunSuite {
     // unparenthesized form
     assertSame(Sparql.run(e, "SELECT ?x ?y WHERE { ?x (<up>)+ ?y }"),
       Sparql.run(e, "SELECT ?x ?y WHERE { ?x <up>+ ?y }"))
-    // chaining after a closed group stays rejected
+    // a closed group composes onward: (up/up)+/up = odd distances >= 3
+    val oddFar = Sparql.run(e,
+      "SELECT ?x ?y WHERE { ?x (<up>/<up>)+/<up> ?y }")
+    assert(oddFar.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      === Set(("1", "4"), ("2", "5")))
+    // arbitrary nesting: a closure over an alternative of a sequence
+    // and a leaf — ((up/up)|peer)+ reaches even distances plus the
+    // peer shortcut's combinations
+    val deep = Sparql.run(e,
+      "SELECT ?x ?y WHERE { ?x ((<up>/<up>)|<peer>)+ ?y }")
+    assert(deep.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      === Set(("1", "3"), ("1", "5"), ("2", "4"), ("3", "5")))
+    // inverse distributes over a group: ^(up/up) == ^up'/^up' reversed
+    assertSame(Sparql.run(e, "SELECT ?x ?y WHERE { ?x ^(<up>/<up>) ?y }"),
+      Sparql.run(e, "SELECT ?x ?y WHERE { ?x ^<up>/^<up> ?y }"))
+    // unparenthesized operator chaining stays a parse error
     val ex = intercept[IllegalArgumentException](Sparql.parse(
-      "SELECT * WHERE { ?x (<up>/<up>)+/<up> ?y }"))
-    assert(ex.getMessage.contains("cannot combine further"))
+      "SELECT * WHERE { ?x (<up>)*+ ?y }"))
+    assert(ex.getMessage.contains("cannot combine"))
   }
 
   test("GRAPH: constant scopes the scan, variable binds the raw IRI") {

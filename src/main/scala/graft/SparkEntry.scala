@@ -1772,6 +1772,37 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // HASH + URI-ESCAPE BUILTINS: MD5/SHA256 digests (lowercase hex in
+    // both engines) and ENCODE_FOR_URI (the codegen'd native
+    // percent-encoding expression — the corpus values are unreserved,
+    // so the joiner space is the one escaped char, mirrored exactly by
+    // replace) — all three over the ONE term join, pure projections
+    "kg_sparql_hashfns" -> ((s, dir) => {
+      val (e, nd) = sparqlGraph(documentsCorpus(s, dir))
+      Sparql.run(e, nd,
+        """SELECT ?d ?h ?h2 ?u WHERE {
+          |  ?d <urn:col:documents:source> ?s .
+          |  ?d <urn:col:documents:lang> ?l .
+          |  BIND(MD5(STR(?s)) AS ?h)
+          |  BIND(SHA256(CONCAT(STR(?s), "|", STR(?l))) AS ?h2)
+          |  BIND(ENCODE_FOR_URI(CONCAT(STR(?s), " ", STR(?l))) AS ?u)
+          |}""".stripMargin)
+    }),
+
+    // SAMETERM: RDF-term identity as plain id equality — same-region
+    // nation pairs excluding the reflexive ones; the negated test
+    // composes with the shared-variable join, no extra shuffles
+    "kg_sparql_sameterm" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(
+          nationCorpus(s, dir))))).localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?a ?b WHERE {
+          |  ?a <urn:col:nation:n_regionkey> ?r .
+          |  ?b <urn:col:nation:n_regionkey> ?r .
+          |  FILTER(!SAMETERM(?a, ?b))
+          |}""".stripMargin)
+    }),
+
     // DATETIME ACCESSORS: YEAR/MONTH/DAY gate the rows and HOURS/
     // MINUTES/SECONDS compose in BIND arithmetic — all six read the ?t
     // term's temporal value through the ONE bindValues join the
@@ -3287,6 +3318,24 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'""".stripMargin,
+
+    // hash/encode mirror: DuckDB's md5/sha256 render lowercase hex like
+    // Spark's; the corpus values are unreserved, so ENCODE_FOR_URI's
+    // one escaped char (the concatenated space) mirrors as replace
+    "kg_sparql_hashfns" ->
+      """SELECT sha256('<urn:g:documents:' || CAST(doc_id AS VARCHAR) || '>') AS d,
+        |       md5(source) AS h,
+        |       sha256(source || '|' || lang) AS h2,
+        |       replace(source || ' ' || lang, ' ', '%20') AS u
+        |FROM documents""".stripMargin,
+
+    // sameTerm mirror: term identity is key equality — same-region
+    // nation pairs minus the diagonal
+    "kg_sparql_sameterm" ->
+      """SELECT sha256('<urn:g:nation:' || CAST(a.n_nationkey AS VARCHAR) || '>') AS a,
+        |       sha256('<urn:g:nation:' || CAST(b.n_nationkey AS VARCHAR) || '>') AS b
+        |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        | AND a.n_nationkey <> b.n_nationkey""".stripMargin,
 
     // datetime-accessor mirror: both engines extract calendar fields
     // from the second-truncated instant under UTC sessions; DuckDB's

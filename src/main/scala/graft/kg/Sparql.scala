@@ -93,6 +93,8 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *            | (ISIRI | ISLITERAL | ISBLANK) ( ?var )
  *            | LANGMATCHES ( sarg , "range" )   (RFC 4647 basic: "*" =
  *              any non-empty tag, else tag or tag-prefix, case-blind)
+ *            | SAMETERM ( ?a , ?b )   (RDF-term identity = id equality;
+ *              both variables must live in one value space)
  *            | ?var NOT? IN ( const (, const)* ) — all-number lists read
  *              the numeric value space, term lists the variable's own
  *              space (ids / raw IRIs / string BIND values)
@@ -217,7 +219,8 @@ object Sparql {
     "CONCAT", "LCASE", "UCASE", "STRLEN", "REGEX", "COALESCE", "SUBSTR",
     "STRBEFORE", "STRAFTER", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND",
     "LANGMATCHES", "IF", "IN", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
-    "SECONDS")
+    "SECONDS", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+    "ENCODE_FOR_URI", "SAMETERM")
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -400,6 +403,13 @@ object Sparql {
     * first-match). */
   private final case class SReplace(arg: STerm, pattern: String, repl: String,
                                     ci: Boolean) extends STerm
+  /** MD5 / SHA1 / SHA256 / SHA384 / SHA512 — lowercase hex digest of
+    * the UTF-8 bytes of a string-space operand (both engines render
+    * lowercase hex, so digests are cross-engine stable). */
+  private final case class SHash(algo: String, arg: STerm) extends STerm
+  /** ENCODE_FOR_URI — XPath fn:encode-for-uri percent-encoding, via the
+    * codegen'd [[EncodeForUri]] native expression. */
+  private final case class SEncode(arg: STerm) extends STerm
   /** STRSTARTS / STRENDS / CONTAINS over a string-space operand. */
   private final case class FStrFn(func: String, arg: STerm, needle: STerm) extends FExpr
   /** REGEX(sarg, "pattern"[, "i"]) — partial match, optional
@@ -411,6 +421,12 @@ object Sparql {
   private final case class FStrCmp(l: STerm, eq: Boolean, r: STerm) extends FExpr
   /** ISIRI / ISLITERAL / ISBLANK term-kind test (needs the `_term` struct). */
   private final case class FKindTest(func: String, v: String) extends FExpr
+  /** SAMETERM(?a, ?b) — RDF-term identity. Distinct terms have distinct
+    * ids (and predicate variables distinct raw IRIs), so this is plain
+    * column equality — PROVIDED both variables live in ONE space, which
+    * validate() enforces (a pred-var vs node-var compare is silently
+    * constant, and BIND values are not RDF terms). */
+  private final case class FSameTerm(a: String, b: String) extends FExpr
   /** TEMPORAL value-space comparison side: a variable read through its
     * `_term` struct ([[TypedLiterals.asDate]]/[[TypedLiterals.asTimestamp]])
     * or a typed constant's lexical form. */
@@ -663,6 +679,8 @@ object Sparql {
     case SSubstr(a, s, l) => svars(a) ++ nvars(s) ++ l.toSeq.flatMap(nvars)
     case SCut(a, b, _)    => svars(a) ++ svars(b)
     case SReplace(a, _, _, _) => svars(a)
+    case SHash(_, a)      => svars(a)
+    case SEncode(a)       => svars(a)
   }
 
   /** A numeric expression's value with SPARQL's promotion: the integer
@@ -774,6 +792,16 @@ object Sparql {
     case SReplace(a, pattern, repl, ci) =>
       regexp_replace(strValue(a, k),
         lit(if (ci) "(?i)" + pattern else pattern), lit(repl))
+    case SHash(algo, a) =>
+      val x = strValue(a, k)
+      algo match {
+        case "MD5"    => md5(x.cast("binary"))
+        case "SHA1"   => sha1(x.cast("binary"))
+        case "SHA256" => sha2(x.cast("binary"), 256)
+        case "SHA384" => sha2(x.cast("binary"), 384)
+        case "SHA512" => sha2(x.cast("binary"), 512)
+      }
+    case SEncode(a) => EncodeForUri(strValue(a, k))
   }
 
   private def compileF(e: FExpr, k: Map[String, Char]): Column = e match {
@@ -855,6 +883,7 @@ object Sparql {
             case other => fail(s"unexpected IN item $other")
           }: _*)
       if (neg) !base else base
+    case FSameTerm(a, b) => col(a) === col(b)
     case FKindTest(func, v) =>
       val kind = col(s"${v}_term")("kind")
       func match {
@@ -1063,6 +1092,16 @@ object Sparql {
       val a = strArg(c)
       c.takeSym(")")
       Some(SCase(a, upper = s == "UCASE"))
+    case TSym(s @ ("MD5" | "SHA1" | "SHA256" | "SHA384" | "SHA512")) =>
+      c.next(); c.takeSym("(")
+      val a = strArg(c)
+      c.takeSym(")")
+      Some(SHash(s, a))
+    case TSym("ENCODE_FOR_URI") =>
+      c.next(); c.takeSym("(")
+      val a = strArg(c)
+      c.takeSym(")")
+      Some(SEncode(a))
     case TSym("CONCAT") =>
       c.next(); c.takeSym("(")
       val args = Seq.newBuilder[STerm]
@@ -1220,6 +1259,13 @@ object Sparql {
         }
         c.takeSym(")")
         FBound(v)
+      case TSym("SAMETERM") =>
+        c.takeSym("SAMETERM"); c.takeSym("(")
+        val a = varName(c)
+        c.takeSym(",")
+        val b = varName(c)
+        c.takeSym(")")
+        FSameTerm(a, b)
       case TSym(f @ ("STRSTARTS" | "STRENDS" | "CONTAINS")) =>
         c.next(); c.takeSym("(")
         val a = strArg(c)
@@ -1964,6 +2010,8 @@ object Sparql {
         readsS(a) ++ readsN(s) ++ l.toSeq.flatMap(readsN)
       case SCut(a, b, _)        => readsS(a) ++ readsS(b)
       case SReplace(a, _, _, _) => readsS(a)
+      case SHash(_, a)          => readsS(a)
+      case SEncode(a)           => readsS(a)
     }
     def readsF(e: FExpr): Seq[(String, Char)] = e match {
       case FBound(_)        => Nil
@@ -1981,6 +2029,7 @@ object Sparql {
       case FLangMatches(a, _) => readsS(a)
       case FIn(v, items, _) =>
         Seq((v, if (items.forall(_.isInstanceOf[FONum])) 'n' else 'i'))
+      case FSameTerm(a, b) => Seq((a, 'c'), (b, 'c'))
     }
     def checkRead(v: String, how0: Char, ctx: String): Unit =
       kinds.get(v).foreach { k =>
@@ -2055,6 +2104,11 @@ object Sparql {
         if (!items.forall(_.isInstanceOf[FOIri]))
           fail(s"$ctx: ?$v binds raw predicate/graph IRIs — its IN list " +
             "must contain <iri>s only")
+      case FSameTerm(a, b) =>
+        if (pv(a) != pv(b))
+          fail(s"$ctx: SAMETERM(?$a, ?$b) compares across value spaces — " +
+            "one binds raw predicate IRIs, the other hashed node ids, so " +
+            "the test is silently constant")
       case FNot(x)    => checkPredCmp(x, pv, ctx)
       case FAnd(a, b) => checkPredCmp(a, pv, ctx); checkPredCmp(b, pv, ctx)
       case FOr(a, b)  => checkPredCmp(a, pv, ctx); checkPredCmp(b, pv, ctx)

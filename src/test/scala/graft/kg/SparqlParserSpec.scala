@@ -1424,6 +1424,58 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("computed value"))
   }
 
+  test("hash builtins, ENCODE_FOR_URI and SAMETERM") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val abc = Bgp.litId("abc")
+    val caf = Bgp.litId("café x")
+    val e = edges((d1, "urn:v", abc), (d2, "urn:v", caf),
+      (d1, "urn:w", abc))
+    val nodes = Seq(
+      (abc, RdfTerm.LITERAL, "abc", null, XSD + "string"),
+      (caf, RdfTerm.LITERAL, "café x", null, XSD + "string"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    // known digest vectors pin the algorithms cross-engine
+    val dig = Sparql.run(e, nodes,
+      """SELECT ?h1 ?h2 ?h3 ?h4 ?h5 WHERE { ?d <urn:v> ?c
+        |FILTER(STR(?c) = "abc")
+        |BIND(MD5(STR(?c)) AS ?h1)    BIND(SHA1(STR(?c)) AS ?h2)
+        |BIND(SHA256(STR(?c)) AS ?h3) BIND(SHA384(STR(?c)) AS ?h4)
+        |BIND(SHA512(STR(?c)) AS ?h5) }""".stripMargin).collect()(0)
+    assert(dig.getString(0) === "900150983cd24fb0d6963f7d28e17f72")
+    assert(dig.getString(1) === "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(dig.getString(2) ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(dig.getString(3).length === 96 && dig.getString(3).startsWith("cb00753f"))
+    assert(dig.getString(4).length === 128 && dig.getString(4).startsWith("ddaf35a1"))
+    // ENCODE_FOR_URI: UTF-8 percent-encoding, uppercase hex, unreserved
+    // set untouched
+    val enc = Sparql.run(e, nodes,
+      """SELECT ?u WHERE { ?d <urn:v> ?c
+        |FILTER(CONTAINS(STR(?c), " "))
+        |BIND(ENCODE_FOR_URI(STR(?c)) AS ?u) }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(enc === Seq("caf%C3%A9%20x"))
+    assert(graft.kg.UriEncode.encodeString("AZaz09-_.~") === "AZaz09-_.~")
+    assert(graft.kg.UriEncode.encodeString("a/b?c#d") === "a%2Fb%3Fc%23d")
+    // SAMETERM is id equality within one space
+    assert(Sparql.run(e,
+      """SELECT ?d WHERE { ?d <urn:v> ?a . ?d <urn:w> ?b
+        |FILTER(SAMETERM(?a, ?b)) }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq === Seq(d1))
+    assert(Sparql.run(e,
+      """SELECT ?d WHERE { ?d <urn:v> ?a . ?d <urn:w> ?b
+        |FILTER(!SAMETERM(?a, ?b)) }""".stripMargin).count() === 0)
+    // cross-space SAMETERM (pred var vs node var) is a parse error
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?d WHERE { ?d ?p ?o FILTER(SAMETERM(?p, ?o)) }"))
+    assert(ex.getMessage.contains("across value spaces"))
+    // BIND values are not RDF terms for SAMETERM
+    val ex2 = intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?d WHERE { ?d <urn:v> ?a BIND(1 + 1 AS ?x)
+        |FILTER(SAMETERM(?x, ?a)) }""".stripMargin))
+    assert(ex2.getMessage.contains("BIND value"))
+  }
+
   test("LANGMATCHES, IN lists and BIND IF") {
     val XSD = "http://www.w3.org/2001/XMLSchema#"
     val hEn = Bgp.litId("hello", lang = Some("en"))

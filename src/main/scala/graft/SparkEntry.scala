@@ -1772,6 +1772,22 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // XSD CONSTRUCTOR CASTS: xsd:integer / xsd:double read a plain
+    // string literal's lexical form into the numeric value space
+    // (try_cast — uncastable values exclude, never throw), composing
+    // with FILTER and BIND like any numeric expression; one term join
+    "kg_sparql_cast" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val (e, nd) = sparqlGraph(nationCorpus(s, dir))
+      Sparql.run(e, nd,
+        s"""PREFIX xsd: <$XSD>
+           |SELECT ?n ?rk WHERE {
+           |  ?n <urn:col:nation:n_regionkey> ?r .
+           |  BIND(xsd:integer(?r) AS ?rk)
+           |  FILTER(xsd:double(?r) >= 2)
+           |}""".stripMargin)
+    }),
+
     // HASH + URI-ESCAPE BUILTINS: MD5/SHA256 digests (lowercase hex in
     // both engines) and ENCODE_FOR_URI (the codegen'd native
     // percent-encoding expression — the corpus values are unreserved,
@@ -3318,6 +3334,13 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'""".stripMargin,
+
+    // cast mirror: the lexical form of the regionkey literal read as a
+    // number in both engines (integer-valued, so truncation is moot)
+    "kg_sparql_cast" ->
+      """SELECT sha256('<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '>') AS n,
+        |       CAST(n_regionkey AS DOUBLE) AS rk
+        |FROM nation WHERE n_regionkey >= 2""".stripMargin,
 
     // hash/encode mirror: DuckDB's md5/sha256 render lowercase hex like
     // Spark's; the corpus values are unreserved, so ENCODE_FOR_URI's

@@ -87,6 +87,12 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *              accessors into the NUMERIC value space (xsd:dateTime by
  *              value, xsd:date at midnight, anything else excluded);
  *              legal anywhere a numeric expression is
+ *            | xsd:integer(?v) | xsd:double(?v) | xsd:string(?v) — the
+ *              XPath constructor casts (17.5): numeric casts read the
+ *              variable's own representation (numeric value, string
+ *              lexical form via try_cast) with xsd:integer truncating
+ *              toward zero; xsd:string = STR; out-of-space values are
+ *              excluded, never thrown
  *            | (STRSTARTS | STRENDS | CONTAINS) ( sarg , sarg )
  *            | REGEX ( sarg , "pattern" (, "i")? )
  *            | sexpr (= | !=) (sexpr | "lit" | <iri> | ?var)
@@ -221,6 +227,13 @@ object Sparql {
     "LANGMATCHES", "IF", "IN", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
     "SECONDS", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
     "ENCODE_FOR_URI", "SAMETERM")
+
+  /** XPath constructor-cast IRIs (SPARQL 17.5) the fragment supports:
+    * xsd:integer / xsd:double into the numeric space, xsd:string into
+    * the string space (= STR). */
+  private val XsdIntegerIri = "http://www.w3.org/2001/XMLSchema#integer"
+  private val XsdDoubleIri = "http://www.w3.org/2001/XMLSchema#double"
+  private val NumCastIris = Set(XsdIntegerIri, XsdDoubleIri)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -380,6 +393,16 @@ object Sparql {
     * (error-means-exclude). UTC sessions on both engines make the
     * field extraction deterministic. */
   private final case class NTimeFn(func: String, v: String) extends NExpr
+  /** `xsd:integer(?v)` / `xsd:double(?v)` — XPath constructor casts into
+    * the numeric value space (SPARQL 17.5). The argument reads its OWN
+    * representation: a numeric BIND value directly, a string BIND value
+    * through try_cast, a pattern variable's term through the numeric
+    * families first and then the string-family lexical form. Any value
+    * outside the cast's lexical space is NULL -> excluded
+    * (error-means-exclude, e.g. xsd:double of an IRI). `xsd:integer`
+    * truncates toward zero per XPath, via try_cast to long (NaN /
+    * overflow excluded rather than thrown under ANSI). */
+  private final case class NCast(v: String, toInt: Boolean) extends NExpr
   private final case class FNumCmp(l: NExpr, op: String, r: NExpr) extends FExpr
   /** STRING value-space operand: a variable read through its bindValues
     * `_term` struct (bare = string-family literal lexical form only,
@@ -665,6 +688,7 @@ object Sparql {
     case NArith(l, _, r) => nvars(l) ++ nvars(r)
     case NFn(_, a)       => nvars(a)
     case NTimeFn(_, v)   => Seq(v)
+    case NCast(v, _)     => Seq(v)
   }
 
   /** Variables a string expression reads (including the numeric reads
@@ -721,6 +745,21 @@ object Sparql {
         case "FLOOR" => floor(x).cast("double")
         case "ROUND" => floor(x + 0.5).cast("double")
       }
+    case NCast(v, toInt) =>
+      val base = k.get(v) match {
+        case Some('n') => col(v)
+        case Some('s') => col(v).try_cast("double")
+        case _ =>
+          val term = col(s"${v}_term")
+          coalesce(TypedLiterals.asLong(term).cast("double"),
+            TypedLiterals.asDouble(term),
+            when(term("kind") === RdfTerm.LITERAL &&
+              term("dt").isin(RdfTerm.XsdString, RdfTerm.RdfLangString),
+              term("value").try_cast("double")))
+      }
+      // XPath truncation toward zero; try_cast keeps NaN/overflow as
+      // NULL -> excluded instead of an ANSI throw
+      if (toInt) base.try_cast("long").cast("double") else base
     case NTimeFn(func, v) =>
       val term = col(s"${v}_term")
       val ts = coalesce(TypedLiterals.asTimestamp(term),
@@ -1102,6 +1141,13 @@ object Sparql {
       val a = strArg(c)
       c.takeSym(")")
       Some(SEncode(a))
+    // xsd:string(?v) — the constructor cast into the string space, the
+    // same read as STR(?v) (lexical form of a literal / the IRI string)
+    case TIri(RdfTerm.XsdString) if c.peek2.contains(TSym("(")) =>
+      c.next(); c.takeSym("(")
+      val v = varName(c)
+      c.takeSym(")")
+      Some(SVar(v, viaStr = true))
     case TSym("CONCAT") =>
       c.next(); c.takeSym("(")
       val args = Seq.newBuilder[STerm]
@@ -1186,6 +1232,11 @@ object Sparql {
       val v = varName(c)
       c.takeSym(")")
       NTimeFn(f, v)
+    case TIri(iri) if NumCastIris.contains(iri) =>
+      c.next(); c.takeSym("(")
+      val v = varName(c)
+      c.takeSym(")")
+      NCast(v, toInt = iri == XsdIntegerIri)
     case TNum(v) => c.next(); NNum(v.toDouble)
     case TDbl(v) => c.next(); NNum(v)
     case TVar(n) => c.next(); NVar(n)
@@ -1312,6 +1363,10 @@ object Sparql {
       case TSym("STRLEN") | TSym("-") | TSym("ABS") | TSym("CEIL") |
            TSym("FLOOR") | TSym("ROUND") | TSym("YEAR") | TSym("MONTH") |
            TSym("DAY") | TSym("HOURS") | TSym("MINUTES") | TSym("SECONDS") =>
+        val l = nexpr(c)
+        FNumCmp(l, cmpOp(), nexpr(c))
+      case TIri(iri) if NumCastIris.contains(iri) &&
+          c.peek2.contains(TSym("(")) =>
         val l = nexpr(c)
         FNumCmp(l, cmpOp(), nexpr(c))
       case _ =>
@@ -1616,6 +1671,9 @@ object Sparql {
              TSym("ABS") | TSym("CEIL") | TSym("FLOOR") | TSym("ROUND") |
              TSym("YEAR") | TSym("MONTH") | TSym("DAY") | TSym("HOURS") |
              TSym("MINUTES") | TSym("SECONDS") =>
+          BNum(nexpr(c))
+        case TIri(iri) if NumCastIris.contains(iri) &&
+            c.peek2.contains(TSym("(")) =>
           BNum(nexpr(c))
         case t => fail(s"expected a numeric/string expression, IF(...), " +
           s"COALESCE(...), ?var or a plain string literal in BIND, found $t")
@@ -1995,6 +2053,7 @@ object Sparql {
       case NArith(l, _, r) => readsN(l) ++ readsN(r)
       case NFn(_, a)       => readsN(a)
       case NTimeFn(_, v)   => Seq((v, 'd'))
+      case NCast(v, _)     => Seq((v, 'x'))
     }
     def readsS(t: STerm): Seq[(String, Char)] = t match {
       // 'S' = a STR(?v) read (defined on IRIs too), 's' = a bare
@@ -2046,6 +2105,8 @@ object Sparql {
             "term — temporal comparisons read xsd:date/xsd:dateTime literals")
           case 'i' if k == 'n' => fail(s"$ctx: ?$v is a numeric BIND " +
             "value — an RDF-term IN list cannot match it; use numbers")
+          case 'x' if k == 'c' => fail(s"$ctx: ?$v is an id-space BIND " +
+            "copy — cast the original pattern variable instead")
           case 's' if k != 's' =>
             fail(s"$ctx: ?$v is not a string BIND value")
           case _ => ()

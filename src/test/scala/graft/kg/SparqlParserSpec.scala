@@ -1424,6 +1424,58 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("computed value"))
   }
 
+  test("xsd constructor casts: integer, double, string") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val s1 = Bgp.litId("12.9")           // numeric lexical form, xsd:string
+    val s2 = Bgp.litId("-3.2")
+    val s3 = Bgp.litId("oops")           // not castable
+    val n7 = Bgp.litId("7", XSD + "long")
+    val e = edges((d1, "urn:v", s1), (d2, "urn:v", s2), (d3, "urn:v", s3),
+      (en, "urn:v", n7))
+    val nodes = Seq(
+      (s1, RdfTerm.LITERAL, "12.9", null, XSD + "string"),
+      (s2, RdfTerm.LITERAL, "-3.2", null, XSD + "string"),
+      (s3, RdfTerm.LITERAL, "oops", null, XSD + "string"),
+      (n7, RdfTerm.LITERAL, "7", null, XSD + "long"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    // xsd:double parses string lexical forms AND passes numerics
+    // through; the uncastable literal is excluded, never thrown
+    val dbl = Sparql.run(e, nodes,
+      s"""PREFIX xsd: <$XSD>
+         |SELECT ?d ?x WHERE { ?d <urn:v> ?c
+         |BIND(xsd:double(?c) AS ?x) FILTER(xsd:double(?c) > -100) }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(dbl === Map(d1 -> 12.9, d2 -> -3.2, en -> 7.0))
+    // xsd:integer truncates toward zero (XPath), both signs
+    val ints = Sparql.run(e, nodes,
+      s"""PREFIX xsd: <$XSD>
+         |SELECT ?d ?x WHERE { ?d <urn:v> ?c
+         |BIND(xsd:integer(?c) AS ?x) FILTER(BOUND(?x)) }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(ints === Map(d1 -> 12.0, d2 -> -3.0, en -> 7.0))
+    // casts compose with arithmetic; xsd:string = STR
+    val comp = Sparql.run(e, nodes,
+      s"""PREFIX xsd: <$XSD>
+         |SELECT ?d ?y ?s WHERE { ?d <urn:v> ?c
+         |BIND(xsd:double(?c) * 2 AS ?y)
+         |BIND(CONCAT(xsd:string(?c), "!") AS ?s)
+         |FILTER(xsd:integer(?c) = 7) }""".stripMargin).collect()
+    assert(comp.length === 1 && comp(0).getDouble(1) === 14.0 &&
+      comp(0).getString(2) === "7!")
+    // a string BIND value casts through try_cast; an id copy is rejected
+    assert(Sparql.run(e, nodes,
+      s"""PREFIX xsd: <$XSD>
+         |SELECT ?d ?n WHERE { ?d <urn:v> ?c
+         |BIND(CONCAT(STR(?c), "0") AS ?s0)
+         |BIND(xsd:double(?s0) AS ?n) FILTER(?n = 70) }""".stripMargin)
+      .count() === 1) // "7" + "0" -> 70
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      s"""PREFIX xsd: <$XSD>
+         |SELECT ?d WHERE { ?d <urn:v> ?c BIND(?c AS ?cc)
+         |FILTER(xsd:double(?cc) > 0) }""".stripMargin))
+    assert(ex.getMessage.contains("id-space BIND copy"))
+  }
+
   test("hash builtins, ENCODE_FOR_URI and SAMETERM") {
     val XSD = "http://www.w3.org/2001/XMLSchema#"
     val abc = Bgp.litId("abc")

@@ -1772,6 +1772,23 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // FROM / FROM NAMED dataset clause: over the same two-corpus quad
+    // view as kg_sparql_graph, FROM <nation> scopes the default graph
+    // (non-GRAPH patterns) and FROM NAMED <documents> the GRAPH scope —
+    // both compile to PUSHED IN-filters on the raw graph column, so the
+    // per-graph scans prune before any join
+    "kg_sparql_from" -> ((s, dir) => {
+      val corpus = documentsCorpus(s, dir).union(nationCorpus(s, dir))
+      val e = Materialize.quads(Materialize.edges(Canonicalize(Skolemize(
+          parsedTriples(corpus))))).localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?g ?p (COUNT(*) AS ?n)
+          |FROM <urn:graph:synthetic/nation>
+          |FROM NAMED <urn:graph:synthetic/documents>
+          |WHERE { GRAPH ?g { ?s ?p ?o } }
+          |GROUP BY ?g ?p""".stripMargin)
+    }),
+
     // XSD CONSTRUCTOR CASTS: xsd:integer / xsd:double read a plain
     // string literal's lexical form into the numeric value space
     // (try_cast — uncastable values exclude, never throw), composing
@@ -3334,6 +3351,20 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'""".stripMargin,
+
+    // dataset-clause mirror: FROM NAMED restricts GRAPH ?g to the
+    // documents graph, so only its three predicates are counted — the
+    // nation graph (merged into the unobserved default side) never
+    // appears
+    "kg_sparql_from" ->
+      """SELECT 'urn:graph:synthetic/documents' AS g, 'urn:col:documents:text' AS p,
+        |       CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |UNION ALL
+        |SELECT 'urn:graph:synthetic/documents', 'urn:col:documents:lang',
+        |       CAST(COUNT(*) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'urn:graph:synthetic/documents', 'urn:col:documents:source',
+        |       CAST(COUNT(*) AS BIGINT) FROM documents""".stripMargin,
 
     // cast mirror: the lexical form of the regionkey literal read as a
     // number in both engines (integer-valued, so truncation is moot)

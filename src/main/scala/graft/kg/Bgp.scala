@@ -158,6 +158,14 @@ object Bgp {
     * [[pathHop]]-style composition inside [[patternRel]]. */
   final case class NestedPath(path: PathAst) extends TermPat
 
+  /** GRAPH-position scoping from a SPARQL dataset clause (13.2):
+    * restrict the pattern's quads to the graph-IRI set `values` (a
+    * pushed IN-filter on the raw graph column; EMPTY set = matches
+    * NOTHING, the spec's empty default/named dataset), and additionally
+    * bind the graph IRI to `bind` when the pattern sat inside
+    * `GRAPH ?g { ... }` under FROM NAMED. */
+  final case class GraphIn(values: Seq[String], bind: Option[String]) extends TermPat
+
   /** Whether a path's relation CONTAINS the zero-length identity over
     * every graph node — such relations are >= \|V\| rows, the weakest
     * in any query, and must never lead the join order. */
@@ -206,7 +214,10 @@ object Bgp {
   /** Variables of a pattern (subject/object, a variable predicate and a
     * variable graph). */
   private def patVars(p: TriplePattern): Set[String] =
-    (Seq(p.subj, p.pred, p.obj) ++ p.graph).collect { case V(n) => n }.toSet
+    (Seq(p.subj, p.pred, p.obj) ++ p.graph).collect {
+      case V(n)                 => n
+      case GraphIn(_, Some(n))  => n
+    }.toSet
 
   /** Constant positions of a pattern; most path forms count as a
     * constant predicate (they pin the relation to a fixed predicate
@@ -220,6 +231,7 @@ object Bgp {
       case StarPath(_) | OptPath(_) => false
       case GroupPath(_, op)         => op == '+'
       case NestedPath(ast)          => !pathHasIdentity(ast)
+      case GraphIn(_, bind)         => bind.isEmpty
       case _                        => true
     }
 
@@ -317,7 +329,8 @@ object Bgp {
     Seq(p.subj, p.obj).foreach(t =>
       require(t.isInstanceOf[V] || t.isInstanceOf[C],
         s"path operators are only valid in predicate position: $p"))
-    p.graph.foreach(g => require(g.isInstanceOf[V] || g.isInstanceOf[C],
+    p.graph.foreach(g => require(g.isInstanceOf[V] || g.isInstanceOf[C] ||
+      g.isInstanceOf[GraphIn],
       s"a GRAPH term must be a variable or an IRI constant: $p"))
     val isPlainPred = p.pred match {
       case V(_) | C(_) => true
@@ -333,6 +346,12 @@ object Bgp {
         require(isPlainPred,
           s"a variable GRAPH cannot scope a path-form predicate: $p")
         base
+      case Some(GraphIn(vals, bind)) =>
+        require(bind.isEmpty || isPlainPred,
+          s"a variable GRAPH cannot scope a path-form predicate: $p")
+        // an empty dataset side matches nothing (SPARQL 13.2)
+        if (vals.isEmpty) base.filter(lit(false))
+        else base.filter(col("graph").isin(vals: _*))
       case Some(other) => // unreachable: the require above rejects these
         throw new IllegalArgumentException(s"invalid GRAPH term: $other")
       case None => base
@@ -365,8 +384,9 @@ object Bgp {
       case _ =>
         val trip = Seq("subj_id" -> p.subj, "pred" -> p.pred, "obj_id" -> p.obj)
         (gbase, p.graph match {
-          case Some(g @ V(_)) => trip :+ ("graph" -> (g: TermPat))
-          case _              => trip
+          case Some(g @ V(_))              => trip :+ ("graph" -> (g: TermPat))
+          case Some(GraphIn(_, Some(b)))   => trip :+ ("graph" -> (V(b): TermPat))
+          case _                           => trip
         })
     }
     require(pos.exists(_._2.isInstanceOf[V]),

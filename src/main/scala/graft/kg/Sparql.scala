@@ -226,7 +226,7 @@ object Sparql {
     "STRBEFORE", "STRAFTER", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND",
     "LANGMATCHES", "IF", "IN", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
     "SECONDS", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
-    "ENCODE_FOR_URI", "SAMETERM")
+    "ENCODE_FOR_URI", "SAMETERM", "FROM", "NAMED")
 
   /** XPath constructor-cast IRIs (SPARQL 17.5) the fragment supports:
     * xsd:integer / xsd:double into the numeric space, xsd:string into
@@ -545,7 +545,14 @@ object Sparql {
                          describeIds: Seq[String] = Nil,
                          private[Sparql] val binds: Seq[(String, BExpr)] = Nil,
                          private[Sparql] val subqueries: Seq[Query] = Nil,
-                         private[Sparql] val optionalFilters: Seq[Seq[FExpr]] = Nil) {
+                         private[Sparql] val optionalFilters: Seq[Seq[FExpr]] = Nil,
+                         /** SPARQL 13.2 dataset clause: `FROM <g>`
+                           * merges into the DEFAULT graph (scopes every
+                           * non-GRAPH pattern), `FROM NAMED <g>` the
+                           * NAMED set (scopes GRAPH patterns). Applied
+                           * by pattern rewrite at run time. */
+                         fromGraphs: Seq[String] = Nil,
+                         fromNamed: Seq[String] = Nil) {
     /** BIND variable -> value kind: 'n'umeric, 's'tring, 'c'opy. */
     private[Sparql] lazy val bindKinds: Map[String, Char] = {
       def kindOf(b: BExpr): Char = b match {
@@ -1814,6 +1821,23 @@ object Sparql {
     }
   }
 
+  /** `FROM <g>` / `FROM NAMED <g>` dataset clauses (repeatable, SPARQL
+    * 13.2) between the query form and WHERE. */
+  private def datasetClauses(c: Cursor): (Seq[String], Seq[String]) = {
+    val from = Seq.newBuilder[String]
+    val named = Seq.newBuilder[String]
+    while (c.atSym("FROM")) {
+      c.takeSym("FROM")
+      val isNamed = c.atSym("NAMED")
+      if (isNamed) c.takeSym("NAMED")
+      c.next() match {
+        case TIri(iri) => if (isNamed) named += iri else from += iri
+        case t => fail(s"FROM${if (isNamed) " NAMED" else ""} takes an <iri>, found $t")
+      }
+    }
+    (from.result().distinct, named.result().distinct)
+  }
+
   /** `DESCRIBE (?var | <iri>)+ [WHERE { group }]` — variables need the
     * group to bind them; constants alone need no WHERE at all. */
   private def parseDescribe(c: Cursor): Query = {
@@ -1828,6 +1852,7 @@ object Sparql {
     val (vs, is) = (vars.result().distinct, ids.result().distinct)
     if (vs.isEmpty && is.isEmpty)
       fail("DESCRIBE needs at least one ?var or <iri>")
+    val (from, named) = datasetClauses(c)
     val g =
       if (c.atSym("WHERE") || c.atSym("{")) {
         if (c.atSym("WHERE")) c.takeSym("WHERE")
@@ -1843,13 +1868,16 @@ object Sparql {
       g.unions, g.filters, values = g.values, form = "DESCRIBE",
       exists = g.exists, notExists = g.notExists,
       describeVars = vs, describeIds = is, binds = g.binds,
-      subqueries = g.subqueries, optionalFilters = g.optionalFilters)
+      subqueries = g.subqueries, optionalFilters = g.optionalFilters,
+      fromGraphs = from, fromNamed = named)
     validate(qy)
     qy
   }
 
-  /** `ASK [WHERE] { group }` — no projection, no solution modifiers. */
+  /** `ASK [FROM ...] [WHERE] { group }` — no projection, no solution
+    * modifiers. */
   private def parseAsk(c: Cursor): Query = {
+    val (from, named) = datasetClauses(c)
     if (c.atSym("WHERE")) c.takeSym("WHERE")
     c.takeSym("{")
     val g = parseGroupBody(c)
@@ -1857,7 +1885,8 @@ object Sparql {
     val qy = Query(Nil, distinct = false, g.required, g.optionals, g.minuses,
       g.unions, g.filters, values = g.values, form = "ASK",
       exists = g.exists, notExists = g.notExists, binds = g.binds,
-      subqueries = g.subqueries, optionalFilters = g.optionalFilters)
+      subqueries = g.subqueries, optionalFilters = g.optionalFilters,
+      fromGraphs = from, fromNamed = named)
     validate(qy)
     qy
   }
@@ -1868,6 +1897,7 @@ object Sparql {
   private def parseConstruct(c: Cursor): Query = {
     c.takeSym("{")
     val template = triplesBlock(c)
+    val (from, named) = datasetClauses(c)
     c.takeSym("WHERE")
     c.takeSym("{")
     val g = parseGroupBody(c)
@@ -1876,7 +1906,8 @@ object Sparql {
       g.unions, g.filters, values = g.values, form = "CONSTRUCT",
       template = template, exists = g.exists, notExists = g.notExists,
       binds = g.binds, subqueries = g.subqueries,
-      optionalFilters = g.optionalFilters)
+      optionalFilters = g.optionalFilters,
+      fromGraphs = from, fromNamed = named)
     validate(qy)
     qy
   }
@@ -1904,6 +1935,10 @@ object Sparql {
       if (projection.result().isEmpty)
         fail("SELECT needs ?vars, (AGG(...) AS ?alias) items or *")
     }
+    val (from, named) = datasetClauses(c)
+    if (nested && (from.nonEmpty || named.nonEmpty))
+      fail("FROM / FROM NAMED is a top-level dataset clause — subqueries " +
+        "inherit the outer query's dataset (SPARQL 13.2)")
     c.takeSym("WHERE")
     c.takeSym("{")
     val g = parseGroupBody(c)
@@ -1967,7 +2002,8 @@ object Sparql {
       g.minuses, g.unions, g.filters, groupBy, having.result(), orderBy,
       limit, offset, g.values, exists = g.exists, notExists = g.notExists,
       binds = g.binds, subqueries = g.subqueries,
-      optionalFilters = g.optionalFilters)
+      optionalFilters = g.optionalFilters,
+      fromGraphs = from, fromNamed = named)
     if (nested && qy.projection.isEmpty)
       fail("subqueries must project explicitly (?vars / aggregates) — " +
         "SELECT * has no statically-known output to join on")
@@ -2710,14 +2746,51 @@ object Sparql {
     runWith(edges, Some(nodes), queryString)
 
   private def runWith(edges: DataFrame, nodes: Option[DataFrame],
-                      queryString: String): DataFrame =
-    runParsed(edges, nodes, parse(queryString))
+                      queryString: String): DataFrame = {
+    val q = parse(queryString)
+    if (q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty)
+      require(edges.columns.contains("graph"),
+        "FROM / FROM NAMED need a 'graph' column on the edges frame — " +
+          "derive one from lineage with Materialize.quads(edges)")
+    runParsed(edges, nodes, applyDataset(q))
+  }
+
+  /** The CBD expansion of a DESCRIBE reads the DEFAULT graph — under a
+    * dataset clause, the FROM merge (SPARQL 13.2). */
+  private def describeScope(edges: DataFrame, q: Query): DataFrame =
+    if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) edges
+    else if (q.fromGraphs.isEmpty) edges.filter(lit(false))
+    else edges.filter(col("graph").isin(q.fromGraphs: _*))
+
+  /** Apply the SPARQL 13.2 dataset clause by PATTERN REWRITE: every
+    * non-GRAPH pattern scopes to the FROM merge (the query's default
+    * graph), every GRAPH pattern to the FROM NAMED set — each a pushed
+    * IN-filter on the raw graph column ([[Bgp.GraphIn]]); an empty side
+    * matches nothing, and a constant `GRAPH <g>` outside the named set
+    * is statically empty. Subqueries inherit the outer dataset. */
+  private def applyDataset(q: Query): Query = {
+    if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) return q
+    def scope(p: TriplePattern): TriplePattern = p.graph match {
+      case None => p.copy(graph = Some(Bgp.GraphIn(q.fromGraphs, None)))
+      case Some(C(g)) =>
+        if (q.fromNamed.contains(g)) p
+        else p.copy(graph = Some(Bgp.GraphIn(Nil, None)))
+      case Some(V(n)) => p.copy(graph = Some(Bgp.GraphIn(q.fromNamed, Some(n))))
+      case Some(_)    => p // unreachable: parse produces V/C graphs only
+    }
+    def sq(ps: Seq[TriplePattern]) = ps.map(scope)
+    q.copy(required = sq(q.required), optionals = q.optionals.map(sq),
+      minuses = q.minuses.map(sq), unions = q.unions.map(_.map(sq)),
+      exists = q.exists.map(sq), notExists = q.notExists.map(sq),
+      subqueries = q.subqueries.map(s => applyDataset(
+        s.copy(fromGraphs = q.fromGraphs, fromNamed = q.fromNamed))))
+  }
 
   private def runParsed(edges: DataFrame, nodes: Option[DataFrame],
                         q: Query): DataFrame = {
     if (q.form == "DESCRIBE" && q.required.isEmpty && q.unions.isEmpty &&
         q.subqueries.isEmpty)
-      return describeEdges(edges, None, q) // constant-only DESCRIBE
+      return describeEdges(describeScope(edges, q), None, q) // constant-only
     // subqueries evaluate bottom-up (recursively through this same
     // pipeline), then inner-join the group on their shared plain
     // variables — validated non-NULL anchors, so bag semantics match
@@ -2794,7 +2867,8 @@ object Sparql {
       // Spark stops scanning partitions once a row surfaces
       return matched.limit(1).agg((count(lit(1)) === 1).as("ask"))
     if (q.form == "CONSTRUCT") return construct(matched, q.template)
-    if (q.form == "DESCRIBE") return describeEdges(edges, Some(matched), q)
+    if (q.form == "DESCRIBE")
+      return describeEdges(describeScope(edges, q), Some(matched), q)
     val projected =
       if (q.isAggregate) aggregate(matched, q, hybridVars.toSet)
       else if (q.projection.isEmpty) matched

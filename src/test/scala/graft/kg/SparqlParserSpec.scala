@@ -1299,6 +1299,64 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cannot combine"))
   }
 
+  test("FROM / FROM NAMED dataset clauses scope the quad view") {
+    val quads = Seq(
+      (d1, "urn:lang", en, "urn:graph:a"),
+      (d2, "urn:lang", fr, "urn:graph:b"),
+      (d3, "urn:lang", en, "urn:graph:c"),
+      (d1, "urn:src", web, "urn:graph:a"))
+      .toDF("subj_id", "pred", "obj_id", "graph")
+    // FROM merges the listed graphs into the default graph
+    assert(Sparql.run(quads,
+      """SELECT ?d FROM <urn:graph:a> FROM <urn:graph:b>
+        |WHERE { ?d <urn:lang> ?l }""".stripMargin)
+      .collect().map(_.getString(0)).toSet === Set(d1, d2))
+    // FROM alone leaves the NAMED set empty: GRAPH matches nothing
+    assert(Sparql.run(quads,
+      """SELECT ?d FROM <urn:graph:a>
+        |WHERE { GRAPH ?g { ?d <urn:lang> ?l } }""".stripMargin).count() === 0)
+    // FROM NAMED alone leaves the DEFAULT graph empty
+    assert(Sparql.run(quads,
+      """SELECT ?d FROM NAMED <urn:graph:a>
+        |WHERE { ?d <urn:lang> ?l }""".stripMargin).count() === 0)
+    // FROM NAMED restricts which graphs GRAPH ?g ranges over
+    assert(Sparql.run(quads,
+      """SELECT ?d ?g FROM NAMED <urn:graph:a> FROM NAMED <urn:graph:b>
+        |WHERE { GRAPH ?g { ?d <urn:lang> ?l } }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      === Set((d1, "urn:graph:a"), (d2, "urn:graph:b")))
+    // a constant GRAPH outside the named set is statically empty
+    assert(Sparql.run(quads,
+      """SELECT ?d FROM NAMED <urn:graph:a>
+        |WHERE { GRAPH <urn:graph:b> { ?d <urn:lang> ?l } }""".stripMargin)
+      .count() === 0)
+    // default and named parts compose in one group
+    assert(Sparql.run(quads,
+      """SELECT ?d ?g FROM <urn:graph:a> FROM NAMED <urn:graph:a>
+        |WHERE { ?d <urn:lang> ?l GRAPH ?g { ?d <urn:src> ?s } }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq((d1, "urn:graph:a")))
+    // ASK takes the clause too
+    assert(Sparql.run(quads,
+      "ASK FROM <urn:graph:c> { ?d <urn:lang> ?l }")
+      .collect()(0).getBoolean(0))
+    // subqueries inherit the outer dataset — their own FROM is rejected
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?d WHERE { ?d <urn:lang> ?l
+        |{ SELECT ?d FROM <urn:graph:a> WHERE { ?d <urn:src> ?s } } }""".stripMargin))
+    assert(ex.getMessage.contains("top-level dataset clause"))
+    // and the subquery sees the outer scoping
+    assert(Sparql.run(quads,
+      """SELECT ?d FROM <urn:graph:a> WHERE { ?d <urn:lang> ?l
+        |{ SELECT ?d WHERE { ?d <urn:src> ?s } } }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq === Seq(d1))
+    // a triples-only frame cannot serve a dataset clause
+    val e3 = edges((d1, "urn:lang", en))
+    val ex2 = intercept[IllegalArgumentException](Sparql.run(e3,
+      "SELECT ?d FROM <urn:graph:a> WHERE { ?d <urn:lang> ?l }"))
+    assert(ex2.getMessage.contains("'graph' column"))
+  }
+
   test("GRAPH: constant scopes the scan, variable binds the raw IRI") {
     val quads = Seq(
       (d1, "urn:lang", en, "urn:graph:a"),

@@ -1964,6 +1964,24 @@ object SparkEntry {
           |  ?o <urn:col:orders:o_totalprice> ?p .
           |  FILTER(?c < 20)
           |} ORDER BY DESC(?p) ?o LIMIT 15""".stripMargin)
+    }),
+
+    // ORDER BY EXPRESSION: the top-k selection key is a COMPUTED value
+    // (?p - ?c * 1000, both value-space reads through the one term
+    // join), the id column breaking boundary ties deterministically —
+    // same TakeOrderedAndProject top-k shape as a plain key
+    "kg_sparql_order_expr" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_custkey", col("o_custkey"), s"${XSD}long"),
+        ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
+        """SELECT ?o ?p ?c WHERE {
+          |  ?o <urn:col:orders:o_custkey> ?c .
+          |  ?o <urn:col:orders:o_totalprice> ?p .
+          |} ORDER BY DESC(?p - ?c * 1000) ?o LIMIT 12""".stripMargin)
     })
   )
 
@@ -3487,6 +3505,17 @@ object SparkEntry {
         |              '"^^<http://www.w3.org/2001/XMLSchema#double>') AS p
         |FROM orders WHERE o_custkey < 20
         |ORDER BY o_totalprice DESC, o ASC LIMIT 15""".stripMargin,
+
+    // order-expression mirror: the same computed key over the native
+    // columns, the hashed id string breaking boundary ties identically
+    "kg_sparql_order_expr" ->
+      """SELECT sha256('<urn:g:orders:' || CAST(o_orderkey AS VARCHAR) || '>') AS o,
+        |       sha256('"' || CAST(o_totalprice AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#double>') AS p,
+        |       sha256('"' || CAST(o_custkey AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#long>') AS c
+        |FROM orders
+        |ORDER BY (o_totalprice - o_custkey * 1000) DESC, o ASC LIMIT 12""".stripMargin,
 
     // value-space FILTER mirror: the bindValues+TypedLiterals pipeline
     // reduces to plain numeric predicates over the source columns

@@ -552,7 +552,15 @@ object Sparql {
                            * NAMED set (scopes GRAPH patterns). Applied
                            * by pattern rewrite at run time. */
                          fromGraphs: Seq[String] = Nil,
-                         fromNamed: Seq[String] = Nil) {
+                         fromNamed: Seq[String] = Nil,
+                         /** Populated when ORDER BY contains at least
+                           * one EXPRESSION key: every key in query
+                           * order, Left = a plain variable/alias,
+                           * Right = a numeric value expression. The
+                           * plain subset still mirrors into [[orderBy]]
+                           * for validation/compat. */
+                         private[Sparql] val orderKeysAst:
+                           Seq[(Either[String, NExpr], Boolean)] = Nil) {
     /** BIND variable -> value kind: 'n'umeric, 's'tring, 'c'opy. */
     private[Sparql] lazy val bindKinds: Map[String, Char] = {
       def kindOf(b: BExpr): Char = b match {
@@ -1963,22 +1971,34 @@ object Sparql {
       c.takeSym(")")
     }
     var orderBy = Seq.empty[(String, Boolean)]
+    var orderKeys = Seq.empty[(Either[String, NExpr], Boolean)]
     if (c.atSym("ORDER")) {
       c.takeSym("ORDER"); c.takeSym("BY")
-      val os = Seq.newBuilder[(String, Boolean)]
+      val os = Seq.newBuilder[(Either[String, NExpr], Boolean)]
+      // ASC/DESC take a plain ?var — or any NUMERIC value expression
+      // (SPARQL OrderCondition's bracketted expression), compiled like
+      // a FILTER's numeric side at sort time
+      def key(asc: Boolean): Unit = {
+        c.takeSym(if (asc) "ASC" else "DESC"); c.takeSym("(")
+        val k: Either[String, NExpr] = c.peekOrFail match {
+          case TVar(n) if c.peek2.contains(TSym(")")) => c.next(); Left(n)
+          case _ => Right(nexpr(c))
+        }
+        c.takeSym(")")
+        os += ((k, asc))
+      }
       var more = true
       while (more) c.peek match {
-        case Some(TVar(n)) => c.next(); os += ((n, true))
-        case Some(TSym("ASC")) =>
-          c.takeSym("ASC"); c.takeSym("(")
-          os += ((varName(c), true)); c.takeSym(")")
-        case Some(TSym("DESC")) =>
-          c.takeSym("DESC"); c.takeSym("(")
-          os += ((varName(c), false)); c.takeSym(")")
+        case Some(TVar(n))      => c.next(); os += ((Left(n), true))
+        case Some(TSym("ASC"))  => key(asc = true)
+        case Some(TSym("DESC")) => key(asc = false)
         case _ => more = false
       }
-      orderBy = os.result()
-      if (orderBy.isEmpty) fail("ORDER BY needs ?vars or ASC(?v)/DESC(?v)")
+      val keys = os.result()
+      if (keys.isEmpty)
+        fail("ORDER BY needs ?vars or ASC(expr)/DESC(expr)")
+      orderBy = keys.collect { case (Left(v), asc) => (v, asc) }
+      if (keys.exists(_._1.isRight)) orderKeys = keys
     }
     var limit: Option[Long] = None
     var offset: Option[Long] = None
@@ -2003,7 +2023,7 @@ object Sparql {
       limit, offset, g.values, exists = g.exists, notExists = g.notExists,
       binds = g.binds, subqueries = g.subqueries,
       optionalFilters = g.optionalFilters,
-      fromGraphs = from, fromNamed = named)
+      fromGraphs = from, fromNamed = named, orderKeysAst = orderKeys)
     if (nested && qy.projection.isEmpty)
       fail("subqueries must project explicitly (?vars / aggregates) — " +
         "SELECT * has no statically-known output to join on")
@@ -2493,6 +2513,23 @@ object Sparql {
         fail(s"ORDER BY variable ?$v is not a result column — order by a " +
           "projected variable or aggregate alias")
     }
+    val nonNumAgg = qy.projection.collect {
+      case PAgg(AggCall(f, _, _, _), alias)
+        if f != "COUNT" && f != "SUM" && f != "AVG" => alias
+    }.toSet
+    qy.orderKeysAst.foreach {
+      case (Right(e), _) =>
+        nvars(e).foreach { v =>
+          if (!outNames.contains(v))
+            fail(s"ORDER BY expression reads ?$v, which is not a result " +
+              "column — order by projected variables or aggregate aliases")
+          if (nonNumAgg(v))
+            fail(s"ORDER BY expression reads ?$v, a non-numeric aggregate " +
+              "alias — only COUNT/SUM/AVG aliases are numeric keys")
+        }
+        readsN(e).foreach { case (v, how) => checkRead(v, how, "ORDER BY") }
+      case _ => ()
+    }
   }
 
   // ---------- execution ----------------------------------------------------
@@ -2879,20 +2916,43 @@ object Sparql {
     // value, other terms before them by id) — one broadcast-able term
     // join per such column, dropped after the sort; everything else
     // (aliases, computed values, pred-space raw IRIs) sorts as-is
+    val keySpecs: Seq[(Either[String, NExpr], Boolean)] =
+      if (q.orderKeysAst.nonEmpty) q.orderKeysAst
+      else q.orderBy.map { case (v, asc) => (Left(v), asc) }
     val ordered =
-      if (q.orderBy.isEmpty) dist
+      if (keySpecs.isEmpty) dist
       else {
+        // expression keys read pattern variables through their _term
+        // structs — the value read is only decidable with the nodes
+        // table (an id-sort fallback would be meaningless for a
+        // computed key, unlike a plain variable's documented id order)
+        val exprNodeVars = keySpecs.collect { case (Right(e), _) => nvars(e) }
+          .flatten.filter(v => q.nodeSpaceVars(v) && dist.columns.contains(v))
+        require(exprNodeVars.isEmpty || nodes.isDefined,
+          "ORDER BY expressions over pattern variables need the nodes " +
+            "table — use run(edges, nodes, query)")
         val hybridOrd = nodes match {
-          case Some(_) => q.orderBy.map(_._1)
-            .filter(v => q.nodeSpaceVars(v) && dist.columns.contains(v)).distinct
+          case Some(_) => (keySpecs.collect { case (Left(v), _) => v }
+            .filter(v => q.nodeSpaceVars(v) && dist.columns.contains(v)) ++
+            exprNodeVars).distinct
           case None => Nil
         }
         val base =
           if (hybridOrd.isEmpty) dist
           else Bgp.bindValues(dist, nodes.get, hybridOrd)
-        val keys = q.orderBy.map { case (v, asc) =>
-          val k = if (hybridOrd.contains(v)) termOrderKey(v) else col(v)
-          if (asc) k.asc else k.desc
+        val keys = keySpecs.map {
+          case (Left(v), asc) =>
+            val k = if (hybridOrd.contains(v)) termOrderKey(v) else col(v)
+            if (asc) k.asc else k.desc
+          case (Right(e), asc) =>
+            // the query's OWN aggregate aliases are plain numeric
+            // columns by the time the sort runs (post-aggregation)
+            val ownAgg = q.projection.collect {
+              case PAgg(AggCall("COUNT" | "SUM" | "AVG", _, _, _), alias) =>
+                alias -> 'n'
+            }.toMap
+            val k = numValue(e, q.valueKinds ++ ownAgg)
+            if (asc) k.asc else k.desc
         }
         hybridOrd.foldLeft(base.orderBy(keys: _*))((df, v) => df.drop(s"${v}_term"))
       }

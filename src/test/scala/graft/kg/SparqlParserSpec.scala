@@ -1299,6 +1299,42 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cannot combine"))
   }
 
+  test("ORDER BY expressions sort by the computed numeric key") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val p3 = Bgp.litId("3", XSD + "long")
+    val p7 = Bgp.litId("7", XSD + "long")
+    val p10 = Bgp.litId("10", XSD + "long")
+    val e = edges((d1, "urn:n", p3), (d2, "urn:n", p10), (d3, "urn:n", p7))
+    val nodes = Seq(
+      (p3, RdfTerm.LITERAL, "3", null, XSD + "long"),
+      (p7, RdfTerm.LITERAL, "7", null, XSD + "long"),
+      (p10, RdfTerm.LITERAL, "10", null, XSD + "long"))
+      .toDF("id", "kind", "value", "lang", "dt")
+    // DESC by a computed key: 2n-1 = 19, 13, 5
+    assert(Sparql.run(e, nodes,
+      """SELECT ?d ?n WHERE { ?d <urn:n> ?n }
+        |ORDER BY DESC(?n * 2 - 1)""".stripMargin)
+      .collect().map(_.getString(0)).toSeq === Seq(d2, d3, d1))
+    // expression keys mix with plain keys and compose with LIMIT
+    assert(Sparql.run(e, nodes,
+      """SELECT ?d ?n WHERE { ?d <urn:n> ?n }
+        |ORDER BY ASC(10 - ?n) ?d LIMIT 2""".stripMargin)
+      .collect().map(_.getString(0)).toSeq === Seq(d2, d3))
+    // an aggregate alias is a plain numeric column in the key
+    assert(Sparql.run(e, nodes,
+      """SELECT ?d (SUM(?n) AS ?s) WHERE { ?d <urn:n> ?n }
+        |GROUP BY ?d ORDER BY DESC(?s * 3)""".stripMargin)
+      .collect().map(_.getString(0)).toSeq === Seq(d2, d3, d1))
+    // rejections: unprojected variable in the key; no nodes table
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?d WHERE { ?d <urn:n> ?n } ORDER BY DESC(?n * 2)"))
+    assert(ex.getMessage.contains("not a result column"))
+    val ex2 = intercept[IllegalArgumentException](
+      Sparql.run(e, "SELECT ?d ?n WHERE { ?d <urn:n> ?n } ORDER BY ASC(?n + 1)")
+        .collect())
+    assert(ex2.getMessage.contains("need the nodes"))
+  }
+
   test("FROM / FROM NAMED dataset clauses scope the quad view") {
     val quads = Seq(
       (d1, "urn:lang", en, "urn:graph:a"),

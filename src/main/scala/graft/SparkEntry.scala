@@ -1772,6 +1772,20 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // UNDEF in VALUES: a free cell is compatible with any binding, so
+    // rows with UNDEF compile to a DISJUNCTIVE pushed filter (defined
+    // cells AND-ed per row, rows OR-ed) — zero joins, zero shuffles —
+    // instead of the semi-join the fully-bound form uses
+    "kg_sparql_values_undef" -> ((s, dir) => {
+      val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(
+          nationCorpus(s, dir))))).localCheckpoint(true)
+      Sparql.run(e,
+        """SELECT ?a ?r WHERE {
+          |  ?a <urn:col:nation:n_regionkey> ?r .
+          |  VALUES (?a ?r) { (<urn:g:nation:1> UNDEF) (UNDEF "3") }
+          |}""".stripMargin)
+    }),
+
     // FROM / FROM NAMED dataset clause: over the same two-corpus quad
     // view as kg_sparql_graph, FROM <nation> scopes the default graph
     // (non-GRAPH patterns) and FROM NAMED <documents> the GRAPH scope —
@@ -3369,6 +3383,13 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'""".stripMargin,
+
+    // UNDEF mirror: the disjunction of the rows' defined cells
+    "kg_sparql_values_undef" ->
+      """SELECT sha256('<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '>') AS a,
+        |       sha256('"' || CAST(n_regionkey AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#string>') AS r
+        |FROM nation WHERE n_nationkey = 1 OR n_regionkey = 3""".stripMargin,
 
     // dataset-clause mirror: FROM NAMED restricts GRAPH ?g to the
     // documents graph, so only its three predicates are counted — the

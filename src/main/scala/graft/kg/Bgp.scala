@@ -663,7 +663,20 @@ object Bgp {
     val missing = vars.filterNot(bindings.columns.contains)
     require(missing.isEmpty,
       s"VALUES variable(s) ${missing.mkString(", ")} are not bound by the pattern")
-    if (vars.sizeIs == 1)
+    // UNDEF cells (null) are compatible with ANY binding (SPARQL 10.2);
+    // a semi-join key cannot express that, so rows with UNDEF compile
+    // to the disjunction of their defined-cell conjunctions — a pushed
+    // boolean filter, still zero-shuffle (inline data is always small).
+    // A row of ALL UNDEF cells is compatible with everything: no filter.
+    if (rows.exists(_.contains(null))) {
+      val rowPreds = rows.distinct.map { r =>
+        vars.zip(r).collect { case (v, c0) if c0 != null => col(v) === lit(c0) }
+          .reduceOption(_ && _)
+      }
+      if (rowPreds.contains(None)) bindings
+      else bindings.filter(rowPreds.flatten.reduce(_ || _))
+    }
+    else if (vars.sizeIs == 1)
       bindings.filter(col(vars.head).isin(rows.map(_.head).distinct: _*))
     else {
       val spark = bindings.sparkSession

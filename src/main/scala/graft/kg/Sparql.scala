@@ -1580,13 +1580,14 @@ object Sparql {
     orE()
   }
 
+  /** One VALUES cell: a constant's node id, or null for UNDEF (the
+    * cell is compatible with ANY binding — [[Bgp.applyValues]] switches
+    * to its disjunctive-filter compilation when any row has one). */
   private def valuesConst(c: Cursor): String = c.next() match {
     case TIri(iri)         => Bgp.iriId(iri)
     case TLit(v, lang, dt) => Bgp.litId(v, dt.getOrElse(RdfTerm.XsdString), lang)
-    case TSym("UNDEF") => fail("UNDEF is not supported in VALUES — the " +
-      "well-designed fragment requires fully bound inline rows (split the " +
-      "query or drop the variable instead)")
-    case t => fail(s"VALUES rows take IRI or literal constants, found $t")
+    case TSym("UNDEF")     => null
+    case t => fail(s"VALUES rows take IRI/literal constants or UNDEF, found $t")
   }
 
   private def valuesClause(c: Cursor): (Seq[String], Seq[Seq[String]]) =

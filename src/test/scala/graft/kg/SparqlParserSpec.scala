@@ -359,7 +359,6 @@ class SparqlParserSpec extends AnyFunSuite {
       "bound by the required pattern")
     bad("""SELECT ?a WHERE { ?a <p> ?x . OPTIONAL { ?a <q> ?y }
           | VALUES ?y { "v" } }""".stripMargin, "bound by the required pattern")
-    bad("""SELECT ?a WHERE { ?a <p> ?x . VALUES ?x { UNDEF } }""", "UNDEF")
     bad("SELECT ?a (COUNT(?x) AS ?a) WHERE { ?a <p> ?x } GROUP BY ?a",
       "duplicate SELECT name")
     bad("SELECT ?a WHERE { ?a <p> ?x } GROUP BY ?a HAVING (MIN(?x) > 3)",
@@ -1297,6 +1296,27 @@ class SparqlParserSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](Sparql.parse(
       "SELECT * WHERE { ?x (<up>)*+ ?y }"))
     assert(ex.getMessage.contains("cannot combine"))
+  }
+
+  test("UNDEF in VALUES: rows with free cells compile to a disjunction") {
+    val e = edges(
+      (d1, "urn:lang", en), (d2, "urn:lang", fr), (d3, "urn:lang", en),
+      (d1, "urn:src", web))
+    // (d1, anything) OR (anything, fr): d1's row plus d2's
+    assert(Sparql.run(e,
+      s"""SELECT ?d ?l WHERE { ?d <urn:lang> ?l .
+         |VALUES (?d ?l) { (<urn:doc:1> UNDEF) (UNDEF "fr") } }""".stripMargin)
+      .collect().map(_.getString(0)).toSet === Set(d1, d2))
+    // a single-var UNDEF row matches everything (no filter at all)
+    assert(Sparql.run(e,
+      """SELECT ?d WHERE { ?d <urn:lang> ?l . VALUES ?l { UNDEF } }""")
+      .count() === 3)
+    // an all-UNDEF row makes the whole clause vacuous even among
+    // constrained rows
+    assert(Sparql.run(e,
+      s"""SELECT ?d WHERE { ?d <urn:lang> ?l .
+         |VALUES (?d ?l) { (<urn:doc:1> "en") (UNDEF UNDEF) } }""".stripMargin)
+      .count() === 3)
   }
 
   test("ORDER BY expressions sort by the computed numeric key") {

@@ -1772,6 +1772,21 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // GROUP BY EXPRESSION: the grouping key is computed per row in the
+    // same projection pass (sugar for BIND + GROUP BY ?v), so the one
+    // hash-agg shuffle keys on the bucket directly — no extra pass
+    "kg_sparql_group_expr" -> ((s, dir) => {
+      val XSD = "http://www.w3.org/2001/XMLSchema#"
+      val orders = fanOut(s, s.read.parquet(s"$dir/orders.parquet"))
+      val corpus = Corpus.fromTableTyped(orders, "orders", "o_orderkey", Seq(
+        ("o_totalprice", col("o_totalprice"), s"${XSD}double")))
+      val (e, nd) = sparqlGraph(corpus)
+      Sparql.run(e, nd,
+        """SELECT ?bucket (COUNT(*) AS ?n) WHERE {
+          |  ?o <urn:col:orders:o_totalprice> ?p .
+          |} GROUP BY (FLOOR(?p / 50000) AS ?bucket)""".stripMargin)
+    }),
+
     // UNDEF in VALUES: a free cell is compatible with any binding, so
     // rows with UNDEF compile to a DISJUNCTIVE pushed filter (defined
     // cells AND-ed per row, rows OR-ed) — zero joins, zero shuffles —
@@ -3383,6 +3398,13 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'""".stripMargin,
+
+    // group-expression mirror: the same bucket computed from the native
+    // double column (both engines floor IEEE doubles identically)
+    "kg_sparql_group_expr" ->
+      """SELECT floor(o_totalprice / 50000) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // UNDEF mirror: the disjunction of the rows' defined cells
     "kg_sparql_values_undef" ->

@@ -1509,6 +1509,52 @@ object Sparql {
     case t       => fail(s"expected a ?variable, found $t")
   }
 
+  /** BIND(expr AS ?v) right-hand side — shared by BIND clauses and
+    * `GROUP BY (expr AS ?v)` keys: a string expression, IF, COALESCE,
+    * a bare ?var copy, or a numeric expression. */
+  private def bindBody(c: Cursor): BExpr = strFnOperand(c) match {
+      case Some(st) => BStr(st)
+      case None => c.peekOrFail match {
+        case TSym("IF") =>
+          // IF(cond, then, else): the condition is a full FILTER
+          // expression; the branches recurse through this same body
+          // grammar and must share one value kind (validated)
+          c.next(); c.takeSym("(")
+          val cond = filterExpr(c)
+          c.takeSym(",")
+          val t = bindBody(c)
+          c.takeSym(",")
+          val e = bindBody(c)
+          c.takeSym(")")
+          BIf(cond, t, e)
+        case TSym("COALESCE") =>
+          c.next(); c.takeSym("(")
+          val vs = Seq.newBuilder[String]
+          vs += varName(c)
+          while (c.atSym(",")) { c.takeSym(","); vs += varName(c) }
+          c.takeSym(")")
+          val r = vs.result()
+          if (r.sizeIs < 2) fail("COALESCE takes at least two ?variables")
+          BCoalesce(r)
+        case TVar(n) =>
+          c.next()
+          if (isArithSym(c)) BNum(nexprFrom(c, NVar(n))) else BCopy(n)
+        case TLit(v, None, None) => c.next(); BStr(SConst(v))
+        case TLit(_, _, _) =>
+          fail("BIND string constants must be plain (no @lang / ^^dt)")
+        case TNum(_) | TDbl(_) | TSym("(") | TSym("-") | TSym("STRLEN") |
+             TSym("ABS") | TSym("CEIL") | TSym("FLOOR") | TSym("ROUND") |
+             TSym("YEAR") | TSym("MONTH") | TSym("DAY") | TSym("HOURS") |
+             TSym("MINUTES") | TSym("SECONDS") =>
+          BNum(nexpr(c))
+        case TIri(iri) if NumCastIris.contains(iri) &&
+            c.peek2.contains(TSym("(")) =>
+          BNum(nexpr(c))
+        case t => fail(s"expected a numeric/string expression, IF(...), " +
+          s"COALESCE(...), ?var or a plain string literal in BIND, found $t")
+      }
+    }
+
   private def aggCall(c: Cursor): AggCall = {
     val f = c.next() match {
       case TSym(s) if Set("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
@@ -1653,48 +1699,7 @@ object Sparql {
     // token: a string function opens the string space, STRLEN/number/
     // paren/unary-minus the numeric space, a bare ?var (no arithmetic
     // following) is an id-space copy, a plain "lit" a string constant
-    def bindBody(): BExpr = strFnOperand(c) match {
-      case Some(st) => BStr(st)
-      case None => c.peekOrFail match {
-        case TSym("IF") =>
-          // IF(cond, then, else): the condition is a full FILTER
-          // expression; the branches recurse through this same body
-          // grammar and must share one value kind (validated)
-          c.next(); c.takeSym("(")
-          val cond = filterExpr(c)
-          c.takeSym(",")
-          val t = bindBody()
-          c.takeSym(",")
-          val e = bindBody()
-          c.takeSym(")")
-          BIf(cond, t, e)
-        case TSym("COALESCE") =>
-          c.next(); c.takeSym("(")
-          val vs = Seq.newBuilder[String]
-          vs += varName(c)
-          while (c.atSym(",")) { c.takeSym(","); vs += varName(c) }
-          c.takeSym(")")
-          val r = vs.result()
-          if (r.sizeIs < 2) fail("COALESCE takes at least two ?variables")
-          BCoalesce(r)
-        case TVar(n) =>
-          c.next()
-          if (isArithSym(c)) BNum(nexprFrom(c, NVar(n))) else BCopy(n)
-        case TLit(v, None, None) => c.next(); BStr(SConst(v))
-        case TLit(_, _, _) =>
-          fail("BIND string constants must be plain (no @lang / ^^dt)")
-        case TNum(_) | TDbl(_) | TSym("(") | TSym("-") | TSym("STRLEN") |
-             TSym("ABS") | TSym("CEIL") | TSym("FLOOR") | TSym("ROUND") |
-             TSym("YEAR") | TSym("MONTH") | TSym("DAY") | TSym("HOURS") |
-             TSym("MINUTES") | TSym("SECONDS") =>
-          BNum(nexpr(c))
-        case TIri(iri) if NumCastIris.contains(iri) &&
-            c.peek2.contains(TSym("(")) =>
-          BNum(nexpr(c))
-        case t => fail(s"expected a numeric/string expression, IF(...), " +
-          s"COALESCE(...), ?var or a plain string literal in BIND, found $t")
-      }
-    }
+    def bindBody(): BExpr = Sparql.bindBody(c)
     def bindClause(): Unit = {
       c.takeSym("BIND"); c.takeSym("(")
       val b = bindBody()
@@ -1954,16 +1959,28 @@ object Sparql {
     // ---- solution modifiers (SPARQL order: GROUP BY, HAVING, ORDER BY,
     // LIMIT/OFFSET in either order) --------------------------------------
     var groupBy = Seq.empty[String]
+    var groupBinds = Seq.empty[(String, BExpr)]
     if (c.atSym("GROUP")) {
       c.takeSym("GROUP"); c.takeSym("BY")
       val gs = Seq.newBuilder[String]
       var more = true
       while (more) c.peek match {
         case Some(TVar(n)) => c.next(); gs += n
-        case _             => more = false
+        case Some(TSym("(")) =>
+          // GROUP BY (expr AS ?v) — sugar for BIND(expr AS ?v) before
+          // the grouping: the key is computed per row in the same
+          // projection pass, then grouped like any BIND variable
+          c.takeSym("(")
+          val b = bindBody(c)
+          c.takeSym("AS")
+          val v = varName(c)
+          c.takeSym(")")
+          groupBinds :+= ((v, b))
+          gs += v
+        case _ => more = false
       }
       groupBy = gs.result()
-      if (groupBy.isEmpty) fail("GROUP BY needs ?vars")
+      if (groupBy.isEmpty) fail("GROUP BY needs ?vars or (expr AS ?v) keys")
     }
     val having = Seq.newBuilder[HExpr]
     while (c.atSym("HAVING")) {
@@ -2022,7 +2039,7 @@ object Sparql {
     val qy = Query(projection.result(), distinct, g.required, g.optionals,
       g.minuses, g.unions, g.filters, groupBy, having.result(), orderBy,
       limit, offset, g.values, exists = g.exists, notExists = g.notExists,
-      binds = g.binds, subqueries = g.subqueries,
+      binds = g.binds ++ groupBinds, subqueries = g.subqueries,
       optionalFilters = g.optionalFilters,
       fromGraphs = from, fromNamed = named, orderKeysAst = orderKeys)
     if (nested && qy.projection.isEmpty)

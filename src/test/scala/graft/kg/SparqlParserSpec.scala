@@ -1298,6 +1298,33 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cannot combine"))
   }
 
+  test("GROUP BY expressions: (expr AS ?v) keys") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val vals = Seq(3L, 7L, 10L, 14L)
+    val lits = vals.map(v => Bgp.litId(v.toString, XSD + "long"))
+    val e = edges(vals.zip(lits).map { case (v, id) =>
+      (Bgp.iriId(s"urn:doc:$v"), "urn:n", id) }: _*)
+    val nodes = vals.zip(lits).map { case (v, id) =>
+      (id, RdfTerm.LITERAL, v.toString, null: String, XSD + "long") }
+      .toDF("id", "kind", "value", "lang", "dt")
+    // bucket by FLOOR(n / 5): {3}->0, {7}->1, {10,14}->2
+    val got = Sparql.run(e, nodes,
+      """SELECT ?b (COUNT(*) AS ?n) WHERE { ?d <urn:n> ?v }
+        |GROUP BY (FLOOR(?v / 5) AS ?b)""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(got === Map(0.0 -> 1L, 1.0 -> 1L, 2.0 -> 2L))
+    // string keys group too, and mix with plain variables
+    val mixed = Sparql.run(e, nodes,
+      """SELECT ?d ?k (COUNT(*) AS ?n) WHERE { ?d <urn:n> ?v }
+        |GROUP BY ?d (CONCAT("g", STR(?v)) AS ?k)""".stripMargin)
+    assert(mixed.count() === 4)
+    // the key variable must be fresh (same rule as BIND)
+    val ex = intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?v (COUNT(*) AS ?n) WHERE { ?d <urn:n> ?v }
+        |GROUP BY (FLOOR(?v / 5) AS ?v)""".stripMargin))
+    assert(ex.getMessage.contains("already bound"))
+  }
+
   test("UNDEF in VALUES: rows with free cells compile to a disjunction") {
     val e = edges(
       (d1, "urn:lang", en), (d2, "urn:lang", fr), (d3, "urn:lang", en),

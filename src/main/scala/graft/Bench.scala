@@ -231,7 +231,10 @@ object Bench {
     * fixed for cross-round comparability). */
   private val queryOpNames = Seq("kg_bgp_match", "kg_entity_resolution",
     "kg_rdfs_closure", "kg_property_table", "td_bm25",
-    "kg_sparql_subquery", "kg_sparql_bind")
+    "kg_sparql_subquery", "kg_sparql_bind",
+    // r6: the recursive path algebra (nested closure composition) and
+    // the dataset-clause quad scoping — the two new plan shapes
+    "kg_bgp_path_deep", "kg_sparql_from")
   private var queryOps: Option[Seq[(String, Double)]] = None
 
   private def timeQueryOps(s: SparkSession, sfDir: String): Seq[(String, Double)] =

@@ -1772,6 +1772,21 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // STRDT: mint a typed literal TERM at runtime — the node id
+    // computed by the same litId recipe (sha256 of the n3 form), so the
+    // minted value equal-compares against constants and pattern ids in
+    // the id space; a narrow projection, no extra joins
+    "kg_sparql_strdt" -> ((s, dir) => {
+      val (e, nd) = sparqlGraph(nationCorpus(s, dir))
+      Sparql.run(e, nd,
+        """SELECT ?a ?r WHERE {
+          |  ?a <urn:col:nation:n_regionkey> ?r .
+          |  BIND(STRDT(CONCAT(STR(?r), STR(?r)),
+          |             <http://www.w3.org/2001/XMLSchema#string>) AS ?rr)
+          |  FILTER(?rr = "33")
+          |}""".stripMargin)
+    }),
+
     // GROUP BY EXPRESSION: the grouping key is computed per row in the
     // same projection pass (sugar for BIND + GROUP BY ?v), so the one
     // hash-agg shuffle keys on the bucket directly — no extra pass
@@ -3398,6 +3413,14 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'""".stripMargin,
+
+    // STRDT mirror: the doubled lexical equals '33' exactly when the
+    // regionkey is 3; the projected r is the ORIGINAL literal's id
+    "kg_sparql_strdt" ->
+      """SELECT sha256('<urn:g:nation:' || CAST(n_nationkey AS VARCHAR) || '>') AS a,
+        |       sha256('"' || CAST(n_regionkey AS VARCHAR) ||
+        |              '"^^<http://www.w3.org/2001/XMLSchema#string>') AS r
+        |FROM nation WHERE n_regionkey = 3""".stripMargin,
 
     // group-expression mirror: the same bucket computed from the native
     // double column (both engines floor IEEE doubles identically)

@@ -38,6 +38,10 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *   bexpr   := nexpr | sexpr | ?var | "lit" | COALESCE(?var, ?var+)
  *            | IF ( expr , bexpr , bexpr )   (same-kind branches; a NULL
  *              condition takes the ELSE branch)
+ *            | STRDT ( sexpr , <dt> ) | STRLANG ( sexpr , "tag" ) —
+ *              mint a typed / language-tagged literal TERM: the node id
+ *              (litId recipe, sha256 of the n3 form) computed at
+ *              runtime, joinable/comparable against pattern bindings
  *              (?var alone copies the binding, COALESCE is the id-space
  *               OPTIONAL-fallback chain over pattern variables; numeric
  *               and string expressions produce PLAIN VALUE columns)
@@ -226,7 +230,8 @@ object Sparql {
     "STRBEFORE", "STRAFTER", "REPLACE", "ABS", "CEIL", "FLOOR", "ROUND",
     "LANGMATCHES", "IF", "IN", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
     "SECONDS", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
-    "ENCODE_FOR_URI", "SAMETERM", "FROM", "NAMED")
+    "ENCODE_FOR_URI", "SAMETERM", "FROM", "NAMED", "BASE", "STRDT",
+    "STRLANG")
 
   /** XPath constructor-cast IRIs (SPARQL 17.5) the fragment supports:
     * xsd:integer / xsd:double into the numeric space, xsd:string into
@@ -492,6 +497,16 @@ object Sparql {
     * NULL condition (unbound read) yields the ELSE branch, matching
     * when/otherwise. */
   private final case class BIf(cond: FExpr, thenB: BExpr, elseB: BExpr) extends BExpr
+  /** STRDT(lexical, <dt>) / STRLANG(lexical, "tag") — CONSTRUCT a typed
+    * or language-tagged literal term from a string-space lexical form.
+    * The result is the term's NODE ID, minted at runtime by the same
+    * recipe as [[Bgp.litId]] (sha256 of the n3 rendering), so it
+    * equal-compares and joins against pattern bindings in the id space
+    * ('c' kind). A lexical that reads NULL (non-string input) yields
+    * NULL — SPARQL error propagation. `lang = None` is STRDT;
+    * `Some(tag)` is STRLANG (dt fixed to rdf:langString, per RDF 1.1). */
+  private final case class BMintTerm(lex: STerm, dt: String,
+                                     lang: Option[String]) extends BExpr
 
   /** An aggregate invocation; `arg = None` is `COUNT(*)`. SAMPLE is
     * compiled as `min` (SPARQL leaves the pick arbitrary — a
@@ -566,7 +581,7 @@ object Sparql {
       def kindOf(b: BExpr): Char = b match {
         case BNum(_) => 'n'
         case BStr(_) => 's'
-        case BCopy(_) | BCoalesce(_) => 'c'
+        case BCopy(_) | BCoalesce(_) | BMintTerm(_, _, _) => 'c'
         case BIf(_, t, _) => kindOf(t) // same-kind branches (validated)
       }
       binds.map { case (n, b) => n -> kindOf(b) }.toMap
@@ -685,6 +700,7 @@ object Sparql {
     case BCopy(_)          => Nil
     case BCoalesce(_)      => Nil // id reads, no term join
     case BIf(cond, t, e2)  => fTermVars(cond) ++ bTermVars(t) ++ bTermVars(e2)
+    case BMintTerm(lex, _, _) => svars(lex)
   }
 
   /** A comparison side; `predSide` = the OTHER side is a predicate-
@@ -955,6 +971,11 @@ object Sparql {
     case BCoalesce(vs)  => coalesce(vs.map(col): _*)
     case BIf(cond, t, e) =>
       when(compileF(cond, k), compileB(t, k)).otherwise(compileB(e, k))
+    case BMintTerm(lex, dt, lang) =>
+      // runtime twin of Bgp.litId: sha256 of `"value"[@lang]^^<dt>`
+      val suffix = lang.map("@" + _).getOrElse("") + "^^<" + dt + ">"
+      sha2(concat(lit("\""), strValue(lex, k), lit("\"" + suffix))
+        .cast("binary"), 256)
   }
 
   // ---------- parser -------------------------------------------------------
@@ -1536,6 +1557,29 @@ object Sparql {
           val r = vs.result()
           if (r.sizeIs < 2) fail("COALESCE takes at least two ?variables")
           BCoalesce(r)
+        case TSym(f @ ("STRDT" | "STRLANG")) =>
+          c.next(); c.takeSym("(")
+          val lex = strArg(c)
+          c.takeSym(",")
+          val minted = f match {
+            case "STRDT" =>
+              val dt = c.next() match {
+                case TIri(iri) => iri
+                case t => fail(s"STRDT takes a datatype <iri>, found $t")
+              }
+              if (dt == RdfTerm.RdfLangString)
+                fail("STRDT cannot mint rdf:langString — a language-tagged " +
+                  "literal needs a tag; use STRLANG")
+              BMintTerm(lex, dt, None)
+            case _ =>
+              val tag = c.next() match {
+                case TLit(v, None, None) => v
+                case t => fail(s"STRLANG takes a plain string literal tag, found $t")
+              }
+              BMintTerm(lex, RdfTerm.RdfLangString, Some(tag))
+          }
+          c.takeSym(")")
+          minted
         case TVar(n) =>
           c.next()
           if (isArithSym(c)) BNum(nexprFrom(c, NVar(n))) else BCopy(n)
@@ -1804,26 +1848,68 @@ object Sparql {
       subqueries.result(), optionalFilters.result())
   }
 
+  /** A token-level absoluteness test: an IRI with an RFC 3986 scheme is
+    * left byte-untouched (no URI round-trip — RDF IRIs legal here may
+    * not survive java.net.URI re-rendering); only scheme-less ones are
+    * BASE-resolved. */
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*:".r
+
   def parse(q: String): Query = {
     val toks0 = tokenize(q)
-    // PREFIX ns: <iri> headers (later declaration wins, as in SPARQL):
-    // prefixed names are expanded to full IRIs HERE, so the body parser
-    // and the engine's node-id hashing only ever see full <iri>s
+    // Prologue: PREFIX ns: <iri> and BASE <iri> headers, interleaved,
+    // later declaration wins (as in SPARQL). Prefixed names are
+    // expanded and relative IRIs BASE-resolved (RFC 3986, via
+    // java.net.URI) HERE, so the body parser and the engine's node-id
+    // hashing only ever see absolute <iri>s.
     var i = 0
     val prefixes = scala.collection.mutable.Map.empty[String, String]
-    while (i < toks0.length && toks0(i) == TSym("PREFIX")) {
-      (toks0.lift(i + 1), toks0.lift(i + 2)) match {
-        case (Some(TPname(p, "")), Some(TIri(iri))) =>
-          prefixes(p) = iri
-          i += 3
-        case _ => fail("a PREFIX declaration is `PREFIX ns: <iri>`")
+    var base: Option[java.net.URI] = None
+    def resolve(iri: String, what: String): String =
+      if (SchemePrefix.findPrefixOf(iri).isDefined) iri
+      else base match {
+        // no BASE declared: a scheme-less <name> stays the opaque name,
+        // the engine's long-standing convention (edges carry arbitrary
+        // IRI strings) — resolution only ever applies under an explicit
+        // BASE, so declaring one cannot change absolute-IRI queries
+        case None => iri
+        case Some(b) =>
+          try b.resolve(iri).toString
+          catch { case _: IllegalArgumentException =>
+            fail(s"relative IRI <$iri> in $what does not resolve against " +
+              s"BASE <$b>") }
       }
+    var prologue = true
+    while (prologue && i < toks0.length) toks0(i) match {
+      case TSym("PREFIX") =>
+        (toks0.lift(i + 1), toks0.lift(i + 2)) match {
+          case (Some(TPname(p, "")), Some(TIri(iri))) =>
+            prefixes(p) = resolve(iri, s"PREFIX $p:")
+            i += 3
+          case _ => fail("a PREFIX declaration is `PREFIX ns: <iri>`")
+        }
+      case TSym("BASE") =>
+        toks0.lift(i + 1) match {
+          case Some(TIri(iri)) =>
+            val next =
+              try base.map(_.resolve(iri)).getOrElse(java.net.URI.create(iri))
+              catch { case _: IllegalArgumentException =>
+                fail(s"BASE <$iri> is not a valid IRI") }
+            if (!next.isAbsolute) fail(s"BASE <$iri> must be absolute " +
+              "(or resolve absolutely against an earlier BASE)")
+            base = Some(next)
+            i += 2
+          case _ => fail("a BASE declaration is `BASE <iri>`")
+        }
+      case _ => prologue = false
     }
     val toks = toks0.drop(i).map {
       case TPname(p, l) => TIri(prefixes.getOrElse(p,
         fail(s"undeclared prefix '$p:' — add `PREFIX $p: <...>` before the query")) + l)
+      case TIri(iri) => TIri(resolve(iri, "the query body"))
       case TSym("PREFIX") =>
         fail("PREFIX declarations must precede the query form")
+      case TSym("BASE") =>
+        fail("BASE declarations must precede the query form")
       case t => t
     }
     val c = new Cursor(toks)
@@ -2301,6 +2387,7 @@ object Sparql {
           Nil
         case BNum(e) => readsN(e)
         case BStr(t) => readsS(t)
+        case BMintTerm(lex, _, _) => readsS(lex)
         case BIf(cond, t, e2) =>
           checkPredCmp(cond, predSpace, s"BIND ?$name")
           readsF(cond) ++ readsB(t) ++ readsB(e2)
@@ -2310,7 +2397,7 @@ object Sparql {
       def kindOfB(bx: BExpr): Char = bx match {
         case BNum(_)                 => 'n'
         case BStr(_)                 => 's'
-        case BCopy(_) | BCoalesce(_) => 'c'
+        case BCopy(_) | BCoalesce(_) | BMintTerm(_, _, _) => 'c'
         case BIf(_, t, e2) =>
           val (kt, ke) = (kindOfB(t), kindOfB(e2))
           if (kt != ke)

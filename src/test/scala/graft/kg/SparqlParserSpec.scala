@@ -1298,6 +1298,54 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cannot combine"))
   }
 
+  test("BASE resolves relative IRIs; STRDT/STRLANG mint literal terms") {
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val doc = Bgp.iriId("http://ex.org/a/doc/1")
+    val hello = Bgp.litId("hello")
+    val three = Bgp.litId("3")
+    val helloEn = Bgp.litId("hello", lang = Some("en"))
+    val e = edges(
+      (doc, "http://ex.org/a/vocab#v", hello),
+      (doc, "http://ex.org/a/vocab#n", three),
+      (doc, "http://ex.org/a/vocab#t", helloEn))
+    val nodes = Seq(
+      (hello, RdfTerm.LITERAL, "hello", null, XSD + "string"),
+      (three, RdfTerm.LITERAL, "3", null, XSD + "string"),
+      (helloEn, RdfTerm.LITERAL, "hello", "en", RdfTerm.RdfLangString))
+      .toDF("id", "kind", "value", "lang", "dt")
+    // BASE applies to relative <...> IRIs in the body AND to relative
+    // PREFIX IRIs; absolute IRIs are untouched
+    assert(Sparql.run(e,
+      """BASE <http://ex.org/a/>
+        |PREFIX voc: <vocab#>
+        |SELECT ?c WHERE { <doc/1> voc:v ?c }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq === Seq(hello))
+    // STRLANG mints the language-tagged term: equal by id to the
+    // pattern binding of the real "hello"@en literal
+    assert(Sparql.run(e, nodes,
+      """PREFIX voc: <http://ex.org/a/vocab#>
+        |SELECT ?d WHERE { ?d voc:v ?c . ?d voc:t ?t
+        |BIND(STRLANG(STR(?c), "en") AS ?m)
+        |FILTER(?m = ?t) }""".stripMargin).count() === 1)
+    // STRDT round-trips through the id space: the minted "33"^^xsd:string
+    // equals the constant literal's id
+    assert(Sparql.run(e, nodes,
+      s"""PREFIX voc: <http://ex.org/a/vocab#>
+         |SELECT ?d WHERE { ?d voc:n ?r
+         |BIND(STRDT(CONCAT(STR(?r), STR(?r)), <${XSD}string>) AS ?rr)
+         |FILTER(?rr = "33") }""".stripMargin).count() === 1)
+    // without a BASE, a scheme-less <name> stays the opaque name (the
+    // engine convention) — it does NOT implicitly resolve
+    assert(Sparql.run(e,
+      "SELECT ?c WHERE { <doc/1> <http://ex.org/a/vocab#v> ?c }")
+      .count() === 0)
+    // STRDT of rdf:langString is rejected (a tag is required)
+    val ex2 = intercept[IllegalArgumentException](Sparql.parse(
+      s"""SELECT ?d WHERE { ?d <urn:p> ?c
+         |BIND(STRDT(STR(?c), <${RdfTerm.RdfLangString}>) AS ?x) }""".stripMargin))
+    assert(ex2.getMessage.contains("use STRLANG"))
+  }
+
   test("GROUP BY expressions: (expr AS ?v) keys") {
     val XSD = "http://www.w3.org/2001/XMLSchema#"
     val vals = Seq(3L, 7L, 10L, 14L)

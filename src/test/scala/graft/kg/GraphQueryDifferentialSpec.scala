@@ -151,6 +151,83 @@ class GraphQueryDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random NESTED property paths equal a brute-force evaluator") {
+    import Bgp.{PAlternative, PClosure, PInverse, PLeaf, PNegated, PSequence, PathAst}
+    val rnd = new Random(97)
+    for (trial <- 1 to 4) {
+      val nodes = (0 until 8).map(i => s"n$i")
+      val es = Seq.fill(16)((nodes(rnd.nextInt(8)),
+        Seq("p", "q")(rnd.nextInt(2)), nodes(rnd.nextInt(8))))
+        .filter(e => e._1 != e._3).distinct
+      val df = es.toDF("subj_id", "pred", "obj_id")
+      val allNodes = es.flatMap(e => Seq(e._1, e._3)).distinct
+      val identity = allNodes.map(n => (n, n))
+      // brute force with the engine's conventions: seq/alt/inv/neg are
+      // BAGS, closures are SETS excluding reflexive pairs ('*'/'?' add
+      // the graph-wide zero-length identity back)
+      def close(h0: Seq[(String, String)]): Seq[(String, String)] = {
+        val h = h0.filter(e => e._1 != e._2).toSet
+        val adj = h.groupBy(_._1).map { case (a, xs) => a -> xs.map(_._2) }
+        def reach(a: String): Set[String] = {
+          var seen = Set.empty[String]
+          var fr: Set[String] = adj.getOrElse(a, Set.empty)
+          while (fr.nonEmpty) {
+            seen ++= fr
+            fr = fr.flatMap(x => adj.getOrElse(x, Set.empty)) -- seen
+          }
+          seen - a
+        }
+        adj.keySet.toSeq.flatMap(a => reach(a).map(b => (a, b)))
+      }
+      def brute(ast: PathAst): Seq[(String, String)] = ast match {
+        case PLeaf(pr)       => es.filter(_._2 == pr).map(e => (e._1, e._3))
+        case PInverse(inner) => brute(inner).map(_.swap)
+        case PSequence(parts) => parts.map(brute).reduce { (a, b) =>
+          for { (x, m) <- a; (m2, z) <- b if m2 == m } yield (x, z)
+        }
+        case PAlternative(parts) => parts.flatMap(brute)
+        case PNegated(fwd, inv) =>
+          es.filterNot(e => fwd.contains(e._2)).map(e => (e._1, e._3))
+            .filter(_ => fwd.nonEmpty) ++
+            es.filterNot(e => inv.contains(e._2)).map(e => (e._3, e._1))
+              .filter(_ => inv.nonEmpty)
+        case PClosure(inner, '+') => close(brute(inner))
+        case PClosure(inner, '*') => (close(brute(inner)) ++ identity).distinct
+        case PClosure(inner, '?') => (brute(inner) ++ identity).distinct
+        case other => fail(s"unexpected $other")
+      }
+      def render(ast: PathAst): String = ast match {
+        case PLeaf(pr)       => s"<$pr>"
+        case PInverse(inner) => s"^(${render(inner)})"
+        case PSequence(ps)   => ps.map(x => s"(${render(x)})").mkString("/")
+        case PAlternative(ps) => ps.map(x => s"(${render(x)})").mkString("|")
+        case PClosure(inner, op) => s"(${render(inner)})$op"
+        case PNegated(fwd, inv) => "!(" +
+          (fwd.map(f => s"<$f>") ++ inv.map(i => s"^<$i>")).mkString("|") + ")"
+      }
+      def gen(depth: Int): PathAst =
+        if (depth == 0) rnd.nextInt(4) match {
+          case 0 => PLeaf("p")
+          case 1 => PLeaf("q")
+          case 2 => PNegated(Seq(Seq("p", "q")(rnd.nextInt(2))), Nil)
+          case _ => PNegated(Seq("p"), Seq("q"))
+        } else rnd.nextInt(4) match {
+          case 0 => PInverse(gen(depth - 1))
+          case 1 => PSequence(Seq(gen(depth - 1), gen(depth - 1)))
+          case 2 => PAlternative(Seq(gen(depth - 1), gen(depth - 1)))
+          case _ => PClosure(gen(depth - 1), Seq('+', '*', '?')(rnd.nextInt(3)))
+        }
+      for (k <- 1 to 5) {
+        val ast = gen(1 + rnd.nextInt(2))
+        val q = s"SELECT ?x ?y WHERE { ?x ${render(ast)} ?y }"
+        val got = Sparql.run(df, q).collect()
+          .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        assert(got === brute(ast).sorted,
+          s"trial $trial case $k diverged for: $q")
+      }
+    }
+  }
+
   test("SPARQL aggregation equals brute-force grouping on random graphs") {
     val rnd = new Random(63)
     for (trial <- 1 to 3) {

@@ -1772,6 +1772,20 @@ object SparkEntry {
           |}""".stripMargin)
     }),
 
+    // BLANK NODES in patterns: _:d is a non-distinguished variable —
+    // it JOINS the two patterns on the shared subject exactly like a
+    // named variable (same equi-join plan) but never projects; the
+    // result carries only the named bindings
+    "kg_sparql_bnode" -> ((s, dir) => {
+      val (e, nd) = sparqlGraph(documentsCorpus(s, dir))
+      Sparql.run(e, nd,
+        """SELECT ?l ?s WHERE {
+          |  _:d <urn:col:documents:lang> ?l .
+          |  _:d <urn:col:documents:source> ?s .
+          |  FILTER(STR(?l) = "de")
+          |}""".stripMargin)
+    }),
+
     // STRDT: mint a typed literal TERM at runtime — the node id
     // computed by the same litId recipe (sha256 of the n3 form), so the
     // minted value equal-compares against constants and pattern ids in
@@ -3413,6 +3427,12 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-01'""".stripMargin,
+
+    // bnode mirror: the non-distinguished subject is just the join key
+    "kg_sparql_bnode" ->
+      s"""SELECT sha256('"' || lang || '"^^<$XSD_STR>') AS l,
+         |       sha256('"' || source || '"^^<$XSD_STR>') AS s
+         |FROM documents WHERE lang = 'de'""".stripMargin,
 
     // STRDT mirror: the doubled lexical equals '33' exactly when the
     // regionkey is 3; the projected r is the ORIGINAL literal's id

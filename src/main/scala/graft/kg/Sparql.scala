@@ -61,6 +61,10 @@ import Bgp.{AltPath, C, InvPath, NegSet, OptPath, PathStep, PlusPath, SeqPath, S
  *                (LIMIT int)? (OFFSET int)?     (LIMIT/OFFSET any order)
  *   triple  := term pred term
  *   term    := ?var | <iri> | "lit" | "lit"@lang | "lit"^^<dt>
+ *            | _:label | []   (blank nodes: NON-DISTINGUISHED variables
+ *              — they join across the required patterns sharing the
+ *              label, never project, and are rejected outside the
+ *              required group; [] takes a generated label)
  *   pred    := ?var | <iri> | <iri>+ | <iri>* | <iri>? | ^<iri>
  *            | <iri> ('|' <iri>)+ | step ('/' step)+ | a
  *            | !<iri> | !( <iri> ('|' <iri>)* )
@@ -218,6 +222,10 @@ object Sparql {
     * `:local` on the default prefix) — expanded to a [[TIri]] before
     * the body parser runs. */
   private final case class TPname(prefix: String, local: String) extends Tok
+  /** A blank node in a query pattern — `_:label`, or `[]` with a
+    * generated label. Compiles to a NON-DISTINGUISHED variable
+    * (`_bn_label`): it joins like any variable but never projects. */
+  private final case class TBnode(label: String) extends Tok
 
   private val Keywords = Set("PREFIX", "GRAPH",
     "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "DISTINCT", "WHERE",
@@ -246,6 +254,7 @@ object Sparql {
   private def tokenize(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
+    var anonBnodes = 0
     val n = q.length
     def peek(k: Int): Char = if (i + k < n) q.charAt(i + k) else '\u0000'
     while (i < n) {
@@ -280,7 +289,28 @@ object Sparql {
           // operator, as in `<p>?`; a bare '$' is still an error
           if (c == '?') out += TSym("?")
           else fail(s"empty variable name at offset $s")
-        } else out += TVar(q.substring(s, i))
+        } else {
+          val name = q.substring(s, i)
+          if (name.startsWith("_bn_"))
+            fail(s"variable names starting with _bn_ are reserved for " +
+              "blank-node compilation — rename ?" + name)
+          out += TVar(name)
+        }
+      } else if (c == '_' && peek(1) == ':') {
+        val s = i + 2
+        i += 2
+        while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
+        if (i == s) fail("empty blank node label after '_:'")
+        out += TBnode(q.substring(s, i))
+      } else if (c == '[') {
+        var j = i + 1
+        while (j < n && q.charAt(j).isWhitespace) j += 1
+        if (j < n && q.charAt(j) == ']') {
+          anonBnodes += 1
+          out += TBnode(s"anon$anonBnodes")
+          i = j + 1
+        } else fail("'[ p o ]' property lists are not in this fragment — " +
+          "only the anonymous blank node [] (use an explicit _:label)")
       } else if (c == '<') {
         // '<' is an IRI opener except in a comparison position: `<= `
         // and `< 3` can only be HAVING operators (an IRI never starts
@@ -994,9 +1024,14 @@ object Sparql {
     def done: Boolean = i >= toks.length
   }
 
-  /** Node-level term (subject/object position). */
+  /** Node-level term (subject/object position). A blank node compiles
+    * to a NON-DISTINGUISHED variable (prefix `_bn_`, reserved): it
+    * joins across the patterns that share its label but is excluded
+    * from `SELECT *` and rejected in FILTER/BIND/projection (SPARQL
+    * bnodes are not referenceable outside the pattern). */
   private def nodeTerm(c: Cursor): Bgp.TermPat = c.next() match {
     case TVar(n)           => V(n)
+    case TBnode(l)         => V("_bn_" + l)
     case TIri(iri)         => C(Bgp.iriId(iri))
     case TLit(v, lang, dt) => C(Bgp.litId(v, dt.getOrElse(RdfTerm.XsdString), lang))
     case t                 => fail(s"expected a variable, IRI or literal, found $t")
@@ -2149,6 +2184,24 @@ object Sparql {
       ps.flatMap(p => (Seq(p.subj, p.pred, p.obj) ++ p.graph)
         .collect { case V(n) => n }).toSet
     val reqVars = varsOf(qy.required)
+    // ---- blank-node scope. A query bnode is a non-distinguished
+    // variable of ONE basic graph pattern (SPARQL scopes labels to the
+    // BGP); allowing a label to span OPTIONAL/UNION/MINUS/EXISTS groups
+    // or the CONSTRUCT template would silently join what the spec keeps
+    // separate — restricted to the required patterns, loudly.
+    val bnOutside = varsOf(qy.optionals.flatten ++ qy.minuses.flatten ++
+      qy.unions.flatten.flatten ++ qy.exists.flatten ++
+      qy.notExists.flatten ++ qy.template).filter(_.startsWith("_bn_"))
+    if (bnOutside.nonEmpty)
+      fail(s"blank nodes (${bnOutside.toSeq.sorted.mkString(", ")}) are " +
+        "only supported in the required triple patterns in this fragment " +
+        "— OPTIONAL/UNION/MINUS/EXISTS groups and CONSTRUCT templates " +
+        "take explicit ?variables")
+    if (qy.form == "SELECT" && qy.projection.isEmpty &&
+        reqVars.nonEmpty && reqVars.forall(_.startsWith("_bn_")) &&
+        qy.binds.isEmpty && qy.subqueries.isEmpty)
+      fail("SELECT * over patterns binding only blank nodes has no " +
+        "projectable result — name at least one ?variable")
     // ---- UNION group checks. A lone UNION group IS the group (the
     // classic pure union); alongside required triples each group joins
     // the group result on its shared variables, and that equi-join is
@@ -3013,7 +3066,13 @@ object Sparql {
       return describeEdges(describeScope(edges, q), Some(matched), q)
     val projected =
       if (q.isAggregate) aggregate(matched, q, hybridVars.toSet)
-      else if (q.projection.isEmpty) matched
+      else if (q.projection.isEmpty) {
+        // SELECT *: blank-node bindings are non-distinguished — they
+        // join, but never project (SPARQL 16.2)
+        val keep = matched.columns.filterNot(_.startsWith("_bn_"))
+        if (keep.length == matched.columns.length) matched
+        else matched.select(keep.map(col).toIndexedSeq: _*)
+      }
       else matched.select(q.select.distinct.map(col): _*)
     val dist = if (q.distinct) projected.distinct() else projected
     // ORDER BY over a node-space variable with the nodes table attached

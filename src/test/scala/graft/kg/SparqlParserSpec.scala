@@ -1298,6 +1298,46 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cannot combine"))
   }
 
+  test("blank nodes in patterns are non-distinguished variables") {
+    val e = edges(
+      (d1, "urn:lang", en), (d2, "urn:lang", fr),
+      (d1, "urn:src", web), (d3, "urn:src", web))
+    // _:x joins across the patterns sharing the label: docs having BOTH
+    // a lang and a src — only d1
+    assert(Sparql.run(e,
+      "SELECT ?l WHERE { _:x <urn:lang> ?l . _:x <urn:src> ?s }")
+      .collect().map(_.getString(0)).toSeq === Seq(en))
+    // [] is a fresh anonymous node each time — a lone one works like an
+    // unshared variable...
+    assert(Sparql.run(e,
+      "SELECT ?l WHERE { [] <urn:lang> ?l . ?d <urn:lang> ?l }")
+      .count() === 2)
+    // ...and two that share nothing form a disconnected BGP, which the
+    // engine's cartesian ban rejects like any other (run-time require)
+    val exCart = intercept[IllegalArgumentException](Sparql.run(e,
+      "SELECT ?l ?s WHERE { [] <urn:lang> ?l . [] <urn:src> ?s }")
+      .collect())
+    assert(exCart.getMessage.contains("disconnected BGP"))
+    // SELECT * excludes the blank-node columns
+    val star = Sparql.run(e,
+      "SELECT * WHERE { _:x <urn:lang> ?l . _:x <urn:src> ?s }")
+    assert(star.columns.toSeq === Seq("l", "s"))
+    // rejections: bnodes outside the required group; reserved ?_bn_
+    // names; only-bnode SELECT *
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"$q -> ${ex.getMessage}")
+    }
+    bad("""SELECT ?l WHERE { ?d <urn:lang> ?l
+          |OPTIONAL { ?d <urn:src> _:y } }""".stripMargin,
+      "only supported in the required")
+    bad("SELECT ?l WHERE { ?d <urn:lang> ?l . FILTER(?_bn_x = ?l) }",
+      "reserved")
+    bad("SELECT * WHERE { _:a <urn:lang> _:b }", "no projectable result")
+    bad("SELECT ?l WHERE { [ <urn:p> ?x ] <urn:lang> ?l }",
+      "property lists")
+  }
+
   test("BASE resolves relative IRIs; STRDT/STRLANG mint literal terms") {
     val XSD = "http://www.w3.org/2001/XMLSchema#"
     val doc = Bgp.iriId("http://ex.org/a/doc/1")

@@ -231,6 +231,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(900))
     assert(!plan.contains("rangepartitioning"),
       s"global range-partitioned sort in the modifier slice:\n${plan.take(1200)}")
+    // an EXPRESSION key gets the same per-partition top-k — the
+    // computed column must not force a global sort
+    val exprPlan = SparkEntry.queries("kg_sparql_order_expr")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(exprPlan.contains("TakeOrderedAndProject"), exprPlan.take(900))
+    assert(!exprPlan.contains("rangepartitioning"),
+      s"global sort under an ORDER BY expression:\n${exprPlan.take(1200)}")
   }
 
   test("SPARQL VALUES joins the inline rows broadcast, bindings side unshuffled") {
@@ -318,7 +325,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "kg_sparql_subquery" -> 3,
       // HAVING SUM: the ?p term join + the one group-by hash-agg
       // shuffle — the HAVING aggregate rides the same pass
-      "kg_sparql_having" -> 2)
+      "kg_sparql_having" -> 2,
+      // r6 surface (pinned from the audited plans, AQE off): every
+      // non-aggregating query is ZERO-shuffle — term joins and pattern
+      // joins broadcast over the checkpointed frames, VALUES-with-UNDEF
+      // and IN compile to pushed filters, closure legs live behind
+      // transitiveClosure's localCheckpoints, the order-expression
+      // top-k is per-partition; the four aggregating queries pay
+      // exactly their one group-by hash-agg shuffle
+      "kg_sparql_datefns" -> 0, "kg_bgp_path_deep" -> 0,
+      "kg_sparql_hashfns" -> 0, "kg_sparql_sameterm" -> 0,
+      "kg_sparql_cast" -> 0, "kg_sparql_from" -> 1,
+      "kg_sparql_order_expr" -> 0, "kg_sparql_values_undef" -> 0,
+      "kg_sparql_group_expr" -> 1, "kg_sparql_strdt" -> 0,
+      "kg_sparql_bnode" -> 0, "kg_sparql_minmax" -> 1,
+      "kg_sparql_union_mixed" -> 0, "kg_sparql_if_in_lang" -> 0,
+      "kg_sparql_datefilter" -> 0, "kg_sparql_graph" -> 1,
+      "kg_sparql_order_value" -> 0, "kg_sparql_predvar" -> 0,
+      "kg_bgp_path_nested" -> 0)
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.session.timeZone", "UTC")

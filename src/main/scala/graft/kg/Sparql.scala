@@ -1104,9 +1104,10 @@ object Sparql {
         val isInv = c.atSym("^")
         if (isInv) c.takeSym("^")
         c.next() match {
-          case TIri(iri) => if (isInv) inv += iri else fwd += iri
-          case t => fail(s"negated property set members must be <iri>s " +
-            s"(optionally ^-inverted), found $t")
+          case TIri(iri)  => if (isInv) inv += iri else fwd += iri
+          case TSym("a")  => if (isInv) inv += RdfType else fwd += RdfType
+          case t => fail(s"negated property set members must be <iri>s or " +
+            s"'a' (optionally ^-inverted), found $t")
         }
       }
       if (c.atSym("(")) {

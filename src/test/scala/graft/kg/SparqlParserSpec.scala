@@ -1511,6 +1511,17 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(Sparql.run(quads,
       "ASK FROM <urn:graph:c> { ?d <urn:lang> ?l }")
       .collect()(0).getBoolean(0))
+    // FROM scopes PATH predicates too — the graph filter applies to the
+    // scan BEFORE the closure composes
+    assert(Sparql.run(quads,
+      "SELECT ?x ?y FROM <urn:graph:a> WHERE { ?x <urn:lang>+ ?y }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq((d1, en)))
+    // DESCRIBE's CBD expansion reads the FROM merge
+    assert(Sparql.run(quads,
+      "DESCRIBE <urn:doc:1> FROM <urn:graph:a>").count() === 2)
+    assert(Sparql.run(quads,
+      "DESCRIBE <urn:doc:1> FROM <urn:graph:b>").count() === 0)
     // subqueries inherit the outer dataset — their own FROM is rejected
     val ex = intercept[IllegalArgumentException](Sparql.parse(
       """SELECT ?d WHERE { ?d <urn:lang> ?l

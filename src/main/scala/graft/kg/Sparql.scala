@@ -301,13 +301,17 @@ object Sparql {
         i += 2
         while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
         if (i == s) fail("empty blank node label after '_:'")
-        out += TBnode(q.substring(s, i))
+        // explicit labels live in the "u" namespace, disjoint from the
+        // generated anonymous "a" namespace of []
+        out += TBnode("u" + q.substring(s, i))
       } else if (c == '[') {
         var j = i + 1
         while (j < n && q.charAt(j).isWhitespace) j += 1
         if (j < n && q.charAt(j) == ']') {
           anonBnodes += 1
-          out += TBnode(s"anon$anonBnodes")
+          // the "a" namespace is disjoint from explicit labels ("u"):
+          // SPARQL's [] is a FRESH node, never joinable with _:a1
+          out += TBnode(s"a$anonBnodes")
           i = j + 1
         } else fail("'[ p o ]' property lists are not in this fragment — " +
           "only the anonymous blank node [] (use an explicit _:label)")
@@ -2181,6 +2185,11 @@ object Sparql {
         (qy.optionals.nonEmpty || qy.minuses.nonEmpty))
       fail("OPTIONAL/MINUS need required triple patterns to anchor on — a " +
         "union- or subquery-only group supports FILTER/BIND/VALUES only")
+    if (qy.required.isEmpty && qy.unions.nonEmpty && qy.subqueries.nonEmpty)
+      fail("a group whose only required member is a UNION cannot also " +
+        "carry subqueries in this fragment — the join keys would not be " +
+        "anchored (NULL-padded branch variables); add a required triple " +
+        "pattern to anchor them")
     def varsOf(ps: Seq[TriplePattern]): Set[String] =
       ps.flatMap(p => (Seq(p.subj, p.pred, p.obj) ++ p.graph)
         .collect { case V(n) => n }).toSet
@@ -2352,7 +2361,12 @@ object Sparql {
           "LANG/DATATYPE are type errors on IRIs)")
         case 'd' => fail(s"$ctx compares ?$v temporally, but ?$v binds " +
           "raw predicate/graph IRIs")
-        case _ => () // 'S' (STR) reads the raw IRI; 'c' via checkPredCmp
+        case 'x' => fail(s"$ctx casts ?$v, but ?$v binds raw " +
+          "predicate/graph IRIs — an xsd constructor cast of an IRI is " +
+          "a SPARQL type error")
+        // 'S' (STR) reads the raw IRI; 'c' and 'i' (RDF-term =/IN) are
+        // space-checked by checkPredCmp, which compiles raw IRIs
+        case _ => ()
       }
     def checkPredCmp(e: FExpr, pv: Set[String], ctx: String): Unit = e match {
       case FCmp(l, _, r) =>
@@ -2686,7 +2700,10 @@ object Sparql {
             fail(s"ORDER BY expression reads ?$v, a non-numeric aggregate " +
               "alias — only COUNT/SUM/AVG aliases are numeric keys")
         }
-        readsN(e).foreach { case (v, how) => checkRead(v, how, "ORDER BY") }
+        readsN(e).foreach { case (v, how) =>
+          checkRead(v, how, "ORDER BY")
+          checkPredRead(v, how, "an ORDER BY expression")
+        }
       case _ => ()
     }
   }

@@ -1298,6 +1298,35 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cannot combine"))
   }
 
+  test("review-hardened rejections: pred casts, order-expr pred reads, anon labels, union-only groups") {
+    def bad(q: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Sparql.parse(q))
+      assert(ex.getMessage.contains(needle), s"$q -> ${ex.getMessage}")
+    }
+    // casting a predicate-position variable is a type error at parse,
+    // not an unresolved-column crash at run time
+    bad("""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?s WHERE { ?s ?p ?o FILTER(xsd:integer(?p) > 3) }""".stripMargin,
+      "casts ?p")
+    bad("""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?s ?x WHERE { ?s ?p ?o BIND(xsd:double(?p) AS ?x) }""".stripMargin,
+      "casts ?p")
+    // an ORDER BY expression cannot read a predicate-space variable
+    bad("SELECT ?s ?p WHERE { ?s ?p ?o } ORDER BY DESC(?p + 1)",
+      "binds raw predicate/graph IRIs")
+    // a union-only group cannot carry subqueries (the join keys would
+    // be NULL-padded branch variables) or further UNION groups
+    bad("""SELECT ?d ?l WHERE {
+          |  { SELECT ?l WHERE { ?x <urn:lang> ?l . ?x <urn:src> ?f } }
+          |  { ?d <urn:src> ?l } UNION { ?d <urn:lang> ?l }
+          |}""".stripMargin, "anchor")
+    // [] never joins an explicit _:label spelled like the generated one
+    val e = edges((d1, "urn:p", en), (d2, "urn:q", en))
+    assert(Sparql.run(e,
+      "SELECT ?l WHERE { [] <urn:p> ?l . _:a1 <urn:q> ?l }")
+      .collect().map(_.getString(0)).toSeq === Seq(en))
+  }
+
   test("blank nodes in patterns are non-distinguished variables") {
     val e = edges(
       (d1, "urn:lang", en), (d2, "urn:lang", fr),

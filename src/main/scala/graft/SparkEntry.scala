@@ -120,9 +120,15 @@ object SparkEntry {
    * corpus parse single-pass across the two materialization jobs.
    */
   private def sparqlGraph(c: Dataset[CorpusRow]): (DataFrame, DataFrame) = {
-    val t = Canonicalize(Skolemize(parsedTriples(c))).localCheckpoint(true)
-    (Materialize.edges(t).localCheckpoint(true),
-      Materialize.nodes(t).localCheckpoint(true))
+    // LAZY checkpoints (r7): each frame is still ONE cached RDD — every
+    // pattern scan / bindValues join reuses the same blocks, so the r5
+    // recompute hazard cannot return — but the three materialization
+    // jobs (triples, edges, nodes) now fuse into the query's own action:
+    // the edges/nodes RDDs persist on first computation and the triples
+    // RDD persists as their shared dependency, parsed once.
+    val t = Canonicalize(Skolemize(parsedTriples(c))).localCheckpoint(false)
+    (Materialize.edges(t).localCheckpoint(false),
+      Materialize.nodes(t).localCheckpoint(false))
   }
 
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -343,12 +349,20 @@ object SparkEntry {
         .select(Canonicalize.n3Statement(col("subj"), col("pred"), col("obj")).as("n3"))
     }),
 
-    // flagship: full parse -> skolemize -> canonicalize -> edges -> agg
+    // flagship: full parse -> skolemize -> canonicalize -> edges -> agg.
+    // r7: the mixed count + COUNT DISTINCT is spelled as an explicit
+    // two-level aggregate — per-(pred, subj) partial counts, then per-pred
+    // sum/count — which computes the identical result without Catalyst's
+    // Expand plan (Expand doubles every edge row ahead of the first
+    // exchange; the two-level form shuffles each row once, half the
+    // bytes). subj_id is never NULL (sha256 of a struct), so
+    // count(partial rows) == countDistinct(subj_id) exactly.
     "kg_entry_graph" -> ((s, dir) => {
       val corpus = nationCorpus(s, dir).union(documentsCorpus(s, dir))
       val edges = Materialize.edges(Canonicalize(Skolemize(parsedTriples(corpus))))
-      edges.groupBy("pred").agg(count(lit(1)).as("n_edges"),
-        countDistinct(col("subj_id")).as("n_subjects"))
+      edges.groupBy("pred", "subj_id").agg(count(lit(1)).as("__n"))
+        .groupBy("pred").agg(sum(col("__n")).as("n_edges"),
+          count(lit(1)).as("n_subjects"))
     }),
 
     // B9/B22-B24: bnode label charset + minimal whitespace
@@ -416,8 +430,8 @@ object SparkEntry {
       // checkpointed so the verify joins never recompute the minhash
       // sub-plan.
       val d = docs(s, dir)
-      val sh = Dedup.wordShingles(d, col("doc_id"), col("text"), 3).localCheckpoint(true)
-      val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(true)
+      val sh = Dedup.docShingles(d, col("doc_id"), col("text"), 3).localCheckpoint(false)
+      val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(false)
       Dedup.jaccardPairsFromShingles(sh, candidates = Some(cands))
         .filter(col("inter") * 5 >= col("union_") * 4) // jaccard >= 0.8, float-free
     }),
@@ -849,7 +863,7 @@ object SparkEntry {
     // BOTH the sketch arithmetic and its accuracy on this corpus
     "td_sketch_distinct" -> ((s, dir) => {
       val sh = Dedup.wordShingles(docs(s, dir), col("lang"), col("text"), 3)
-        .localCheckpoint(true) // shared by the sketch and the exact truth
+        .localCheckpoint(false) // shared by the sketch and the exact truth
       val sk = Sketches.kmvDistinct(sh, col("id"), col("shingle"), 256)
       val truth = sh.groupBy(col("id")).agg(count(lit(1)).as("n_true"))
       sk.join(truth, sk("g") === truth("id"))
@@ -872,14 +886,14 @@ object SparkEntry {
     "td_sketch_countmin" -> ((s, dir) => {
       val g = docs(s, dir)
         .select(explode(TextOps.ngramArray(col("text"), 2)).as("gram"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val counters = Sketches.countMinCounters(g, col("gram"), depth = 4, width = 64)
       // top5 is referenced twice (query frame + truth join-back):
       // checkpoint the 5 rows so the TakeOrdered over the gram stream
       // runs once, not twice
       val top5 = g.groupBy("gram").agg(count(lit(1)).as("true_n"))
         .orderBy(col("true_n").desc, col("gram")).limit(5)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sketches.cmEstimate(counters, top5, col("gram"), depth = 4, width = 64)
         .join(top5, col("value") === col("gram"))
         .select(col("gram"), col("true_n"), col("cm_est"))
@@ -890,7 +904,7 @@ object SparkEntry {
     // postings, so per-shingle state is bounded at any scale
     "td_inverted_index" -> ((s, dir) =>
       TextOps.invertedIndexFromTokens(
-        Dedup.wordShingles(docs(s, dir), col("doc_id"), col("text"), 3)
+        Dedup.docShingles(docs(s, dir), col("doc_id"), col("text"), 3)
           .withColumnRenamed("shingle", "term"),
         minDf = 2, maxDf = 20)),
 
@@ -912,9 +926,9 @@ object SparkEntry {
     // CLUSTER (LSH -> jaccard verify -> CC), split = portable hash of the
     // cluster id, so near-dups can never straddle train and eval
     "td_split_leakfree" -> ((s, dir) => {
-      val sh = Dedup.wordShingles(docs(s, dir), col("doc_id"), col("text"), 3)
-        .localCheckpoint(true)
-      val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(true)
+      val sh = Dedup.docShingles(docs(s, dir), col("doc_id"), col("text"), 3)
+        .localCheckpoint(false)
+      val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(false)
       val dups = Dedup.jaccardPairsFromShingles(sh, candidates = Some(cands))
         .filter(col("inter") * 5 >= col("union_") * 4)
         .select("a", "b")
@@ -986,9 +1000,9 @@ object SparkEntry {
     // bounded (bucketed candidates, O(log n) CC rounds) and the oracle
     // reproduces the clusters with a recursive CTE over the same pairs
     "td_dup_clusters" -> ((s, dir) => {
-      val sh = Dedup.wordShingles(docs(s, dir), col("doc_id"), col("text"), 3)
-        .localCheckpoint(true)
-      val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(true)
+      val sh = Dedup.docShingles(docs(s, dir), col("doc_id"), col("text"), 3)
+        .localCheckpoint(false)
+      val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(false)
       val dups = Dedup.jaccardPairsFromShingles(sh, candidates = Some(cands))
         .filter(col("inter") * 5 >= col("union_") * 4)
         .select("a", "b")
@@ -1027,7 +1041,7 @@ object SparkEntry {
     // PlanAuditSpec gates that plan)
     "kg_bgp_match" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Bgp.matchPatterns(e, Seq(
         Bgp.TriplePattern(Bgp.V("doc"), Bgp.C("urn:col:documents:lang"),
           Bgp.C(Bgp.litId("en"))),
@@ -1144,11 +1158,13 @@ object SparkEntry {
     // broadcast vocabulary-sized hierarchy
     "kg_rdfs_closure" -> ((s, dir) => {
       val n = s.read.parquet(s"$dir/nation.parquet")
+      // no .distinct() here (r7): transitiveClosure's own seed distinct
+      // dedups the identical pair set — the duplicate shuffle was pure
+      // overhead (guide §2.4)
       val sub = n.select(concat(lit("n:"), col("n_nationkey")).as("sub"),
           concat(lit("r:"), col("n_regionkey")).as("sup"))
         .union(n.select(concat(lit("r:"), col("n_regionkey")).as("sub"),
           lit("thing").as("sup")))
-        .distinct()
       val types = s.read.parquet(s"$dir/customer.parquet")
         .select(concat(lit("c:"), col("c_custkey")).as("inst"),
           concat(lit("n:"), col("c_nationkey")).as("cls"))
@@ -1201,7 +1217,7 @@ object SparkEntry {
     // makes the bindings identical to the well-ordered twin
     "kg_bgp_reorder" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Bgp.matchPatterns(e, Seq(
         Bgp.TriplePattern(Bgp.V("doc"), Bgp.C("urn:col:documents:source"),
           Bgp.V("src")),
@@ -1215,7 +1231,7 @@ object SparkEntry {
     // into the join where legal
     "kg_bgp_filter" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Bgp.matchPatterns(e,
         Seq(
           Bgp.TriplePattern(Bgp.V("doc"), Bgp.C("urn:col:documents:lang"), Bgp.V("l")),
@@ -1245,7 +1261,7 @@ object SparkEntry {
     // column (union-of-solution-mappings semantics, zero-shuffle concat)
     "kg_bgp_union" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Bgp.matchUnion(e, Seq(
         Seq(
           Bgp.TriplePattern(Bgp.V("d"), Bgp.C("urn:col:documents:lang"),
@@ -1263,7 +1279,7 @@ object SparkEntry {
     // (SparqlParserSpec pins parsed == programmatic on every construct)
     "kg_sparql_parse" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?doc ?src WHERE {
           |  ?doc <urn:col:documents:lang> "en" .
@@ -1278,7 +1294,7 @@ object SparkEntry {
     // before the join, so no group payload crosses the shuffle)
     "kg_bgp_minus" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Bgp.matchGroup(e,
         required = Seq(
           Bgp.TriplePattern(Bgp.V("d"), Bgp.C("urn:col:documents:lang"), Bgp.V("l"))),
@@ -1291,7 +1307,7 @@ object SparkEntry {
     // pushed IN-filter on pred — two edges per doc, one binding column
     "kg_bgp_alt" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Bgp.matchPatterns(e, Seq(
         Bgp.TriplePattern(Bgp.V("d"),
           Bgp.AltPath(Seq("urn:col:documents:lang", "urn:col:documents:source")),
@@ -1376,7 +1392,7 @@ object SparkEntry {
     // map-side before it
     "kg_sparql_agg" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?l (COUNT(?d) AS ?n) (COUNT(DISTINCT ?src) AS ?nsrc)
           |       (MIN(?src) AS ?first_src)
@@ -1392,7 +1408,7 @@ object SparkEntry {
     // top-k then one merge, never a global sort
     "kg_sparql_orderby" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?src (COUNT(?d) AS ?n) WHERE {
           |  ?d <urn:col:documents:source> ?src .
@@ -1405,7 +1421,7 @@ object SparkEntry {
     // bindings side never shuffles
     "kg_sparql_values" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?d ?l ?src WHERE {
           |  ?d <urn:col:documents:lang> ?l .
@@ -1418,7 +1434,7 @@ object SparkEntry {
     // plan a first-match scan, not a full count
     "kg_sparql_ask" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sparql.run(e,
         """ASK { ?d <urn:col:documents:lang> "en" .
           |      ?d <urn:col:documents:source> ?src
@@ -1431,7 +1447,7 @@ object SparkEntry {
     // convention; the one shuffle is the graph-set distinct
     "kg_sparql_construct" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sparql.run(e,
         """CONSTRUCT { ?src <urn:rev:source> ?d . ?d a <urn:Doc> }
           |WHERE { ?d <urn:col:documents:source> ?src }""".stripMargin)
@@ -1442,7 +1458,7 @@ object SparkEntry {
     // shared column and deduped, so no group payload crosses the shuffle
     "kg_sparql_exists" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?d ?l WHERE {
           |  ?d <urn:col:documents:lang> ?l .
@@ -1532,7 +1548,7 @@ object SparkEntry {
     // the engine's edges convention
     "kg_sparql_describe" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sparql.run(e,
         """DESCRIBE ?d <urn:g:documents:7>
           |WHERE { ?d <urn:col:documents:lang> "de" }""".stripMargin)
@@ -1593,7 +1609,7 @@ object SparkEntry {
     // group-variable-only conditions
     "kg_sparql_opt_filter" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?d ?s WHERE {
           |  ?d <urn:col:documents:lang> ?l .
@@ -1638,7 +1654,7 @@ object SparkEntry {
     // otherwise; composes the optional-filter and bind layers
     "kg_sparql_coalesce" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?d ?v WHERE {
           |  ?d <urn:col:documents:lang> ?l .
@@ -1663,7 +1679,7 @@ object SparkEntry {
     // the same materialized edge the full-IRI spelling does
     "kg_sparql_prefix" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(documentsCorpus(s, dir)))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Sparql.run(e,
         """PREFIX col: <urn:col:documents:>
           |SELECT ?d ?s WHERE { ?d col:lang "en" . ?d col:source ?s }""".stripMargin)
@@ -1694,7 +1710,7 @@ object SparkEntry {
     // directly by the outer FILTER (a computed value — no nodes join)
     "kg_sparql_subquery" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(
-          documentsCorpus(s, dir))))).localCheckpoint(true)
+          documentsCorpus(s, dir))))).localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?d ?l ?n WHERE {
           |  ?d <urn:col:documents:lang> ?l .
@@ -1726,7 +1742,7 @@ object SparkEntry {
     // a parse error instead of a silently-constant comparison
     "kg_sparql_predvar" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(
-          documentsCorpus(s, dir))))).localCheckpoint(true)
+          documentsCorpus(s, dir))))).localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?d ?col ?o WHERE {
           |  ?d ?p ?o .
@@ -1822,7 +1838,7 @@ object SparkEntry {
     // instead of the semi-join the fully-bound form uses
     "kg_sparql_values_undef" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(
-          nationCorpus(s, dir))))).localCheckpoint(true)
+          nationCorpus(s, dir))))).localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?a ?r WHERE {
           |  ?a <urn:col:nation:n_regionkey> ?r .
@@ -1838,7 +1854,7 @@ object SparkEntry {
     "kg_sparql_from" -> ((s, dir) => {
       val corpus = documentsCorpus(s, dir).union(nationCorpus(s, dir))
       val e = Materialize.quads(Materialize.edges(Canonicalize(Skolemize(
-          parsedTriples(corpus))))).localCheckpoint(true)
+          parsedTriples(corpus))))).localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?g ?p (COUNT(*) AS ?n)
           |FROM <urn:graph:synthetic/nation>
@@ -1885,7 +1901,7 @@ object SparkEntry {
     // composes with the shared-variable join, no extra shuffles
     "kg_sparql_sameterm" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(
-          nationCorpus(s, dir))))).localCheckpoint(true)
+          nationCorpus(s, dir))))).localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?a ?b WHERE {
           |  ?a <urn:col:nation:n_regionkey> ?r .
@@ -1925,7 +1941,7 @@ object SparkEntry {
     "kg_sparql_graph" -> ((s, dir) => {
       val corpus = documentsCorpus(s, dir).union(nationCorpus(s, dir))
       val e = Materialize.quads(Materialize.edges(Canonicalize(Skolemize(
-          parsedTriples(corpus))))).localCheckpoint(true)
+          parsedTriples(corpus))))).localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?g ?p (COUNT(*) AS ?n) WHERE {
           |  GRAPH ?g { ?s ?p ?o }
@@ -1974,7 +1990,7 @@ object SparkEntry {
     // group FILTER applies after, seeing both branches' bindings
     "kg_sparql_union_mixed" -> ((s, dir) => {
       val e = Materialize.edges(Canonicalize(Skolemize(parsedTriples(
-          documentsCorpus(s, dir))))).localCheckpoint(true)
+          documentsCorpus(s, dir))))).localCheckpoint(false)
       Sparql.run(e,
         """SELECT ?d ?l ?v WHERE {
           |  ?d <urn:col:documents:lang> ?l .

@@ -18,16 +18,21 @@ object Corpus {
 
   final val FixedCommit = "0000000000000000000000000000000000000042"
 
-  /** Escape a string column for use inside an N-Triples double-quoted literal. */
+  /** Escape a string column for use inside an N-Triples double-quoted
+    * literal. LITERAL `replace`, not `regexp_replace`: the patterns are
+    * fixed single characters, and the regex engine cost ~5 interpreted
+    * matcher passes per value on every corpus render (r7 bench: the
+    * replace chain cut the table-corpus render stage measurably; results
+    * are byte-identical — each step is a plain substring substitution). */
   def escapeLiteralCol(v: Column): Column = {
     // order matters: backslash first
     val steps: Seq[(String, String)] = Seq(
-      "\\\\" -> "\\\\\\\\", // \ -> \\ (regex-escaped on both sides)
-      "\"" -> "\\\\\"",
-      "\n" -> "\\\\n",
-      "\r" -> "\\\\r",
-      "\t" -> "\\\\t")
-    steps.foldLeft(v) { case (c, (from, to)) => regexp_replace(c, from, to) }
+      "\\" -> "\\\\",
+      "\"" -> "\\\"",
+      "\n" -> "\\n",
+      "\r" -> "\\r",
+      "\t" -> "\\t")
+    steps.foldLeft(v) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
   }
 
   /**

@@ -45,24 +45,28 @@ object EntityResolution {
   private def normalized(label: Column): Column = NormalizeLabel(label)
 
   private def blockKeys(entities: DataFrame, idCol: String, labelCol: String,
-                        prefixLen: Int): DataFrame = {
+                        prefixLen: Int, dedup: Boolean = true): DataFrame = {
     val n = normalized(col(labelCol))
     // suffix start is computed with an explicit greatest(1, ...) so the
     // short-string edge case has ONE definition the DuckDB oracle can
     // mirror exactly (negative-position substr semantics differ)
-    entities.select(col(idCol).as("id"), n.as("norm"))
+    val keyed = entities.select(col(idCol).as("id"), n.as("norm"))
       .filter(length(col("norm")) > 0)
       .select(col("id"), col("norm"), explode(array(
         concat(lit("p:"), substring(col("norm"), 1, prefixLen)),
         concat(lit("s:"), col("norm").substr(
           greatest(lit(1), length(col("norm")) - (prefixLen - 1)), lit(prefixLen)))
       )).as("bkey"))
-      // defensive only — the 'p:'/'s:' markers keep the two keys distinct
-      // even when a short norm's prefix equals its suffix; this dedups
-      // nothing unless the INPUT carries duplicate (id, label) rows.
-      // The DuckDB oracle carries the same DISTINCT so both engines see
-      // identical block membership either way.
-      .distinct()
+    // the distinct is defensive only — the 'p:'/'s:' markers keep the two
+    // keys distinct even when a short norm's prefix equals its suffix; it
+    // dedups nothing unless the INPUT carries duplicate (id, label) rows.
+    // The DuckDB oracle carries the same DISTINCT so both engines see
+    // identical block membership either way. resolveEntities' contract
+    // makes `id` unique (one label per id), so it skips the shuffle
+    // outright (r7, guide §2.4: a distinct on already-unique data);
+    // blockStats keeps it — its output is the observability surface and
+    // stays byte-stable whatever the caller feeds it.
+    if (dedup) keyed.distinct() else keyed
   }
 
   /** Blocking observability: (bkey, n_members, dropped) — the mega-block
@@ -85,8 +89,12 @@ object EntityResolution {
   def resolveEntities(entities: DataFrame, idCol: String, labelCol: String,
                       maxEdit: Int, prefixLen: Int = 4,
                       maxBlock: Int = 1000): DataFrame = {
-    val keyed = blockKeys(entities, idCol, labelCol, prefixLen)
-      .localCheckpoint(true) // feeds the size guard AND both join sides
+    val keyed = blockKeys(entities, idCol, labelCol, prefixLen, dedup = false)
+      // lazy (r7): feeds the size guard AND both join sides — the RDD is
+      // still computed once and cached (all consumers share the one
+      // checkpointed RDD object), but materialization now happens inside
+      // the first downstream action instead of as its own job barrier
+      .localCheckpoint(false)
     val ok = keyed.groupBy("bkey").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBlock)
     val inBlock = keyed.join(ok.select("bkey"), Seq("bkey"))
@@ -107,9 +115,10 @@ object EntityResolution {
         levenshtein(col("na"), col("nb"), maxEdit) =!= -1)
       .select("a", "b")
       // feeds CC's per-round contraction AND its node universe AND the
-      // final label join — materialize the (small) verified edge list
-      // once instead of re-running the block self-join per consumer
-      .localCheckpoint(true)
+      // final label join — checkpoint the (small) verified edge list
+      // once instead of re-running the block self-join per consumer;
+      // lazy (r7): CC's first checksum action materializes it
+      .localCheckpoint(false)
     val (labels, converged) =
       GraphOps.connectedComponentsWithStatus(pairs, "a", "b", maxIter = 50)
     require(converged, "resolveEntities: connected components did not converge")

@@ -43,13 +43,19 @@ object GraphOps {
     var d = 1L
     var done = false
     while (!done && d <= maxDepth) {
+      // LAZY checkpoints (still cut lineage immediately — localCheckpoint
+      // truncates the logical plan at call time): the count action both
+      // materializes the frontier and answers the emptiness probe, and
+      // the lazily-checkpointed dists is persisted by the NEXT round's
+      // count through the dependency chain — one job per round instead of
+      // three (r7)
       val next = frontier.join(bidir, frontier("node_id") === bidir("u"))
         .select(col("v").as("node_id")).distinct()
         .join(dists, Seq("node_id"), "left_anti")
-        .localCheckpoint(true) // cut lineage; frontier is metadata-small per round
-      if (next.isEmpty) done = true
+        .localCheckpoint(false)
+      if (next.count() == 0L) done = true
       else {
-        dists = dists.union(next.withColumn("dist", lit(d))).localCheckpoint(true)
+        dists = dists.union(next.withColumn("dist", lit(d))).localCheckpoint(false)
         frontier = next
         d += 1
       }
@@ -141,10 +147,15 @@ object GraphOps {
         .join(outDeg.withColumnRenamed("node_id", "src").withColumnRenamed("out_deg", "odg"), Seq("src"))
         .select(col("dst").as("node_id"), expr("pr DIV odg").as("c"))
       val sums = contrib.groupBy("node_id").agg(sum(col("c")).as("s"))
+      // lazy: the plan is truncated at call time (what the per-round cut
+      // is for); materialization happens once, in the caller's action —
+      // the fixed iteration count needs no per-round convergence probe,
+      // so the old eager checkpoint was one full job barrier per
+      // iteration for nothing (r7)
       pr = nodes.join(sums, Seq("node_id"), "left")
         .select(col("node_id"),
           (lit(teleport) + expr("(coalesce(s, 0L) * 85) DIV 100")).as("pr"))
-        .localCheckpoint(true) // cut the growing lineage each round
+        .localCheckpoint(false)
       i += 1
     }
     pr.select(col("node_id"), col("pr").as("pr_scaled"))
@@ -167,8 +178,11 @@ object GraphOps {
    */
   def transitiveClosure(edges: DataFrame, src: String, dst: String,
                         maxIter: Int = 20): DataFrame = {
+    // lazy checkpoint: the checksum action below materializes it in the
+    // same job, and its count doubles as the emptiness probe (r7 — was
+    // three actions: eager checkpoint, checksum, isEmpty)
     var paths = edges.select(col(src).as("a"), col(dst).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
 
     def checksum(d: DataFrame): (Long, Long) = {
       val r = d.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).collect()(0)
@@ -176,13 +190,19 @@ object GraphOps {
     }
 
     var cs = checksum(paths)
-    var converged = paths.isEmpty
+    var converged = cs._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
       val hop = paths.as("l").join(paths.as("r"), col("l.b") === col("r.a"))
         .select(col("l.a").as("a"), col("r.b").as("b"))
         .filter(col("a") =!= col("b"))
-      paths = paths.union(hop).distinct().localCheckpoint(true)
+      // LAZY checkpoint + the checksum action materializes it: one job
+      // per round instead of two (r7 — the eager checkpoint ran its own
+      // materialization job and the checksum immediately re-scanned the
+      // freshly cached blocks; Spark completes a lazy local checkpoint
+      // as part of the first action's run, so fusing them halves the
+      // per-round job count at any scale)
+      paths = paths.union(hop).distinct().localCheckpoint(false)
       val next = checksum(paths)
       converged = next == cs
       cs = next
@@ -208,20 +228,30 @@ object GraphOps {
    */
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
             maxIter: Int = 100): DataFrame = {
+    // lazy checkpoints + edge-count convergence (r7): a weak node always
+    // carries >= 1 surviving edge, so the edge count strictly decreases
+    // exactly when the weak set is non-empty — the peeled frame's count
+    // is both the materializing action and the fixpoint probe, one job
+    // per round instead of two (weak job + isEmpty + e job before)
     var e = edges
       .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
-    var done = false
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+    var n = e.count()
+    var done = n == 0L
     var i = 0
     while (!done && i < maxIter) {
       val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
-      val weak = deg.filter(col("dg") < k).select("n").localCheckpoint(true)
-      if (weak.isEmpty) done = true
+      val weak = deg.filter(col("dg") < k).select("n").localCheckpoint(false)
+      val e2 = e.join(weak.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
+        .join(weak.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
+        .localCheckpoint(false)
+      val n2 = e2.count()
+      if (n2 == n) done = true
       else {
-        e = e.join(weak.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
-          .join(weak.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
-          .localCheckpoint(true)
+        e = e2
+        n = n2
+        done = n == 0L
         i += 1
       }
     }
@@ -266,11 +296,13 @@ object GraphOps {
                                     maxIter: Int = 50): (DataFrame, Boolean) = {
     val nodes = edges.select(col(src).as("node_id"))
       .union(edges.select(col(dst).as("node_id"))).distinct()
+    // lazy checkpoint + checksum fusion, count doubles as emptiness probe
+    // (same three-actions-to-one collapse as transitiveClosure — r7)
     var e = edges
       .select(greatest(col(src), col(dst)).as("u"), least(col(src), col(dst)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     def checksum(d: DataFrame): (Long, Long) = {
       // xor-fold of row hashes: overflow-free (ANSI-safe) set fingerprint;
@@ -280,7 +312,7 @@ object GraphOps {
     }
 
     var cs = checksum(e)
-    var converged = e.isEmpty
+    var converged = cs._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
       // large-star: for each u, m = min(N(u) + {u}); emit (v, m) for v > u
@@ -301,7 +333,9 @@ object GraphOps {
         .select(col("p.a").as("u"), col("p.b").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-      e = ss.localCheckpoint(eager = true) // cut the growing lineage each round
+      // lazy checkpoint, materialized BY the checksum action: one job per
+      // round instead of two (same fusion as transitiveClosure — r7)
+      e = ss.localCheckpoint(eager = false)
       val next = checksum(e)
       converged = next == cs
       cs = next

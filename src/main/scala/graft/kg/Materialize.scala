@@ -63,7 +63,17 @@ object Materialize {
       .drop("__salt")
   }
 
-  /** Distinct nodes table from a (skolemized, canonicalized) triples frame. */
+  /** Distinct nodes table from a (skolemized, canonicalized) triples frame.
+    *
+    * r7: DISTINCT-BEFORE-HASH — the dedup runs on the raw term tuple and
+    * the sha256 id is computed only for the SURVIVORS. The id is a pure
+    * function of the tuple and n3 is unambiguous for parser-produced
+    * terms (lang tags are charset-validated, datatype IRIs cannot contain
+    * `<`/`>`, literals always carry a datatype), so distinct-on-term ==
+    * distinct-on-id row for row. Saves one sha256 per DUPLICATE term
+    * occurrence (the bulk of a real corpus) and drops the 64-hex id from
+    * the dedup shuffle (guide §2.3: shuffle fewer bytes). The shuffle key
+    * (term tuple) hashes as uniformly as the digest did. */
   def nodes(triples: DataFrame): DataFrame = {
     val subj = triples.select(col("subj").as("t"))
     val obj = triples.select(col("obj").as("t"))
@@ -71,13 +81,13 @@ object Materialize {
       struct(lit(RdfTerm.IRI).cast("byte").as("kind"), col("pred").as("value"),
         lit(null).cast("string").as("lang"), lit(null).cast("string").as("dt")).as("t"))
     subj.union(obj).union(pred)
+      .select(col("t.kind").as("kind"), col("t.value").as("value"),
+        col("t.lang").as("lang"), col("t.dt").as("dt"))
+      .dropDuplicates("kind", "value", "lang", "dt")
       .select(
-        Canonicalize.nodeId(col("t")).as("id"),
-        col("t.kind").as("kind"),
-        col("t.value").as("value"),
-        col("t.lang").as("lang"),
-        col("t.dt").as("dt"))
-      .dropDuplicates("id") // shuffle on sha256 id: uniformly distributed, skew-free
+        Canonicalize.nodeId(
+          struct(col("kind"), col("value"), col("lang"), col("dt"))).as("id"),
+        col("kind"), col("value"), col("lang"), col("dt"))
   }
 
   /** Edges table: (subj_id, pred, obj_id) + lineage. Narrow transform. */

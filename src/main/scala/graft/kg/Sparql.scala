@@ -964,7 +964,10 @@ object Sparql {
       if (range == "*") tag.isNotNull && tag =!= ""
       else {
         val lt = lower(tag)
-        val r = range.toLowerCase
+        // Locale.ROOT: the tag side uses Spark's locale-independent
+        // lower(); a default-locale toLowerCase would fold 'I' wrongly
+        // under e.g. a Turkish JVM locale (ADVICE r6)
+        val r = range.toLowerCase(java.util.Locale.ROOT)
         lt === r || lt.startsWith(r + "-")
       }
     case FIn(v, items, neg) =>

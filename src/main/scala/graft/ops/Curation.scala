@@ -85,8 +85,12 @@ object Curation {
   def contamination(train: DataFrame, id: Column, text: Column,
                     evalDocs: DataFrame, evalId: Column, evalText: Column,
                     n: Int = 5): DataFrame = {
-    val trainSh = Dedup.wordShingles(train, id, text, n)
-    val evalSh = Dedup.wordShingles(evalDocs, evalId, evalText, n)
+    // docShingles: doc ids are unique per row on both sides (one text per
+    // document by contract), so the per-doc distinct is a narrow
+    // array_distinct and neither shingle stream pays a dedup shuffle; the
+    // eval side still pays its (small) global distinct, as before
+    val trainSh = Dedup.docShingles(train, id, text, n)
+    val evalSh = Dedup.docShingles(evalDocs, evalId, evalText, n)
       .select("shingle").distinct()
     val counts = trainSh.join(evalSh, Seq("shingle"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_contaminated"))

@@ -37,9 +37,23 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** (id, shingle) pairs: distinct n-word shingles per document. */
+  /** (id, shingle) pairs: distinct n-word shingles per GROUP, where `id`
+    * may repeat across rows (e.g. per-lang shingle sets) — the cross-row
+    * dedup costs one full shuffle of the shingle stream. When `id` is
+    * unique per row (the common per-document case) use [[docShingles]],
+    * which gets the identical row set with NO shuffle. */
   def wordShingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     docs.select(id.as("id"), explode(TextOps.ngramArray(text, n)).as("shingle")).distinct()
+
+  /** As [[wordShingles]] for the per-document case — PRECONDITION: `id`
+    * is unique per input row. The distinct then never crosses rows, so it
+    * runs as a narrow per-row `array_distinct` BEFORE the explode and the
+    * corpus-sized (id, shingle) shuffle disappears outright (guide §2.4
+    * class: a `distinct` on data that is already unique across rows).
+    * Row set is identical to `wordShingles` under the precondition. */
+  def docShingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    docs.select(id.as("id"),
+      explode(array_distinct(TextOps.ngramArray(text, n))).as("shingle"))
 
   /**
    * MinHash signature columns: ONE sha256 per distinct shingle; hash i is
@@ -89,7 +103,7 @@ object Dedup {
   def lshCandidates(docs: DataFrame, id: Column, text: Column,
                     shingleWords: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
                     maxBucket: Int = 1024): DataFrame =
-    lshCandidatesFromShingles(wordShingles(docs, id, text, shingleWords),
+    lshCandidatesFromShingles(docShingles(docs, id, text, shingleWords),
       numHashes, rowsPerBand, maxBucket)
 
   /** As `lshCandidates`, over a pre-computed (id, shingle) frame — share
@@ -97,9 +111,11 @@ object Dedup {
   def lshCandidatesFromShingles(shingles: DataFrame, numHashes: Int = 8,
                                 rowsPerBand: Int = 2, maxBucket: Int = 1024): DataFrame = {
     // banded is tiny (bands rows per doc); checkpoint it so the expensive
-    // shingle+sha subplan runs ONCE for both the size split below
+    // shingle+sha subplan runs ONCE for both the size split below (lazy —
+    // r7: the consumers share one cached RDD either way, and lazy lets
+    // the materialization ride the query's own action)
     val banded = bandedKeys(minhashSignature(shingles, numHashes), numHashes, rowsPerBand)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sizes = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bsz"), min(col("id")).as("keeper"))
     val member = banded.join(sizes, Seq("band", "band_key"))
@@ -134,7 +150,7 @@ object Dedup {
    */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
                    shingleWords: Int = 3, candidates: Option[DataFrame] = None): DataFrame =
-    jaccardPairsFromShingles(wordShingles(docs, id, text, shingleWords), candidates)
+    jaccardPairsFromShingles(docShingles(docs, id, text, shingleWords), candidates)
 
   /** As `jaccardPairs`, over a pre-computed (id, shingle) frame — share
     * (and persist) ONE shingle frame with `lshCandidatesFromShingles`
@@ -170,8 +186,12 @@ object Dedup {
    * classic 64-bit version.
    */
   def simhash16(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = docs.select(id.as("id"), explode(split(text, " ")).as("tok"))
-      .distinct()
+    // PRECONDITION: `id` unique per row (one text per doc). The
+    // distinct-token set then never crosses rows, so it is a narrow
+    // per-row array_distinct instead of a corpus-wide (id, tok) shuffle
+    // (r7: removed one of the three Exchanges; identical rows under the
+    // precondition, which every caller satisfies — docs are id-keyed).
+    val toks = docs.select(id.as("id"), explode(array_distinct(split(text, " "))).as("tok"))
       .withColumn("h", hash64(col("tok")))
     val bitSums = (0 until 16).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")

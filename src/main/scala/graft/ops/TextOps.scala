@@ -158,8 +158,9 @@ object TextOps {
     * decontamination indexes use. */
   def invertedIndexFromTokens(tok: DataFrame, minDf: Int, maxDf: Int): DataFrame = {
     // tok feeds both the df table and the posting join — checkpoint so
-    // the corpus-scale tokenize runs ONCE, not once per consumer
-    val t = tok.localCheckpoint(true)
+    // the corpus-scale tokenize runs ONCE, not once per consumer (lazy:
+    // both consumers share the one cached RDD; no separate job barrier)
+    val t = tok.localCheckpoint(false)
     val rare = t.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
     t.join(rare, Seq("term"))
@@ -199,7 +200,7 @@ object TextOps {
     // three times (the un-checkpointed plan re-scanned the corpus per use)
     val uni = docs.select(explode(words).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // the corpus-total scalar attaches via a single-row broadcast cross
     // join — the ONE shape where a broadcast nested loop is exactly
     // right at any scale (the grand-total aggregate is ≤ 1 row by
@@ -261,21 +262,39 @@ object TextOps {
   def bm25Scaled(docs: DataFrame, id: Column, text: Column,
                  queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Scaled: empty query")
-    val d = docs.select(id.as("id"), size(split(text, " ")).as("dl"))
-      .localCheckpoint(true) // feeds totals AND the per-doc join
-    val tot = d.agg(count(lit(1)).as("nn"), sum(col("dl")).as("ll"))
-    val tf = docs.select(id.as("id"), explode(split(text, " ")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds df AND the contribution join
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), Seq("term"))
-      .join(d, Seq("id"))
-      .crossJoin(broadcast(tot))
-      .select(col("id"),
-        expr("(CAST(((nn - df) * 1000000) DIV (df + 1) AS DECIMAL(38,0)) * 44 * ll * tf)" +
-          " DIV (20*ll*tf + 6*ll + 18*dl*nn)").as("contrib"))
-      .groupBy("id").agg(sum(col("contrib")).cast("long").as("score_scaled"))
+    // COLUMNAR tf (r7, guide §2.3/§2.4): a query bag is vocabulary-sized
+    // (tens of terms), so per-term tf is one narrow array count per doc —
+    // tf$i = |tokens == term_i| — instead of exploding the ENTIRE token
+    // stream, shuffling it into a (doc, term) aggregate, and joining the
+    // pieces back together. One corpus pass computes (dl, tf*); one
+    // single-row aggregate computes N, L and every df; scoring is a pure
+    // projection and top-k a TakeOrderedAndProject. The old plan's three
+    // shuffles (tf agg, df agg, doc-length join) are gone; the arithmetic
+    // is copied verbatim, so scores are bit-identical. Duplicate query
+    // terms are collapsed first (the explode formulation's groupBy(id,
+    // term) counted a repeated term once — keep that contract).
+    val terms = queryTerms.distinct
+    val toks = split(text, " ")
+    val tfCols = terms.indices.map(i =>
+      size(filter(toks, t => t === lit(terms(i)))).cast("long").as(s"tf$i"))
+    val base = docs
+      .select(id.as("id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+      .localCheckpoint(false) // feeds the totals row AND the scoring pass (lazy: the broadcast build materializes it once; the scoring pass reuses the cache)
+    val aggList = Seq(count(lit(1)).as("nn"), sum(col("dl")).as("ll")) ++
+      terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val tot = base.agg(aggList.head, aggList.tail: _*)
+    // only docs with >= 1 query-term hit can score (the explode
+    // formulation's tf rows existed only for hits — keep the universe)
+    val hit = terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _)
+    val contrib = terms.indices.map { i =>
+      when(col(s"tf$i") > 0,
+        expr(s"(CAST(((nn - df$i) * 1000000) DIV (df$i + 1) AS DECIMAL(38,0)) * 44 * ll * tf$i)" +
+          s" DIV (20*ll*tf$i + 6*ll + 18*dl*nn)"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    base.filter(hit)
+      .crossJoin(broadcast(tot)) // single-row totals, the one sound BNL
+      .select(col("id"), contrib.cast("long").as("score_scaled"))
       .orderBy(col("score_scaled").desc, col("id").asc)
       .limit(k)
   }
@@ -302,7 +321,7 @@ object TextOps {
     val tf = docs
       .select(id.as("id"), explode(split(text, " ")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("df").asc, col("tf").desc, col("term").asc)

@@ -314,19 +314,27 @@ object GraphOps {
     var cs = checksum(e)
     var converged = cs._1 == 0L
     var i = 0
+    // per-star min attached via a WINDOW over the star root instead of a
+    // groupBy + self-join (r7, guide §2.4): the aggregate+join spelling
+    // paid an exchange for the aggregate AND an exchange for the join
+    // probe side; min-over-partition computes the same value in the one
+    // exchange that clusters the star, and the following distinct reuses
+    // that clustering (HashPartitioning(u) satisfies the (u, v) dedup's
+    // distribution), so a round costs 2 exchanges instead of 6. Same
+    // math, same rows — GraphOpsSpec + the CC differential specs pin it.
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
     while (!converged && i < maxIter) {
       // large-star: for each u, m = min(N(u) + {u}); emit (v, m) for v > u
       val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val ls = nbrs.join(lsMin, Seq("u"))
+      val ls = nbrs
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u >= m: stays large->small
         .distinct()
       // small-star: edges already point large->small, so for each u,
       // m = min of its smaller neighbors; re-hang them (and u) onto m
-      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = ls.join(ssMin, Seq("u"))
+      val ss = ls
+        .withColumn("m", min(col("v")).over(wU))
         .select(explode(array(
           struct(col("v").as("a"), col("m").as("b")),
           struct(col("u").as("a"), col("m").as("b")))).as("p"))

@@ -75,12 +75,16 @@ object Materialize {
     * the dedup shuffle (guide §2.3: shuffle fewer bytes). The shuffle key
     * (term tuple) hashes as uniformly as the digest did. */
   def nodes(triples: DataFrame): DataFrame = {
-    val subj = triples.select(col("subj").as("t"))
-    val obj = triples.select(col("obj").as("t"))
-    val pred = triples.select(
-      struct(lit(RdfTerm.IRI).cast("byte").as("kind"), col("pred").as("value"),
-        lit(null).cast("string").as("lang"), lit(null).cast("string").as("dt")).as("t"))
-    subj.union(obj).union(pred)
+    // ONE pass over the triples (r7): the old subj/obj/pred three-way
+    // union scanned the triples relation three times — at materialization
+    // scale that is three reads of the staged corpus. The explode emits
+    // the same three terms per triple from a single scan; same multiset,
+    // same distinct.
+    val predTerm = struct(lit(RdfTerm.IRI).cast("byte").as("kind"),
+      col("pred").as("value"),
+      lit(null).cast("string").as("lang"), lit(null).cast("string").as("dt"))
+    triples
+      .select(explode(array(col("subj"), col("obj"), predTerm)).as("t"))
       .select(col("t.kind").as("kind"), col("t.value").as("value"),
         col("t.lang").as("lang"), col("t.dt").as("dt"))
       .dropDuplicates("kind", "value", "lang", "dt")

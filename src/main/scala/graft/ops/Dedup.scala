@@ -156,7 +156,11 @@ object Dedup {
     * (and persist) ONE shingle frame with `lshCandidatesFromShingles`
     * instead of re-deriving shingles after the LSH stage. */
   def jaccardPairsFromShingles(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    // checkpoint (lazy): sizes feeds BOTH endpoint joins below — without
+    // it the plan re-aggregated the whole shingle frame once per side
+    // (r7: the audited plan showed two identical HashAggregate+Exchange
+    // subtrees; one pass now, broadcast twice)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n")).localCheckpoint(false)
     val paired = candidates match {
       case None =>
         // all-pairs: only for small verification scales — hot shingles

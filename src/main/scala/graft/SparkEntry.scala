@@ -37,8 +37,15 @@ object SparkEntry {
     }.toDS()
   }
 
+  /** Corpus -> triples through the NATIVE ParseNtLines generator (r7,
+    * guide §4 class: no object-serde boundary in the hot path — the typed
+    * Dataset route decoded every CorpusRow into a case class and
+    * re-encoded every ParsedLine). Kernel semantics are identical by
+    * construction (ParserEquivalenceSpec locks the byte and char kernels
+    * together); the typed API keeps its own driver coverage through the
+    * error/lenient/metrics gates that call TripleExtract.parse directly. */
   private def parsedTriples(c: Dataset[CorpusRow]): DataFrame =
-    TripleExtract.triples(TripleExtract.parse(c)).toDF()
+    TripleExtract.assembleTriples(TripleExtract.parseExpr(c.toDF()))
 
   /**
    * Small-input parallelism guard: a few-MB parquet is one row group and

@@ -175,6 +175,16 @@ object GraphOps {
    * Closure SIZE is inherently O(n*reach) — at web scale you close
    * curated hierarchy predicates (subClassOf over a vocabulary), never
    * the instance graph; `maxIter` bounds runaway inputs.
+   *
+   * CONVENTION (documented deviation, ADVICE r6): the closure is
+   * IRREFLEXIVE — `a =!= b` is filtered every round, so `x p+ x` pairs
+   * arising from cycles are NOT emitted, where SPARQL 1.1
+   * arbitrary-length-path semantics would include them. Every consumer
+   * (PlusPath/PClosure lowering in Bgp, the DuckDB oracle mirrors, and
+   * GraphQueryDifferentialSpec's brute force) shares this convention;
+   * the driver corpora are acyclic, so the engines agree. Changing it
+   * means changing ALL of those together — a build-round item, not an
+   * optimization.
    */
   def transitiveClosure(edges: DataFrame, src: String, dst: String,
                         maxIter: Int = 20): DataFrame = {

@@ -118,6 +118,17 @@ object TextOps {
    */
   def ngramArray(text: Column, n: Int): Column = {
     require(n >= 1, "n must be positive")
+    // native WordNgrams (r7): one codegen'd byte scan instead of the
+    // interpreted split/sequence/slice/concat_ws HOF chain — identical
+    // values (NgramParitySpec pins it against ngramArrayHof); NULL text
+    // still yields the empty array, as the HOF form's `when` did
+    coalesce(WordNgrams(text, n), array().cast("array<string>"))
+  }
+
+  /** The HOF formulation [[ngramArray]] replaced — retained as the
+    * differential baseline (NgramParitySpec asserts value equality). */
+  def ngramArrayHof(text: Column, n: Int): Column = {
+    require(n >= 1, "n must be positive")
     val words = split(text, " ")
     val cnt = size(words) - (n - 1)
     when(cnt >= 1,

@@ -36,7 +36,7 @@ object GraphOps {
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
     val bidir = und.union(und.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false) // lazy: round 1's count materializes it
     var dists = sources.toDF("node_id").withColumn("dist", lit(0L))
       .localCheckpoint(true)
     var frontier = dists.select("node_id")
@@ -88,10 +88,10 @@ object GraphOps {
       .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: shared by deg/orientation/closure consumers
     val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val withDeg = und
       .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
@@ -133,12 +133,15 @@ object GraphOps {
   def pagerankScaled(edges: DataFrame, src: String, dst: String,
                      iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
     val teleport = scale * 15L / 100L
+    // lazy (r7): e/nodes/outDeg are each ONE cached RDD shared by every
+    // iteration; with no per-round action left (see below) the caller's
+    // single action materializes the whole fixed-iteration chain
     val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node_id"))
-      .union(e.select(col("dst").as("node_id"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("node_id"))).distinct().localCheckpoint(false)
     val outDeg = e.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var pr = nodes.withColumn("pr", lit(scale))
     var i = 0
     while (i < iters) {

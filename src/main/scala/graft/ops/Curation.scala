@@ -193,16 +193,30 @@ object Curation {
    * hashes of themselves), a left-anti join on the same key, and one
    * shuffle on doc id for the ordered rebuild. Never all-pairs; the
    * boilerplate side is the small output of a HAVING filter.
+   *
+   * PRECONDITION: `id` is unique per input row (one text per document),
+   * like the dedup operators — the per-doc segment count is a narrow
+   * projection of the doc row, not an aggregate over the segment stream.
    */
   def interdocSegmentDedup(docs: DataFrame, id: Column, text: Column,
                            n: Int = 10, maxDocs: Int = 1): DataFrame = {
-    val segs = tokenSegments(docs, id, text, n)
+    // checkpoint (lazy): the segment stream feeds the boilerplate count
+    // AND the anti-join probe side — without the cut each consumer
+    // re-ran the split+posexplode segmentation over the full corpus
+    // (r7, guide §2.4 class; materialized by the first action)
+    val segs = tokenSegments(docs, id, text, n).localCheckpoint(false)
     val boilerplate = segs.groupBy("seg")
       .agg(countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") > maxDocs)
       .select("seg")
     val kept = segs.join(boilerplate, Seq("seg"), "left_anti")
-    val nSegsPerDoc = segs.groupBy("id").agg(count(lit(1)).as("n_total"))
+    // per-doc segment count = the SAME nSegs expression tokenSegments
+    // explodes (posexplode emits exactly sequence(0, nSegs-1) rows), so
+    // it is a narrow per-row projection — the corpus-wide groupBy(id)
+    // count over the segment stream paid a full shuffle for a value the
+    // docs row already determines (r7, guide §2.3/§2.4)
+    val nSegsPerDoc = docs.select(id.as("id"),
+      ceil(size(split(coalesce(text, lit("")), " ")) / n.toDouble).cast("long").as("n_total"))
     kept.groupBy("id")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),

@@ -116,8 +116,14 @@ object Dedup {
     // the materialization ride the query's own action)
     val banded = bandedKeys(minhashSignature(shingles, numHashes), numHashes, rowsPerBand)
       .localCheckpoint(false)
+    // checkpoint (lazy) the per-bucket sizes too: they feed BOTH the
+    // small-clique and keeper-star branches below, and without the cut
+    // each branch re-aggregated the full banded frame — two identical
+    // HashAggregate+Exchange subtrees over a corpus-sized input (r7,
+    // guide §2.4; same fix jaccardPairsFromShingles got for its `sizes`)
     val sizes = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bsz"), min(col("id")).as("keeper"))
+      .localCheckpoint(false)
     val member = banded.join(sizes, Seq("band", "band_key"))
     val ids = sort_array(collect_list(col("id")))
     val pairs = flatten(transform(sequence(lit(1), size(col("ids")) - 1), i =>

@@ -268,12 +268,12 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val budgets = Map(
       "kg_nodes" -> 2, "kg_edges" -> 1, "kg_salted_edges" -> 3,
-      "td_dedup_exact" -> 3, "td_dedup_minhash_lsh" -> 4,
+      "td_dedup_exact" -> 3, "td_dedup_minhash_lsh" -> 2,
       "td_dedup_jaccard" -> 0, "td_dedup_simhash" -> 2,
       "td_sessionize" -> 2, "td_asof_join" -> 3, "td_quota_sample" -> 3,
-      "td_seq_pack" -> 5, "td_sketch_distinct" -> 3,
+      "td_seq_pack" -> 3, "td_sketch_distinct" -> 3,
       "td_sketch_countmin" -> 2, "td_inverted_index" -> 2,
-      "td_ngram_topk" -> 2, "td_interdoc_dedup" -> 6,
+      "td_ngram_topk" -> 2, "td_interdoc_dedup" -> 4,
       "td_salient_terms" -> 2, "td_split_leakfree" -> 4,
       "kg_property_table" -> 2, "kg_bgp_match" -> 0, "td_bm25" -> 1,
       "kg_rdfs_closure" -> 1, "kg_entity_resolution" -> 3,

@@ -126,4 +126,31 @@ class OptimizationEquivalenceSpec extends AnyFunSuite {
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("interdocSegmentDedup narrow n_total == segment-stream count reference") {
+    // adversarial shapes for the per-row segment-count projection: NULL
+    // text, empty text, exact multiple of n, one-past multiple, multi-
+    // space runs (split keeps empty tokens), single token
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),            // exactly n tokens -> 1 seg
+      (2L, "a b c d e f g h i j k"),          // n+1 -> 2 segs
+      (3L, ""),                               // empty -> 1 "" seg
+      (4L, null.asInstanceOf[String]),        // NULL -> treated as empty
+      (5L, "x"),                              // single token
+      (6L, "a  b   c"),                       // multi-space: empty tokens count
+      (7L, ("t " * 25).trim)                  // 25 tokens -> 3 segs
+    ).toDF("doc_id", "text")
+    // make segment "a b c d e f g h i j" boilerplate via a duplicate doc
+    val all = docs.union(Seq((8L, "a b c d e f g h i j")).toDF("doc_id", "text"))
+    val out = Curation.interdocSegmentDedup(all, col("doc_id"), col("text"), n = 10)
+    // reference n_total: count rows of the segment stream per doc (pre-r7)
+    val ref = Curation.tokenSegments(all, col("doc_id"), col("text"), 10)
+      .groupBy("id").agg(count(lit(1)).as("n_total_ref"))
+    assert(out.count() == 8) // no lost ids
+    // the narrow projection must equal the segment-stream count exactly
+    val narrow = all.select(col("doc_id").as("id"),
+      ceil(size(split(coalesce(col("text"), lit("")), " ")) / 10.0).cast("long").as("n_total"))
+    assertSameRows(narrow,
+      ref.select(col("id"), col("n_total_ref").as("n_total")))
+  }
 }

@@ -16,24 +16,38 @@ object Curation {
    * Gopher-style repetition metrics: fraction (permille) of duplicate
    * word 2-grams, and the most frequent token's share (permille).
    * High values flag boilerplate/spam documents.
+   *
+   * Fully NARROW (r7, guide §2.4): the top-token count is the maximum
+   * run length of the SORTED token array — a per-row array_sort + linear
+   * fold — where the old formulation exploded every token into a
+   * corpus-sized (id, tok) shuffle, aggregated twice, and joined back on
+   * id. Zero shuffles now at any corpus size. Rows with NULL text are
+   * dropped, exactly as the old inner join did (explode of a NULL array
+   * emits no rows). PRECONDITION (as before, now load-bearing): `id` is
+   * unique per row — the old groupBy(id) would have merged duplicate
+   * ids' token counts.
    */
   def repetitionMetrics(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val words = split(text, " ")
     val grams = TextOps.ngramArray(text, 2)
-    val base = docs.select(id.as("id"), text.as("text"),
-      size(words).as("n_tokens"),
-      size(grams).as("n_2grams"),
-      (size(grams) - size(array_distinct(grams))).as("n_dup_2grams"))
-    val topTok = docs.select(id.as("id"), explode(split(text, " ")).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(max(col("c")).as("top_tok_count"))
-    base.join(topTok, Seq("id"))
-      .select(col("id"),
-        when(col("n_2grams") > 0,
-          floor(col("n_dup_2grams") * 1000.0 / col("n_2grams"))).otherwise(0L)
-          .cast("long").as("dup_2gram_permille"),
-        floor(col("top_tok_count") * 1000.0 / col("n_tokens")).cast("long")
-          .as("top_token_permille"))
+    // max run over the sorted tokens == max multiplicity. The initial
+    // `prev` of "" is safe: a first token equal to "" still starts its
+    // run at acc.run + 1 = 1 because the initial run is 0.
+    val topTok = aggregate(
+      array_sort(words),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.filter(text.isNotNull).select(id.as("id"),
+      when(size(grams) > 0,
+        floor((size(grams) - size(array_distinct(grams))) * 1000.0 / size(grams)))
+        .otherwise(0L).cast("long").as("dup_2gram_permille"),
+      floor(topTok * 1000.0 / size(words)).cast("long").as("top_token_permille"))
   }
 
   /**

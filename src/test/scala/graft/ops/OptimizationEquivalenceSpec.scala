@@ -153,4 +153,36 @@ class OptimizationEquivalenceSpec extends AnyFunSuite {
     assertSameRows(narrow,
       ref.select(col("id"), col("n_total_ref").as("n_total")))
   }
+
+  test("narrow repetitionMetrics == explode-formulation reference") {
+    val docs = Seq(
+      (1L, "a b a b a"),             // interleaved repeats
+      (2L, "x x x x"),               // one token only
+      (3L, "unique tokens only here"),
+      (4L, ""),                      // empty: one "" token
+      (5L, null.asInstanceOf[String]), // NULL: dropped by both forms
+      (6L, "a  b  a"),               // multi-space: "" tokens count too
+      (7L, "z"),                     // single token
+      (8L, "café café b")  // unicode repeats
+    ).toDF("doc_id", "text")
+    // pre-r7 reference: explode -> groupBy(id, tok) -> max -> join
+    val words = split(col("text"), " ")
+    val grams = TextOps.ngramArray(col("text"), 2)
+    val base = docs.select(col("doc_id").as("id"), col("text").as("text"),
+      size(words).as("n_tokens"),
+      size(grams).as("n_2grams"),
+      (size(grams) - size(array_distinct(grams))).as("n_dup_2grams"))
+    val topTok = docs.select(col("doc_id").as("id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("top_tok_count"))
+    val reference = base.join(topTok, Seq("id"))
+      .select(col("id"),
+        when(col("n_2grams") > 0,
+          floor(col("n_dup_2grams") * 1000.0 / col("n_2grams"))).otherwise(0L)
+          .cast("long").as("dup_2gram_permille"),
+        floor(col("top_tok_count") * 1000.0 / col("n_tokens")).cast("long")
+          .as("top_token_permille"))
+    assertSameRows(
+      Curation.repetitionMetrics(docs, col("doc_id"), col("text")), reference)
+  }
 }

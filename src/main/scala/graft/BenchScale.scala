@@ -76,14 +76,15 @@ object BenchScale {
       val b = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
       scales.foreach { k =>
         val d = scaled(b, k).repartition(cpus).localCheckpoint(true)
-        val sh = Dedup.docShingles(d, col("doc_id"), col("text"), 3).localCheckpoint(false)
+        val arr = Dedup.docShingleArrays(d, col("doc_id"), col("text"), 3).localCheckpoint(false)
+        val sh = arr.select(col("id"), explode(col("shingles")).as("shingle"))
         val nsh = sh.count()
         var t0 = System.nanoTime()
         val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(false)
         val nc = cands.count()
         val tc = (System.nanoTime() - t0) / 1e9
         t0 = System.nanoTime()
-        val nv = Dedup.jaccardPairsFromShingles(sh, Some(cands)).count()
+        val nv = Dedup.jaccardPairsFromShingleArrays(arr, cands).count()
         val tv = (System.nanoTime() - t0) / 1e9
         println(f"[jstat] k=$k%-3d shingles=$nsh%9d cands=$nc%9d verified=$nv%9d cand_sec=$tc%7.2f verify_sec=$tv%7.2f")
         d.unpersist()
@@ -96,9 +97,11 @@ object BenchScale {
       "exact_dedup" -> (d => Dedup.exactGroups(d, col("doc_id"), col("text"))),
       "minhash_lsh" -> (d => Dedup.lshCandidates(d, col("doc_id"), col("text"))),
       "jaccard_two_stage" -> { d =>
-        val sh = Dedup.docShingles(d, col("doc_id"), col("text"), 3).localCheckpoint(false)
+        // mirrors the td_dedup_jaccard production shape (array verify, r7)
+        val arr = Dedup.docShingleArrays(d, col("doc_id"), col("text"), 3).localCheckpoint(false)
+        val sh = arr.select(col("id"), explode(col("shingles")).as("shingle"))
         val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(false)
-        Dedup.jaccardPairsFromShingles(sh, Some(cands))
+        Dedup.jaccardPairsFromShingleArrays(arr, cands)
           .filter(col("inter") * 5 >= col("union_") * 4)
       },
       "simhash" -> (d => Dedup.simhash16(d, col("doc_id"), col("text"))),

@@ -430,16 +430,20 @@ object SparkEntry {
 
     "td_dedup_jaccard" -> ((s, dir) => {
       // the scalable two-stage shape: LSH candidates -> exact verify.
-      // ONE shingle frame is materialized (localCheckpoint, blocks
-      // reclaimed by the ContextCleaner once the plan is unreferenced —
-      // a bare .persist() here would pin cache blocks for the session
-      // lifetime) and shared by both stages; the tiny candidate list is
+      // ONE tokenization pass is materialized as the per-doc shingle-SET
+      // ARRAY frame (localCheckpoint, blocks reclaimed by the
+      // ContextCleaner once the plan is unreferenced — a bare .persist()
+      // here would pin cache blocks for the session lifetime); the LSH
+      // stage explodes it, the verify reads the arrays directly
+      // (narrow array_intersect — no O(candidates x doc-size) join
+      // intermediate, r7 third pass). The tiny candidate list is
       // checkpointed so the verify joins never recompute the minhash
       // sub-plan.
       val d = docs(s, dir)
-      val sh = Dedup.docShingles(d, col("doc_id"), col("text"), 3).localCheckpoint(false)
+      val arr = Dedup.docShingleArrays(d, col("doc_id"), col("text"), 3).localCheckpoint(false)
+      val sh = arr.select(col("id"), explode(col("shingles")).as("shingle"))
       val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(false)
-      Dedup.jaccardPairsFromShingles(sh, candidates = Some(cands))
+      Dedup.jaccardPairsFromShingleArrays(arr, cands)
         .filter(col("inter") * 5 >= col("union_") * 4) // jaccard >= 0.8, float-free
     }),
 
@@ -933,10 +937,11 @@ object SparkEntry {
     // CLUSTER (LSH -> jaccard verify -> CC), split = portable hash of the
     // cluster id, so near-dups can never straddle train and eval
     "td_split_leakfree" -> ((s, dir) => {
-      val sh = Dedup.docShingles(docs(s, dir), col("doc_id"), col("text"), 3)
+      val arr = Dedup.docShingleArrays(docs(s, dir), col("doc_id"), col("text"), 3)
         .localCheckpoint(false)
+      val sh = arr.select(col("id"), explode(col("shingles")).as("shingle"))
       val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(false)
-      val dups = Dedup.jaccardPairsFromShingles(sh, candidates = Some(cands))
+      val dups = Dedup.jaccardPairsFromShingleArrays(arr, cands)
         .filter(col("inter") * 5 >= col("union_") * 4)
         .select("a", "b")
       Curation.leakFreeSplit(docs(s, dir), col("doc_id"), dups)
@@ -1007,10 +1012,11 @@ object SparkEntry {
     // bounded (bucketed candidates, O(log n) CC rounds) and the oracle
     // reproduces the clusters with a recursive CTE over the same pairs
     "td_dup_clusters" -> ((s, dir) => {
-      val sh = Dedup.docShingles(docs(s, dir), col("doc_id"), col("text"), 3)
+      val arr = Dedup.docShingleArrays(docs(s, dir), col("doc_id"), col("text"), 3)
         .localCheckpoint(false)
+      val sh = arr.select(col("id"), explode(col("shingles")).as("shingle"))
       val cands = Dedup.lshCandidatesFromShingles(sh).localCheckpoint(false)
-      val dups = Dedup.jaccardPairsFromShingles(sh, candidates = Some(cands))
+      val dups = Dedup.jaccardPairsFromShingleArrays(arr, cands)
         .filter(col("inter") * 5 >= col("union_") * 4)
         .select("a", "b")
       // fail LOUDLY on non-convergence (ADVICE r3): partially contracted

@@ -55,6 +55,16 @@ object Dedup {
     docs.select(id.as("id"),
       explode(array_distinct(TextOps.ngramArray(text, n))).as("shingle"))
 
+  /** The per-document distinct shingle SET kept as an ARRAY column:
+    * (id, shingles) — same precondition as [[docShingles]] (`id` unique
+    * per row), and `docShingles == explode of this frame` row for row.
+    * One checkpointed copy can feed BOTH the LSH stage (exploded) and the
+    * array-based Jaccard verify below without a second tokenization pass,
+    * and the checkpoint stores each doc id once instead of once per
+    * shingle. */
+  def docShingleArrays(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    docs.select(id.as("id"), array_distinct(TextOps.ngramArray(text, n)).as("shingles"))
+
   /**
    * MinHash signature columns: ONE sha256 per distinct shingle; hash i is
    * the 8-hex-char slice [8i, 8i+8) of that digest — up to 8 independent
@@ -188,6 +198,27 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("union_"))
   }
+
+  /** As `jaccardPairsFromShingles` over the ARRAY form ([[docShingleArrays]],
+    * one row per id): attach the two shingle sets by id equi-join and take
+    * `size(array_intersect(sa, sb))` as a narrow per-row expression.
+    * Output contract is IDENTICAL — (a, b, inter, union_), BIGINT sizes,
+    * zero-intersection pairs dropped (the exploded form's inner shingle
+    * join never produced them; arrays are distinct so the intersect count
+    * is the set intersection size). What disappears vs the exploded form
+    * (guide §2.3 "move heavy bytes once" + §2.4): the
+    * O(|candidates| x doc-size) join intermediate, the (a, b) pair-count
+    * aggregate exchange, and the separate per-doc `sizes` pass —
+    * `size(sa)` rides the same row. */
+  def jaccardPairsFromShingleArrays(arr: DataFrame, candidates: DataFrame): DataFrame =
+    candidates
+      .join(arr.select(col("id").as("a"), col("shingles").as("sa")), Seq("a"))
+      .join(arr.select(col("id").as("b"), col("shingles").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        (size(col("sa")).cast("long") + size(col("sb")).cast("long")).as("sz_"))
+      .filter(col("inter") >= 1)
+      .select(col("a"), col("b"), col("inter"), (col("sz_") - col("inter")).as("union_"))
 
   /**
    * 16-bit SimHash over the distinct-token set: bit j is set when the

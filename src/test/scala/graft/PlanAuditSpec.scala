@@ -275,6 +275,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "td_sketch_countmin" -> 2, "td_inverted_index" -> 2,
       "td_ngram_topk" -> 2, "td_interdoc_dedup" -> 4,
       "td_salient_terms" -> 2, "td_split_leakfree" -> 4,
+      // r7 third pass: array-intersect verify — the visible plan is the
+      // two id equi-joins + CC's outer frame; jaccard itself stays 0
+      "td_dup_clusters" -> 2,
       "td_repetition" -> 1, // the fanOut small-input repartition; the operator itself is narrow
       "kg_property_table" -> 2, "kg_bgp_match" -> 0, "td_bm25" -> 1,
       "kg_rdfs_closure" -> 1, "kg_entity_resolution" -> 3,

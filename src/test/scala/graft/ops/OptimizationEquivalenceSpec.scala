@@ -38,6 +38,30 @@ class OptimizationEquivalenceSpec extends AnyFunSuite {
       Dedup.wordShingles(docs, col("doc_id"), col("text"), 3))
   }
 
+  test("array-intersect jaccard verify == exploded-join reference (zero overlap, missing endpoints, NULL/empty text)") {
+    val docs = Seq(
+      (1L, "a b c d e f"),              // overlaps 2 partially
+      (2L, "a b c d x y"),
+      (3L, "p q r s t u"),              // ZERO overlap with 1 -> pair dropped
+      (4L, "a b c d e f"),              // exact duplicate of 1
+      (5L, ""),                         // no shingles (shorter than width)
+      (6L, null.asInstanceOf[String]),  // NULL text
+      (7L, "a b c a b c a b")           // internal repeats collapse to a set
+    ).toDF("doc_id", "text")
+    val arr = Dedup.docShingleArrays(docs, col("doc_id"), col("text"), 3)
+    val sh = Dedup.docShingles(docs, col("doc_id"), col("text"), 3)
+    // candidate list exercises: real overlap, zero overlap, exact dup,
+    // endpoints with no shingles (empty/NULL) on either side
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (5L, 6L),
+      (1L, 7L), (2L, 7L), (6L, 7L)).toDF("a", "b")
+    val got = Dedup.jaccardPairsFromShingleArrays(arr, cands)
+    val ref = Dedup.jaccardPairsFromShingles(sh, Some(cands))
+    // the driver hash gate is schema-sensitive: types must match exactly
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      ref.schema.map(f => (f.name, f.dataType)))
+    assertSameRows(got, ref)
+  }
+
   test("columnar bm25Scaled == explode-formulation reference (multi-term, ties, zero-hit docs)") {
     val docs = Seq(
       (1L, "spark spark window merge x y z"),
